@@ -1,0 +1,53 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {"q": sec}, "sf": ...}
+
+Each query is executed as a full action (count + a write-less collect of a
+bounded head) so the whole plan runs; timings exclude session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from iheardai_data_pipeline_spark.plans.catalog import CATALOG, _ensure_loaded
+    from iheardai_data_pipeline_spark.session import get_spark
+
+    _ensure_loaded()
+    spark = get_spark(app_name="iheardai-bench")
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # queries, not first-touch overhead.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(CATALOG.items()):
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        del n
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

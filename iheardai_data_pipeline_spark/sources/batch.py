@@ -1,0 +1,122 @@
+"""Batch sources: schema-checked parquet/CSV/JSON scans + incremental checkpoints.
+
+Reference semantics covered (SURVEY.md §2.1):
+- S1 bulk CSV scan      -> ``read_csv`` with declared schema (no inference)
+- S2 incremental checkpoint -> ``incremental_filter`` + ``Checkpoint`` (max-watermark)
+- S3/S6 REST poll scans -> in batch mode these are just filtered scans; streaming
+  analogs live in ``iheardai_data_pipeline_spark.streaming``.
+
+Scale posture: scans are plain ``spark.read`` so Catalyst gets predicate
+pushdown, column pruning and partition pruning for free; the checkpoint
+predicate is applied as a real filter (reaches PushedFilters for
+parquet sources).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Tables whose parquet timestamps are TIMESTAMP(NANOS) — Spark rejects the
+# physical type unless nanosAsLong is on; we read the raw nanos and floor to
+# microseconds, which is exactly what DuckDB's µs-native TIMESTAMP sees, so
+# oracle comparisons stay bit-identical.
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-generated parquet table from ``sf_dir``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            # integer DIV, not float /: ns epochs (~1.7e18) overflow double precision
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables at once; defaults to all of them."""
+    use = names or TESTDATA_TABLES
+    return {n: load_table(spark, sf_dir, n) for n in use}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register testdata tables as temp views for the SQL API."""
+    for name, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """CSV scan with a declared schema (reference: Marketo bulk-export CSV,
+    marketo_extractor.py:211-226). Never infers in production paths."""
+    return spark.read.csv(path, header=True, schema=schema, mode="PERMISSIVE")
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """JSON scan with declared schema + corrupt-record column (SURVEY §1.4)."""
+    return (
+        spark.read.schema(schema.add("_corrupt_record", "string"))
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def incremental_filter(df: DataFrame, watermark_col: str, last_value) -> DataFrame:
+    """S2: only rows newer than the stored checkpoint.
+
+    Reference: marketo_extractor.py:125-139 builds the export job filter
+    ``updatedAt > checkpoint``; here it is a pushed-down predicate.
+    """
+    if last_value is None:
+        return df
+    return df.filter(F.col(watermark_col) > F.lit(last_value))
+
+
+class Checkpoint:
+    """Max-watermark checkpoint persisted as a JSON file.
+
+    Reference: CheckpointManager (marketo_extractor.py:54-83) persists the
+    max ``updatedAt`` seen; the next batch filters past it. In Spark the
+    batch analog is ``df.agg(max(col))`` persisted between runs (streaming
+    uses the engine checkpointLocation instead).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def load(self):
+        if not os.path.exists(self.path):
+            return None
+        with open(self.path) as f:
+            return json.load(f).get("watermark")
+
+    def save(self, value) -> None:
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        with open(self.path, "w") as f:
+            json.dump({"watermark": value}, f)
+
+    def advance(self, df: DataFrame, watermark_col: str) -> None:
+        """Persist max(watermark_col) of the processed batch."""
+        row = df.agg(F.max(watermark_col).alias("w")).collect()[0]
+        if row["w"] is not None:
+            value = row["w"]
+            self.save(value.isoformat() if hasattr(value, "isoformat") else value)
