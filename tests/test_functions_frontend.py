@@ -1,0 +1,165 @@
+"""Golden tests for P17-P28 (reference frontend_transformer.py semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iheardai_data_pipeline_spark.functions import frontend
+
+
+def col_of(spark, c, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    return [r["o"] for r in df.select(c.alias("o")).collect()]
+
+
+def test_normalize_event_type(spark):
+    c = frontend.normalize_event_type(F.col("x"))
+    got = col_of(spark, c, [("Page-View",), ("CLICK",), ("custom-thing",), (None,)], "x string")
+    assert got == ["page_view", "click", "custom_thing", "unknown"]
+
+
+def test_categorize_page(spark):
+    c = frontend.categorize_page(F.col("x"))
+    cases = [
+        ("/", "homepage"), ("/product/iphone", "product"), ("/p/123", "product"),
+        ("/category/shoes", "category"), ("/cart", "checkout"), ("/checkout/pay", "checkout"),
+        ("/about", "about"), ("/contact", "contact"), ("/blog/post", "content"),
+        ("/search", "search"), ("/account", "account"), ("/weird", "other"),
+        (None, "homepage"),
+    ]
+    got = col_of(spark, c, [(p,) for p, _ in cases], "x string")
+    assert got == [want for _, want in cases]
+
+
+def test_categorize_referrer(spark):
+    c = frontend.categorize_referrer(F.col("x"))
+    cases = [
+        ("www.google.com", "search"),
+        ("yahoo.com", "search"),          # yahoo in both lists; search wins
+        ("facebook.com", "social"),
+        ("mail.google.com", "search"),    # google.com substring → search first
+        ("webmail.company.com", "email"),
+        ("partner.io", "referral"),
+        (None, "direct"),
+    ]
+    got = col_of(spark, c, [(d,) for d, _ in cases], "x string")
+    assert got == [want for _, want in cases]
+
+
+def test_device_browser_os(spark):
+    ua_iphone = "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) Safari/604.1"
+    ua_chrome = "Mozilla/5.0 (Windows NT 10.0; Win64; x64) Chrome/120.0 Safari/537.36"
+    ua_edge = "Mozilla/5.0 (Windows NT 10.0) Chrome/120.0 Safari/537.36 Edg/120.0"
+    rows = [(ua_iphone,), (ua_chrome,), (ua_edge,), (None,)]
+    assert col_of(spark, frontend.device_type(F.col("x")), rows, "x string") == [
+        "mobile", "desktop", "desktop", "unknown",
+    ]
+    assert col_of(spark, frontend.browser(F.col("x")), rows, "x string") == [
+        "safari", "chrome", "edge", "unknown",
+    ]
+    assert col_of(spark, frontend.operating_system(F.col("x")), rows, "x string") == [
+        "macos",  # reference checks 'mac os' before ios — iPhone UA contains 'Mac OS X'
+        "windows", "windows", "unknown",
+    ]
+    assert col_of(spark, frontend.is_mobile(F.col("x")), rows, "x string") == [
+        True, False, False, False,
+    ]
+
+
+def test_page_info_utm(spark):
+    url = "https://shop.example.com/product/x?utm_source=google&utm_medium=cpc&q=1"
+    df = spark.createDataFrame([(url, "Product X")], "page_url string, page_title string")
+    info = df.select(frontend.parse_page_info("page_url", "page_title").alias("o")).collect()[0]["o"]
+    assert info["domain"] == "shop.example.com"
+    assert info["path"] == "/product/x"
+    assert info["category"] == "product"
+    assert info["utm_source"] == "google"
+    assert info["utm_medium"] == "cpc"
+    assert info["query_params"]["q"] == "1"
+    assert info["title"] == "Product X"
+
+
+def test_user_segment_and_stage(spark):
+    rows = [
+        ("https://x.com/checkout", "click", "ref"),
+        ("https://x.com/", "widget_open", "ref"),
+        ("https://x.com/product/1", "click", "ref"),
+        ("https://x.com/", "click", ""),
+        ("https://x.com/", "click", "ref"),
+    ]
+    schema = "page_url string, event_type string, referrer string"
+    assert col_of(
+        spark, frontend.user_segment("page_url", "event_type", "referrer"), rows, schema
+    ) == ["buyer", "engaged", "browser", "direct", "visitor"]
+    assert col_of(
+        spark, frontend.conversion_stage("event_type", "page_url"), rows, schema
+    ) == ["purchase_intent", "consideration", "interest", "awareness", "awareness"]
+
+
+def test_engagement_and_quality_scores(spark):
+    rows = [("purchase", 10), ("click", 301), ("scroll", 45), ("unknown_evt", 0)]
+    got = col_of(
+        spark,
+        frontend.engagement_score(F.col("event_type"), F.col("time_on_page")),
+        rows,
+        "event_type string, time_on_page long",
+    )
+    assert got == [100, 40, 15, 5]
+
+    rows = [
+        ("s1", "Mozilla", "https://x.com", 1705315800000),
+        (None, "Googlebot/2.1", None, 1705315800000),
+    ]
+    got = col_of(
+        spark,
+        frontend.event_quality_score(
+            F.col("session_id"), F.col("user_agent"), F.col("page_url"), F.col("ts")
+        ),
+        rows,
+        "session_id string, user_agent string, page_url string, ts long",
+    )
+    assert got == [100, 30]  # 100-10-10-50=30
+
+
+def test_transform_frontend_events_pipeline(spark):
+    """Demo payload shape (enhanced_pipeline_demo.py:54-72)."""
+    rows = [
+        {
+            "event_id": "fe-1",
+            "session_id": "sess_abc123",
+            "user_id": "user_456",
+            "event_type": "widget_open",
+            "interaction_type": "click",
+            "widget_id": "chat_widget_1",
+            "page_url": "https://example.com/product/laptop?utm_source=google",
+            "page_title": "Gaming Laptop",
+            "referrer": "https://www.google.com/search?q=gaming+laptop",
+            "user_agent": "Mozilla/5.0 (Windows NT 10.0; Win64; x64) Chrome/120.0",
+            "screen_resolution": "1920x1080",
+            "viewport_size": "1200x800",
+            "timestamp": 1705315800000,
+            "time_on_page": 45,
+            "load_time_ms": 250,
+            "time_since_last_event": None,
+            "session_duration": None,
+            "element_id": None, "element_class": None, "element_text": None,
+            "click_coordinates": None, "scroll_depth": None, "scroll_direction": None,
+            "max_scroll_depth": None, "form_id": None, "form_fields": None,
+            "form_completion_time": None, "country": "US", "region": "CA",
+            "city": "SF", "timezone": "PST", "ip_address": "1.2.3.4",
+            "metadata": None,
+        }
+    ]
+    from iheardai_data_pipeline_spark.schemas import FRONTEND_EVENT_RAW
+
+    df = spark.createDataFrame(rows, FRONTEND_EVENT_RAW)
+    out = frontend.transform_frontend_events(df).collect()[0]
+    assert out["event_type"] == "widget_open"
+    assert out["user_segment"] == "engaged"   # widget_open outranks the product URL
+    assert out["page_info"]["category"] == "product"
+    assert out["referrer_info"]["referrer_type"] == "search"
+    assert out["device_info"]["browser"] == "chrome"
+    assert out["engagement_score"] == 65      # widget_open 60 + time 45>30 → +5
+    assert out["conversion_stage"] == "consideration"
+    assert out["quality_score"] == 100
+    assert out["timestamp"] == 1705315800000
