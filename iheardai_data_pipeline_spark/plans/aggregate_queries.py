@@ -1,0 +1,481 @@
+"""Aggregate / join / window / mutation catalog queries (SURVEY §2.5-2.10).
+
+Role mapping per FIXTURES.md §7: events = the event stream (sessions,
+funnels, journeys, windows, dedup); orders/lineitem = fact tables;
+customer/nation/region = dimensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iheardai_data_pipeline_spark.operators import aggregates as agg
+from iheardai_data_pipeline_spark.operators import mutations as mut
+from iheardai_data_pipeline_spark.operators.sessionize import with_session_id
+from iheardai_data_pipeline_spark.plans.catalog import register
+from iheardai_data_pipeline_spark.sources.batch import load_table
+
+_SESSION_SQL = """
+seq AS (
+    SELECT user_id, event_id, ts, value, event_type,
+        CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 1800 SECOND
+             THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT *, SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM seq
+)
+"""
+
+# --- A2 ---------------------------------------------------------------------
+
+_A2_ORACLE = """
+SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS metric_date,
+    COUNT(*) AS n_rows,
+    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4)
+        AS avg_value
+FROM orders
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "a2_daily_order_metrics",
+    oracle=_A2_ORACLE,
+    tags=("aggregate",),
+    doc="A2 daily rollup: per-day count + avg (reference daily_lead_metrics, "
+    "enhanced_kpi_consumer.py:541-553).",
+)
+def a2_daily_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.daily_rollup(load_table(spark, sf_dir, "orders"), "o_orderdate", "o_totalprice")
+
+
+# --- A3 ---------------------------------------------------------------------
+
+_A3_ORACLE = """
+WITH ev AS (
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS metric_date,
+        COUNT(DISTINCT user_id) AS active_users,
+        COUNT(*) AS total_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_value
+    FROM events GROUP BY 1
+),
+od AS (
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS metric_date,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_revenue
+    FROM orders GROUP BY 1
+)
+SELECT ev.metric_date, ev.active_users, ev.total_events, ev.sum_value, ev.avg_value,
+       od.n_orders, od.order_revenue
+FROM ev LEFT JOIN od USING (metric_date)
+ORDER BY metric_date DESC
+"""
+
+
+@register(
+    "a3_daily_performance",
+    oracle=_A3_ORACLE,
+    tags=("aggregate", "join"),
+    doc="A3 daily performance summary + J2 date-key left join (reference "
+    "sql/enhanced_schema.sql:234-251).",
+)
+def a3_daily_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.daily_performance_summary(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "orders")
+    )
+
+
+# --- A4 ---------------------------------------------------------------------
+
+_A4_ORACLE = """
+WITH anchor AS (SELECT MAX(ts) AS a FROM events)
+SELECT
+    COUNT(DISTINCT CASE WHEN ts >= a - INTERVAL 1 HOUR THEN user_id END) AS last_hour_users,
+    COUNT(CASE WHEN ts >= a - INTERVAL 1 HOUR THEN 1 END) AS last_hour_events,
+    CAST(SUM(CASE WHEN ts >= a - INTERVAL 1 HOUR THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS last_hour_value,
+    COUNT(DISTINCT CASE WHEN ts >= a - INTERVAL 24 HOUR THEN user_id END) AS last_day_users,
+    COUNT(CASE WHEN ts >= a - INTERVAL 24 HOUR THEN 1 END) AS last_day_events,
+    CAST(SUM(CASE WHEN ts >= a - INTERVAL 24 HOUR THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS last_day_value,
+    COUNT(*) AS total_events
+FROM events, anchor
+"""
+
+
+@register(
+    "a4_realtime_dashboard",
+    oracle=_A4_ORACLE,
+    tags=("aggregate", "conditional"),
+    doc="A4 single-row conditional aggregation dashboard (reference "
+    "real_time_kpi_dashboard, sql/enhanced_schema.sql:254-278); anchored "
+    "to max(ts) instead of now() for determinism.",
+)
+def a4_realtime_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.realtime_dashboard(load_table(spark, sf_dir, "events"))
+
+
+# --- A5 / J1 ------------------------------------------------------------------
+
+_A5_ORACLE = """
+SELECT c.c_custkey, c.c_mktsegment,
+    COUNT(o.o_orderkey) AS n_orders,
+    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+    ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          / NULLIF(COUNT(o.o_orderkey), 0), 4) AS avg_order_value,
+    CAST(FLOOR(epoch(MIN(o.o_orderdate))) AS BIGINT) AS first_order_s,
+    CAST(FLOOR(epoch(MAX(o.o_orderdate))) AS BIGINT) AS last_order_s,
+    CAST(FLOOR(epoch(MAX(o.o_orderdate))) AS BIGINT)
+      - CAST(FLOOR(epoch(MIN(o.o_orderdate))) AS BIGINT) AS span_s
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+ORDER BY c.c_custkey
+"""
+
+
+@register(
+    "a5_customer_order_summary",
+    oracle=_A5_ORACLE,
+    tags=("aggregate", "join"),
+    doc="A5 session-summary shape: dimension LEFT JOIN facts + rollup + "
+    "epoch-duration arithmetic (reference session_analytics_summary, "
+    "sql/enhanced_schema.sql:208-232; J1).",
+)
+def a5_customer_order_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dec_price = F.col("o_totalprice").cast("decimal(18,2)")
+    # o_orderdate is TIMESTAMP_NTZ in the parquet; unix_seconds requires
+    # TIMESTAMP — cast is exact under the UTC session TZ
+    odate = F.col("o_orderdate").cast("timestamp")
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+    return (
+        joined.groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(dec_price).cast("double").alias("revenue"),
+            F.round(
+                F.sum(dec_price).cast("double")
+                / F.nullif(F.count("o_orderkey"), F.lit(0)),
+                4,
+            ).alias("avg_order_value"),
+            F.min(F.unix_seconds(odate)).alias("first_order_s"),
+            F.max(F.unix_seconds(odate)).alias("last_order_s"),
+            (F.max(F.unix_seconds(odate)) - F.min(F.unix_seconds(odate))).alias("span_s"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# --- A6 / W2 ------------------------------------------------------------------
+
+_A6_ORACLE = f"""
+WITH {_SESSION_SQL},
+per_session AS (
+    SELECT user_id, session_seq,
+        string_agg(event_type, '->' ORDER BY ts, event_id) AS path,
+        COUNT(*) AS n_events,
+        CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)
+          - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_s
+    FROM sess GROUP BY user_id, session_seq
+)
+SELECT path, COUNT(*) AS frequency,
+    ROUND(AVG(n_events), 4) AS avg_events,
+    ROUND(AVG(duration_s), 4) AS avg_duration_s
+FROM per_session GROUP BY path
+ORDER BY frequency DESC, path
+"""
+
+
+@register(
+    "a6_journey_paths",
+    oracle=_A6_ORACLE,
+    tags=("aggregate", "window", "sessionization"),
+    doc="A6 user-journey path analysis: ordered event sequence per session, "
+    "grouped by path (reference snowflake_loader.py:202-223; W2 ordered "
+    "collect).",
+)
+def a6_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = with_session_id(load_table(spark, sf_dir, "events"))
+    return agg.journey_paths(events)
+
+
+# --- A7 / W1 ------------------------------------------------------------------
+
+_A7_ORACLE = """
+WITH staged AS (
+    SELECT CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                           WHEN 'signup' THEN 3 WHEN 'purchase' THEN 4 END AS funnel_stage,
+           user_id
+    FROM events
+    WHERE event_type IN ('view', 'click', 'signup', 'purchase')
+),
+per_stage AS (
+    SELECT funnel_stage, COUNT(DISTINCT user_id) AS users FROM staged GROUP BY 1
+)
+SELECT funnel_stage, users,
+    LAG(users) OVER (ORDER BY funnel_stage) AS prev_users,
+    CASE WHEN LAG(users) OVER (ORDER BY funnel_stage) IS NOT NULL
+         THEN ROUND(CAST(users AS DOUBLE) / LAG(users) OVER (ORDER BY funnel_stage), 4)
+    END AS conversion_rate
+FROM per_stage ORDER BY funnel_stage
+"""
+
+
+@register(
+    "a7_conversion_funnel",
+    oracle=_A7_ORACLE,
+    tags=("aggregate", "window"),
+    doc="A7 conversion funnel with LAG stage-to-stage ratio (reference "
+    "snowflake_loader.py:225-254; W1).",
+)
+def a7_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.conversion_funnel(load_table(spark, sf_dir, "events"))
+
+
+# --- A8 / T3 ------------------------------------------------------------------
+
+_A8_ORACLE = """
+SELECT CAST(FLOOR(epoch(date_trunc('minute', ts))) AS BIGINT) AS bucket_start_s,
+    user_id,
+    COUNT(*) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register(
+    "a8_billing_windows",
+    oracle=_A8_ORACLE,
+    tags=("aggregate", "streaming-analog"),
+    doc="A8/T3 60-second tumbling usage windows per key (reference billing "
+    "consumer semantics, config/config.yaml:208-212).",
+)
+def a8_billing_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.tumbling_usage_windows(load_table(spark, sf_dir, "events"))
+
+
+# --- M1/M4/W3 -----------------------------------------------------------------
+
+_M1_ORACLE = """
+SELECT user_id, event_id, event_type,
+    CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s, value
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id
+"""
+
+
+@register(
+    "m1_last_write_wins",
+    oracle=_M1_ORACLE,
+    tags=("mutation", "window"),
+    doc="M1/M2/W3 last-writer-wins upsert convention: row_number dedup by "
+    "key, newest first (reference ON CONFLICT DO UPDATE, "
+    "enhanced_kpi_consumer.py:395-434).",
+)
+def m1_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        mut.last_write_wins(events, ["user_id"], ["ts", "event_id"])
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_seconds("ts").alias("ts_s"),
+            "value",
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- M3 merge upsert -----------------------------------------------------------
+
+_M3_ORACLE = """
+WITH target AS (
+    SELECT event_id, user_id, value FROM events WHERE user_id % 2 = 0
+),
+updates AS (
+    SELECT event_id, user_id, value * 2 AS value FROM events WHERE value > 50
+)
+SELECT event_id, user_id, value FROM updates
+UNION ALL
+SELECT t.event_id, t.user_id, t.value FROM target t
+WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.event_id = t.event_id)
+ORDER BY event_id
+"""
+
+
+@register(
+    "m3_merge_upsert",
+    oracle=_M3_ORACLE,
+    tags=("mutation",),
+    doc="M3 snapshot+updates merge, update-priority last-writer-wins "
+    "(reference aggregate upsert, enhanced_kpi_consumer.py:541-609).",
+)
+def m3_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    target = events.filter(F.col("user_id") % 2 == 0).select("event_id", "user_id", "value")
+    updates = events.filter(F.col("value") > 50).select(
+        "event_id", "user_id", (F.col("value") * 2).alias("value")
+    )
+    return mut.merge_upsert(target, updates, ["event_id"], ["value"]).orderBy("event_id")
+
+
+# --- M5 event dedup --------------------------------------------------------------
+
+_M5_ORACLE = """
+SELECT COUNT(*) AS n_after,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+"""
+
+
+@register(
+    "m5_event_dedup",
+    oracle=_M5_ORACLE,
+    tags=("mutation",),
+    doc="M5 event-id exact dedup: doubling the stream then deduping by "
+    "event_id restores the original (reference enable_deduplication, "
+    "config/config.yaml:260).",
+)
+def m5_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    doubled = events.unionByName(events)
+    deduped = mut.dedup_by_event_id(doubled)
+    return deduped.agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+# --- O5 top-k ---------------------------------------------------------------------
+
+_O5_ORACLE = """
+SELECT o_custkey,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+    COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+ORDER BY revenue DESC, o_custkey LIMIT 10
+"""
+
+
+@register(
+    "o5_top_customers",
+    oracle=_O5_ORACLE,
+    tags=("sort", "topk"),
+    doc="O5 deterministic top-k ranking (reference lead ranking, "
+    "sql/enhanced_schema.sql:177-188).",
+)
+def o5_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rolled = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return agg.top_k(rolled, [F.desc("revenue"), F.col("o_custkey")], 10)
+
+
+# --- set ops -----------------------------------------------------------------------
+
+_SETOP_ORACLE = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+ORDER BY user_id
+"""
+
+
+@register(
+    "s_except_users",
+    oracle=_SETOP_ORACLE,
+    tags=("setop",),
+    doc="Set operations (SURVEY §2.9): purchasers EXCEPT error-affected users.",
+)
+def s_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchasers = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = events.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return purchasers.exceptAll(erroring).distinct().orderBy("user_id")
+
+
+# --- J3 declared cross join ---------------------------------------------------------
+
+_J3_ORACLE = """
+SELECT e.n_events, o.n_orders
+FROM (SELECT COUNT(*) AS n_events FROM events) e
+CROSS JOIN (SELECT COUNT(*) AS n_orders FROM orders) o
+"""
+
+
+@register(
+    "j3_dashboard_crossjoin",
+    oracle=_J3_ORACLE,
+    tags=("join",),
+    doc="J3: the reference dashboard matview cross-joins two independent "
+    "aggregates (sql/enhanced_schema.sql:276-278) — declared semantics "
+    "preserved; harmless because both sides are single rows.",
+)
+def j3_dashboard_crossjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").agg(F.count(F.lit(1)).alias("n_events"))
+    od = load_table(spark, sf_dir, "orders").agg(F.count(F.lit(1)).alias("n_orders"))
+    return ev.crossJoin(od)
+
+
+# --- J5 cross-source correlation ------------------------------------------------------
+
+_J5_ORACLE = """
+WITH cust_rev AS (
+    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+    FROM orders GROUP BY 1
+)
+SELECT n.n_name AS nation,
+    COUNT(*) AS n_customers,
+    ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4)
+        AS avg_acctbal,
+    CAST(SUM(cr.rev) AS DOUBLE) AS total_revenue
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN cust_rev cr ON cr.o_custkey = c.c_custkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@register(
+    "j5_nation_correlation",
+    oracle=_J5_ORACLE,
+    tags=("join", "aggregate"),
+    doc="J5 cross-source correlation: dim broadcast join + per-key fact "
+    "rollup joined and re-aggregated (reference cross-source analytics, "
+    "README.md:210).",
+)
+def j5_nation_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    cust_rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(cust_rev, cust.c_custkey == cust_rev.o_custkey, "left")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_acctbal"),
+            F.sum("rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("nation")
+    )

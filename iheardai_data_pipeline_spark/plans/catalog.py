@@ -68,6 +68,8 @@ def _ensure_loaded() -> None:
     for mod in (
         "iheardai_data_pipeline_spark.plans.core_queries",
         "iheardai_data_pipeline_spark.plans.transform_queries",
+        "iheardai_data_pipeline_spark.plans.aggregate_queries",
+        "iheardai_data_pipeline_spark.plans.benchmark_queries",
     ):
         importlib.import_module(mod)
     _LOADED = True
