@@ -70,6 +70,7 @@ def _ensure_loaded() -> None:
         "iheardai_data_pipeline_spark.plans.transform_queries",
         "iheardai_data_pipeline_spark.plans.aggregate_queries",
         "iheardai_data_pipeline_spark.plans.benchmark_queries",
+        "iheardai_data_pipeline_spark.plans.streaming_queries",
     ):
         importlib.import_module(mod)
     _LOADED = True

@@ -1,0 +1,79 @@
+"""Streaming catalog queries (T3/T4): executed through Structured
+Streaming (file source -> availableNow -> memory sink) and compared to
+the SAME DuckDB oracles as their batch analogs — proving the streaming
+operators produce the batch-equivalent answer.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iheardai_data_pipeline_spark.plans.catalog import register
+from iheardai_data_pipeline_spark.streaming.readers import read_events_stream
+from iheardai_data_pipeline_spark.streaming.sinks import run_to_memory
+from iheardai_data_pipeline_spark.streaming.windows import session_windows, tumbling_usage
+
+_T3_ORACLE = """
+SELECT CAST(FLOOR(epoch(date_trunc('minute', ts))) AS BIGINT) AS bucket_start_s,
+    user_id, COUNT(*) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register(
+    "t3_stream_tumbling_windows",
+    oracle=_T3_ORACLE,
+    tags=("streaming",),
+    doc="T3: 60s tumbling billing windows executed as a Structured "
+    "Streaming query (file source, availableNow, memory sink); equals the "
+    "batch A8 answer (reference config/config.yaml:208-212).",
+)
+def t3_stream_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    result = tumbling_usage(stream)
+    out = run_to_memory(result, f"t3_out_{uuid.uuid4().hex[:8]}")
+    return out.orderBy("bucket_start_s", "user_id")
+
+
+_T4_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_id, ts, value,
+        CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 1800 SECOND
+             THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT *, SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM seq
+)
+SELECT user_id,
+    CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS started_at_s,
+    COUNT(*) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, session_seq
+ORDER BY user_id, started_at_s
+"""
+
+
+@register(
+    "t4_stream_session_windows",
+    oracle=_T4_ORACLE,
+    tags=("streaming", "sessionization"),
+    doc="T4: session_window(ts, 30 min) as a streaming query — produces "
+    "the identical session set to batch gap-sessionization (A1), the "
+    "event-time upgrade of the reference's Redis session TTL "
+    "(enhanced_kpi_consumer.py:638-673).",
+)
+def t4_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    result = session_windows(stream, gap="30 minutes")
+    out = run_to_memory(result, f"t4_out_{uuid.uuid4().hex[:8]}")
+    return out.orderBy("user_id", "started_at_s")

@@ -1,0 +1,83 @@
+"""Streaming sources (SURVEY §2.1 S3-S8 streaming analogs).
+
+Kafka is the reference's backbone (3 topics, manual commit, <=100
+records/poll — enhanced_kpi_consumer.py:86-101,320-342). The Spark
+restatement is one readStream over the subscribed topics with
+``maxOffsetsPerTrigger`` as the batch-size knob and the engine
+checkpoint as the commit. The Kafka connector jar may be absent in
+test rigs, so the reader is built lazily; file/rate sources cover
+local testing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: tuple[str, ...],
+    payload_schema: StructType,
+    max_offsets_per_trigger: int = 100,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S7: subscribe N topics, parse JSON payloads against the declared
+    schema with a corrupt-record column (no inference — SURVEY §1.4).
+
+    T1/T2 mapping: poll cadence -> trigger interval (set on the writer);
+    <=100 records/poll -> maxOffsetsPerTrigger; manual commit ->
+    checkpointLocation (exactly-once into idempotent sinks).
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", ",".join(topics))
+        .option("startingOffsets", starting_offsets)
+        .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+        .load()
+    )
+    return raw.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("topic"),
+        F.col("timestamp").alias("kafka_ts"),
+        F.from_json(F.col("value").cast("string"), payload_schema).alias("data"),
+        F.col("value").cast("string").alias("raw_value"),
+    )
+
+
+def read_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based stream (local test analog of the REST-poll sources
+    S3/S6: each new file is a poll batch)."""
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the driver's events table through the file source, with the
+    same ns->us timestamp normalization as the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema  # bigint ts under nanosAsLong
+    # the file source wants a directory: stream the sf dir with a glob
+    # filter selecting just the events file
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream

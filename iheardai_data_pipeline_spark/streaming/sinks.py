@@ -1,0 +1,160 @@
+"""Streaming sinks (T7/K7 archive, §3.2 foreachBatch maintenance, J4/K5 state).
+
+The reference's loader writes each micro-batch to Postgres (upserts),
+refreshes the touched-session aggregate, and updates Redis session state
+(enhanced_kpi_consumer.py:137-250). The Spark restatement is one
+``foreachBatch`` that (a) merges facts, (b) recomputes the per-session
+aggregate for the batch's touched keys, (c) maintains a session-state
+table with a seq guard. Here the stores are parquet snapshots (Delta
+MERGE in production — the functions isolate that choice).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from iheardai_data_pipeline_spark.operators.mutations import merge_upsert
+
+
+def archive_sink(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    ts_col: str = "ts",
+    topic_col: str = "event_type",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """T7/K7: partitioned parquet archive (dt=YYYY-MM-DD/topic=... layout,
+    snappy — reference config/config.yaml:153-174). Hourly flush in prod
+    (trigger=processingTime='1 hour'); availableNow in tests."""
+    partitioned = stream.withColumn(
+        "dt", F.date_format(F.col(ts_col), "yyyy-MM-dd")
+    ).withColumn("topic", F.col(topic_col))
+    writer = (
+        partitioned.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .option("compression", "snappy")
+        .partitionBy("dt", "topic")
+        .outputMode("append")
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
+class ParquetUpsertStore:
+    """Keyed parquet snapshot store with last-writer-wins merge — the
+    test-rig stand-in for a Delta table / Postgres upsert target."""
+
+    def __init__(self, spark: SparkSession, path: str, key_cols: list[str], order_cols: list[str]):
+        self.spark = spark
+        self.path = path
+        self.key_cols = key_cols
+        self.order_cols = order_cols
+
+    def read(self) -> DataFrame | None:
+        if not os.path.exists(self.path):
+            return None
+        return self.spark.read.parquet(self.path)
+
+    def merge(self, updates: DataFrame) -> None:
+        current = self.read()
+        if current is None:
+            merged = updates
+        else:
+            merged = merge_upsert(current, updates, self.key_cols, self.order_cols)
+        # write-then-swap so a crash never leaves a half-written snapshot
+        tmp = self.path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = self.spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(self.path)
+
+
+def session_kpis_foreach_batch(
+    store: ParquetUpsertStore,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """§3.2 step 3: incremental materialized-aggregate maintenance.
+
+    The reference recomputes the session_kpis row for every session
+    touched by the batch (enhanced_kpi_consumer.py:210-250,560-609).
+    Batch analog: aggregate the micro-batch per key, then merge into the
+    snapshot combining counts/sums/min/max associatively — the streaming
+    equivalent of recompute-touched-keys without rereading the base table.
+    """
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        partial = batch_df.groupBy(user_col).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sum_value_dec"),
+            F.min(F.unix_seconds(F.col(ts_col))).alias("started_at_s"),
+            F.max(F.unix_seconds(F.col(ts_col))).alias("ended_at_s"),
+        )
+        current = store.read()
+        if current is not None:
+            merged = (
+                current.unionByName(partial)
+                .groupBy(user_col)
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_value_dec").alias("sum_value_dec"),
+                    F.min("started_at_s").alias("started_at_s"),
+                    F.max("ended_at_s").alias("ended_at_s"),
+                )
+            )
+        else:
+            merged = partial
+        tmp = store.path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        store.spark.read.parquet(tmp).write.mode("overwrite").parquet(store.path)
+
+    return apply
+
+
+def session_state_foreach_batch(store: ParquetUpsertStore, seq_col: str = "seq"):
+    """J4/K5/W3: per-key mutable session state with a monotonic seq guard
+    (reference Redis HSET + seq compare, enhanced_kpi_consumer.py:638-673).
+
+    Each batch keeps only its own max-seq row per key, then merges with
+    the store keeping the larger seq — stale updates are dropped exactly
+    like the reference's `seq <= current` check.
+    """
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        from iheardai_data_pipeline_spark.operators.mutations import last_write_wins
+
+        newest = last_write_wins(batch_df, store.key_cols, [seq_col])
+        current = store.read()
+        if current is None:
+            merged = newest
+        else:
+            merged = last_write_wins(
+                current.unionByName(newest), store.key_cols, [seq_col]
+            )
+        tmp = store.path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        store.spark.read.parquet(tmp).write.mode("overwrite").parquet(store.path)
+
+    return apply
+
+
+def run_to_memory(result: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming aggregation to completion into an in-memory
+    table and return it as a batch DataFrame (availableNow + memory sink
+    — the local test harness for T3/T4)."""
+    spark = result.sparkSession
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
