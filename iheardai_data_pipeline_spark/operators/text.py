@@ -1,0 +1,97 @@
+"""Text-analysis operators for training-data pipelines (north-star set).
+
+Language-ID lives in functions/text_agent.py (P36, generalized);
+this module adds token counting, quality scoring, and document
+fingerprinting over a text column. All native column expressions —
+a 100 TB corpus scans these at parquet speed inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from iheardai_data_pipeline_spark.functions.common import _col
+
+# BPE-ish tokenization: letter runs, digit runs, or single non-space
+# symbols — ASCII class so Spark (Java regex) and DuckDB (RE2) agree.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Stopwords for the quality heuristic (English function words — the
+# reference's language lists, reference text_agent_transformer.py:206).
+QUALITY_STOPWORDS = ("the", "and", "is", "to", "in", "it", "you", "that", "he", "was")
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for fingerprint/dedup: lower + whitespace collapse + trim."""
+    return F.trim(F.regexp_replace(F.lower(_col(text)), r"\s+", " "))
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Exact-dup fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(text))
+
+
+def token_count_ws(text: Column | str) -> Column:
+    """Whitespace token count (Python str.split semantics)."""
+    t = F.trim(_col(text))
+    return F.when(F.length(t) == 0, 0).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """BPE-ish token count: letter runs + digit runs + symbols."""
+    return F.regexp_count(_col(text), F.lit(BPE_TOKEN_PATTERN))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation chars / total chars (0 for empty)."""
+    t = _col(text)
+    n_punct = F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]"))
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        F.round(n_punct.cast("double") / F.length(t), 6)
+    )
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    """Stopword tokens / total tokens (whitespace tokens; 0 for empty)."""
+    t = F.lower(F.trim(_col(text)))
+    words = F.split(t, r"\s+")
+    stop_arr = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+    hits = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        F.round(hits.cast("double") / F.size(words), 6)
+    )
+
+
+def mean_word_len(text: Column | str) -> Column:
+    t = F.trim(_col(text))
+    words = F.split(t, r"\s+")
+    total = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        F.round(total.cast("double") / F.size(words), 6)
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0,100] for corpus filtering.
+
+    Additive, fully deterministic, SQL-mirrorable:
+      +30 length in [200, 5000] chars, +15 if [50,200) or (5000,20000]
+      +25 stopword ratio in [0.05, 0.6] (natural language evidence)
+      +25 punct ratio <= 0.2  (not symbol soup)
+      +20 mean word length in [3, 12]
+    """
+    t = _col(text)
+    n = F.length(t)
+    length_score = (
+        F.when((n >= 200) & (n <= 5000), 30)
+        .when(((n >= 50) & (n < 200)) | ((n > 5000) & (n <= 20000)), 15)
+        .otherwise(0)
+    )
+    sw = stopword_ratio(t)
+    sw_score = F.when((sw >= 0.05) & (sw <= 0.6), 25).otherwise(0)
+    pr = punct_ratio(t)
+    pr_score = F.when(pr <= 0.2, 25).otherwise(0)
+    mwl = mean_word_len(t)
+    mwl_score = F.when((mwl >= 3) & (mwl <= 12), 20).otherwise(0)
+    return (length_score + sw_score + pr_score + mwl_score).cast("int")

@@ -1,0 +1,339 @@
+"""North-star extension queries: dedup, similarity search, text analysis,
+multimodal plumbing (SURVEY.md §7 Phase 6; BASELINE.json extensions).
+
+These go beyond the reference's own surface — they are the training-data
+pipeline operations a 100 TB corpus engine needs. Each is registered with
+a DuckDB oracle wherever the computation is SQL-expressible; hash-seeded
+sketches (MinHash banding internals, SimHash) are either verified against
+the *exact* answer (LSH output == exact Jaccard answer, by construction)
+or registered rows-only.
+
+Scale notes are on the operators themselves
+(operators/{dedup,similarity,text,multimodal}.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iheardai_data_pipeline_spark.operators import dedup, multimodal, similarity, text
+from iheardai_data_pipeline_spark.plans.catalog import register
+from iheardai_data_pipeline_spark.sources.batch import load_table
+
+# Canonical text normalization, mirrored from operators/text.py::normalize_text
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# Word 5-gram shingle CTEs shared by the dedup oracles (mirrors
+# operators/dedup.py::word_shingles with n=5).
+_SHINGLE_CTE = f"""
+toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 4, 0)),
+                               i -> array_to_string(ws[i:i+4], ' '))) AS shingle
+  FROM toks
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+# --- exact dedup -----------------------------------------------------------------
+
+_DEDUP_EXACT_ORACLE = f"""
+WITH h AS (SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents),
+g AS (SELECT fingerprint, count(*) AS group_size, min(doc_id) AS keeper_id
+      FROM h GROUP BY fingerprint)
+SELECT h.doc_id, h.fingerprint, g.group_size,
+       (h.doc_id = g.keeper_id) AS is_keeper
+FROM h JOIN g USING (fingerprint)
+"""
+
+
+@register(
+    "x_dedup_exact",
+    oracle=_DEDUP_EXACT_ORACLE,
+    tags=("extension", "dedup"),
+    doc="Exact dedup: md5 fingerprint of normalized text, group size + "
+    "keeper (min doc_id) per group. One shuffle on a 16-byte key.",
+)
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicate_groups(load_table(spark, sf_dir, "documents"))
+
+
+# --- n-gram Jaccard near-dup -----------------------------------------------------
+
+# Mirrors the operator exactly: candidate/shared counts use only shingles
+# with doc-frequency <= cap (hot-shingle skew guard); union sizes use all
+# shingles.
+_NGRAM_JACCARD_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(s * 1.0 / (ca.n + cb.n - s), 4) AS jaccard
+FROM shared
+JOIN counts ca ON shared.doc_a = ca.doc_id
+JOIN counts cb ON shared.doc_b = cb.doc_id
+WHERE round(s * 1.0 / (ca.n + cb.n - s), 4) >= 0.7
+"""
+
+
+@register(
+    "x_dedup_ngram_jaccard",
+    oracle=_NGRAM_JACCARD_ORACLE,
+    tags=("extension", "dedup"),
+    doc="Exact word-5-gram Jaccard near-dup pairs (threshold 0.7), "
+    "candidates blocked on shared rare shingles — linear, never all-pairs.",
+)
+def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=5, threshold=0.7, max_doc_freq=100
+    )
+
+
+# --- MinHash LSH near-dup --------------------------------------------------------
+
+# The oracle is the EXACT all-pairs Jaccard answer: LSH (k=64, 16 bands x 4
+# rows) finds a >=0.7-similar pair with probability 1-(1-s^4)^16 (> 1-1e-17
+# at the s~0.98 of the planted near-dups) and exact-Jaccard verification
+# removes every false positive, so the sketch output equals the exact
+# answer deterministically in practice.
+_MINHASH_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(s * 1.0 / (ca.n + cb.n - s), 4) AS jaccard
+FROM shared
+JOIN counts ca ON shared.doc_a = ca.doc_id
+JOIN counts cb ON shared.doc_b = cb.doc_id
+WHERE round(s * 1.0 / (ca.n + cb.n - s), 4) >= 0.7
+"""
+
+
+@register(
+    "x_dedup_minhash_lsh",
+    oracle=_MINHASH_ORACLE,
+    tags=("extension", "dedup", "sketch"),
+    doc="MinHash(64)+LSH(16x4) near-dup pairs, exact-Jaccard verified; "
+    "oracle = exact all-pairs answer the sketch provably reproduces.",
+)
+def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), n=5, k=64, bands=16, threshold=0.7
+    )
+
+
+@register(
+    "x_dedup_simhash",
+    oracle=None,  # xxhash64-seeded sketch: not reproducible in ANSI SQL
+    tags=("extension", "dedup", "sketch"),
+    doc="SimHash-64 near-dup pairs (hamming<=3) via pigeonhole chunk "
+    "banding; rows-only check (sketch bits depend on xxhash64).",
+)
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# --- similarity search -----------------------------------------------------------
+
+_COSINE_TOPK_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], qvec), 6) AS sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY sim DESC, vec_id
+LIMIT 10
+"""
+
+
+@register(
+    "x_sim_cosine_topk",
+    oracle=_COSINE_TOPK_ORACLE,
+    tags=("extension", "similarity"),
+    doc="Brute-force cosine top-10 for the vec_id=0 query vector: one "
+    "scan, JVM-side fused fold, k-row sort (the per-partition ANN kernel).",
+)
+def x_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    sim = similarity.cosine_similarity(F.col("embedding"), F.col("qvec"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(sim, 6).alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(10)
+    )
+
+
+_EMB_DUP_ORACLE = """
+SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+"""
+
+
+@register(
+    "x_sim_embedding_dups",
+    oracle=_EMB_DUP_ORACLE,
+    tags=("extension", "similarity", "dedup"),
+    doc="Embedding near-dup pairs: cosine >= 0.4 inside a label block "
+    "(equi-join blocking — never a cross join).",
+)
+def x_sim_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@register(
+    "x_sim_ivf_topk",
+    oracle=None,  # approximate by design (probes a subset of lists)
+    tags=("extension", "similarity"),
+    doc="IVF approximate top-10 (16 lists, nprobe=4): vectors partitioned "
+    "by nearest centroid, query probes 4 lists — the 100 TB scale path.",
+)
+def x_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ivf_topk(emb, qvec, k=10, n_centroids=16, nprobe=4, exclude_id=0)
+
+
+# --- text analysis ---------------------------------------------------------------
+
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in text.QUALITY_STOPWORDS)
+
+_TEXT_QUALITY_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+    length(text) AS n_chars_raw,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens_ws,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+                    / length(text), 6) END AS punct_ratio,
+    CASE WHEN length(lower(trim(text))) = 0 THEN 0.0
+         ELSE round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                    w -> w IN ({_STOPWORDS_SQL}))) * 1.0
+                    / len(string_split_regex(lower(trim(text)), '\\s+')), 6)
+         END AS stopword_ratio,
+    CASE WHEN length(trim(text)) = 0 THEN 0.0
+         ELSE round(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                            w -> length(w))) * 1.0
+                    / len(string_split_regex(trim(text), '\\s+')), 6)
+         END AS mean_word_len
+  FROM documents
+)
+SELECT doc_id, n_tokens_ws, n_tokens_bpe, punct_ratio, stopword_ratio, mean_word_len,
+  (CASE WHEN n_chars_raw BETWEEN 200 AND 5000 THEN 30
+        WHEN (n_chars_raw BETWEEN 50 AND 199) OR (n_chars_raw BETWEEN 5001 AND 20000) THEN 15
+        ELSE 0 END
+   + CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 25 ELSE 0 END
+   + CASE WHEN punct_ratio <= 0.2 THEN 25 ELSE 0 END
+   + CASE WHEN mean_word_len BETWEEN 3 AND 12 THEN 20 ELSE 0 END)::INT AS quality
+FROM m
+"""
+
+
+@register(
+    "x_text_quality",
+    oracle=_TEXT_QUALITY_ORACLE,
+    tags=("extension", "text"),
+    doc="Per-document corpus stats: whitespace + BPE-ish token counts, "
+    "punct/stopword ratios, mean word length, [0,100] quality score. "
+    "All whole-stage-codegen column expressions.",
+)
+def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.token_count_ws(t).alias("n_tokens_ws"),
+        text.token_count_bpe(t).alias("n_tokens_bpe"),
+        text.punct_ratio(t).alias("punct_ratio"),
+        text.stopword_ratio(t).alias("stopword_ratio"),
+        text.mean_word_len(t).alias("mean_word_len"),
+        text.quality_score(t).alias("quality"),
+    )
+
+
+# Polynomial rolling hash over the normalized character stream; modulus
+# keeps the accumulator < 2^50 so both engines stay in exact int64 range
+# (DuckDB raises on BIGINT overflow, Spark would wrap silently).
+_RH_MOD = 999999999999989
+
+_FINGERPRINT_ORACLE = f"""
+SELECT doc_id,
+  md5({_NORM_SQL}) AS fingerprint,
+  list_reduce(
+    list_prepend(0::BIGINT,
+      list_transform(string_split({_NORM_SQL}, ''), c -> ascii(c)::BIGINT)),
+    (a, b) -> (a * 31 + b) % {_RH_MOD}) AS rolling_hash
+FROM documents
+"""
+
+
+@register(
+    "x_text_fingerprint",
+    oracle=_FINGERPRINT_ORACLE,
+    tags=("extension", "text"),
+    doc="Document fingerprints: md5 + base-31 polynomial rolling hash of "
+    "the normalized char stream (mod 1e15-ish prime, overflow-free).",
+)
+def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = text.normalize_text(F.col("text"))
+    codes = F.transform(F.split(norm, ""), lambda c: F.ascii(c).cast("long"))
+    rolling = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % F.lit(_RH_MOD),
+    )
+    return docs.select(
+        "doc_id",
+        text.fingerprint_md5(F.col("text")).alias("fingerprint"),
+        rolling.alias("rolling_hash"),
+    )
+
+
+# --- multimodal plumbing ---------------------------------------------------------
+
+# The stub decode kernel is sha256-derived, which DuckDB can reproduce
+# exactly (sha256(text) hashes the same UTF-8 bytes the Spark side feeds
+# the Python kernel), so even the mapInPandas path gets a full value oracle.
+_MEDIA_ORACLE = f"""
+SELECT doc_id AS media_id,
+       'image' AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       list_transform(generate_series(1, {multimodal.FEATURE_DIM}),
+                      i -> ('0x' || substr(sha256(text), 2*i - 1, 2))::INT / 255.0)
+         AS features
+FROM documents
+"""
+
+
+@register(
+    "x_media_features",
+    oracle=_MEDIA_ORACLE,
+    tags=("extension", "multimodal"),
+    doc="Multimodal feature extraction: opaque binary payloads through an "
+    "Arrow-batched mapInPandas decode kernel (deterministic sha256 stub; "
+    "real codecs plug into the same shell).",
+)
+def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.attach_fake_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_media_features(media)

@@ -39,6 +39,13 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     out = df.reindex(sorted(df.columns), axis=1)
+    # array cells (numpy arrays / lists) aren't sortable keys — use tuples
+    def _tuplify(v):
+        if isinstance(v, (str, bytes)) or not hasattr(v, "__len__"):
+            return v
+        return tuple(v)
+
+    out = out.apply(lambda s: s.map(_tuplify) if s.dtype == object else s)
     if len(out):
         out = out.sort_values(by=list(out.columns), ignore_index=True)
     return out.reset_index(drop=True)
