@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from iheardai_data_pipeline_spark.operators.text import fingerprint_md5, normalize_text
+from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism
 
 
 def exact_duplicate_groups(
@@ -67,7 +68,8 @@ def word_shingles(
         idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
     )
     return (
-        docs.select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
+        ensure_parallelism(docs)
+        .select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
         .distinct()
     )
 
@@ -179,32 +181,26 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # exact-Jaccard verification of candidates only: restrict the shingle
-    # join to candidate docs (semi-joins), then keep candidate pairs
-    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.join(
-        candidates.select(F.col("doc_a").alias(id_col)).distinct(), id_col, "left_semi"
-    ).select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.join(
-        candidates.select(F.col("doc_b").alias(id_col)).distinct(), id_col, "left_semi"
-    ).select(F.col(id_col).alias("doc_b"), "shingle")
-    shared = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .join(candidates, ["doc_a", "doc_b"], "left_semi")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    # exact-Jaccard verification of candidates only: attach each side's
+    # collected shingle set (ONE extra shuffle) and intersect per pair —
+    # candidate count is ~#near-dups, so the per-pair array_intersect work
+    # is tiny, and no second shingle-level shuffle cascade is needed.
+    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
     return (
-        shared.join(ca, "doc_a")
-        .join(cb, "doc_b")
+        candidates.join(
+            sets.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("set_a")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("set_b")),
+            "doc_b",
+        )
+        .withColumn("shared", F.size(F.array_intersect("set_a", "set_b")))
         .withColumn(
             "jaccard",
             F.round(
                 F.col("shared").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                / (F.size("set_a") + F.size("set_b") - F.col("shared")),
                 4,
             ),
         )
@@ -224,7 +220,8 @@ def simhash64(
     Python, no per-row loops.
     """
     words = (
-        docs.select(
+        ensure_parallelism(docs)
+        .select(
             F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
         )
         .distinct()

@@ -84,7 +84,10 @@ def extract_media_features(media: DataFrame, batch_decoder=None) -> DataFrame:
     ``batch_decoder(content: bytes) -> list[float]`` pluggable; defaults
     to the deterministic stub (no codec libs in this container).
     """
+    from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism
+
     decoder = batch_decoder or _stub_decode_features
+    media = ensure_parallelism(media)
 
     def op(batches: Iterator) -> Iterator:
         import pandas as pd

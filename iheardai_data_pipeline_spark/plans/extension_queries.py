@@ -166,8 +166,13 @@ LIMIT 10
 )
 def x_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
-    sim = similarity.cosine_similarity(F.col("embedding"), F.col("qvec"))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"),
+        similarity.vector_norm(F.col("embedding")).alias("qnorm"),
+    )
+    sim = similarity.dot_product(F.col("embedding"), F.col("qvec")) / (
+        similarity.vector_norm(F.col("embedding")) * F.col("qnorm")
+    )
     return (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))

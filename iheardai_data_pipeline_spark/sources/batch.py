@@ -59,6 +59,21 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in use}
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Fan a narrow scan out to cluster parallelism before per-row-heavy
+    operators (shingling, sketching, Pandas-UDF decode).
+
+    Single-file/single-row-group inputs arrive as ONE partition, which
+    serializes all downstream compute on one core. At 100 TB inputs carry
+    thousands of splits, the check short-circuits, and no shuffle is ever
+    added — this only rescues the small-scan case.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register testdata tables as temp views for the SQL API."""
     for name, df in load_tables(spark, sf_dir, *names).items():
