@@ -72,6 +72,7 @@ def _ensure_loaded() -> None:
         "iheardai_data_pipeline_spark.plans.benchmark_queries",
         "iheardai_data_pipeline_spark.plans.streaming_queries",
         "iheardai_data_pipeline_spark.plans.extension_queries",
+        "iheardai_data_pipeline_spark.plans.transform_queries_wide",
     ):
         importlib.import_module(mod)
     _LOADED = True
