@@ -643,3 +643,70 @@ def f1_f2_validation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return valid.select(F.lit("valid").alias("status")).union(
         quarantine.select(F.lit("quarantine").alias("status"))
     ).groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- P39/A9 tool usage over synthesized nested collections -------------------------
+
+# tools/success bits derive from event_id so the oracle can compute the
+# expected aggregate arithmetically without reproducing Spark's map/array
+# machinery: n_tools = event_id%4, tool i succeeded iff bit i of event_id.
+_TOOL_USAGE_ORACLE = """
+WITH synth AS (
+  SELECT event_id,
+    event_id % 4 AS n_tools,
+    (event_id // 1) % 2 AS b0, (event_id // 2) % 2 AS b1, (event_id // 4) % 2 AS b2
+  FROM events
+)
+SELECT event_id,
+  n_tools AS tools_count,
+  CASE WHEN n_tools = 0 THEN 1.0
+       WHEN n_tools = 1 THEN b0 * 1.0 / 1
+       WHEN n_tools = 2 THEN (b0 + b1) * 1.0 / 2
+       ELSE (b0 + b1 + b2) * 1.0 / 3 END AS success_rate,
+  CASE n_tools
+    WHEN 0 THEN ''
+    WHEN 1 THEN 'search'
+    WHEN 2 THEN 'calculation,search'
+    ELSE 'calculation,data_access,search' END AS categories_str
+FROM synth
+"""
+
+
+@register(
+    "p39_a9_tool_usage",
+    oracle=_TOOL_USAGE_ORACLE,
+    tags=("transform", "text_agent", "nested"),
+    doc="P39/A9 tool usage: success rate aggregated over a map<string,"
+    "struct> column and keyword-categorized tool names from an array "
+    "column (reference text_agent_transformer.py:279-323).",
+)
+def p39_a9_tool_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    n = (eid % 4).cast("int")
+    all_tools = F.array(F.lit("web_search"), F.lit("calculator"), F.lit("database_query"))
+    tools = F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.slice(all_tools, 1, n)
+    )
+    # tool i's result: {'success': bit i of event_id}
+    results = F.when(n == 0, F.map_from_arrays(
+        F.array().cast("array<string>"),
+        F.array().cast("array<struct<success:boolean>>"),
+    )).otherwise(
+        F.map_from_arrays(
+            tools,
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.struct((F.getbit(eid, i) == 1).alias("success")),
+            ),
+        )
+    )
+    df = events.select(
+        "event_id", tools.alias("tools_used"), results.alias("tool_results")
+    )
+    return df.select(
+        "event_id",
+        F.size("tools_used").alias("tools_count"),
+        ta.tool_success_rate(F.col("tool_results")).alias("success_rate"),
+        F.array_join(ta.tool_categories(F.col("tools_used")), ",").alias("categories_str"),
+    )

@@ -88,8 +88,10 @@ def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
 
 def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     """JSON scan with declared schema + corrupt-record column (SURVEY §1.4)."""
+    # copy before extending: StructType.add mutates the caller's schema
+    with_corrupt = StructType(list(schema.fields)).add("_corrupt_record", "string")
     return (
-        spark.read.schema(schema.add("_corrupt_record", "string"))
+        spark.read.schema(with_corrupt)
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
