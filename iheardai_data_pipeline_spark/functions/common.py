@@ -74,8 +74,8 @@ def deterministic_event_id(*cols: Column | str) -> Column:
 
 
 def envelope(
-    event_type: str,
-    source: str,
+    event_type: Column | str,
+    source: Column | str,
     data: Column,
     event_id: Column | None = None,
     ts_ms: Column | None = None,
@@ -85,11 +85,14 @@ def envelope(
     """P5: standardized event envelope (base_transformer.py:109-124).
 
     {event_id, event_type, source, ts_ms, data, metadata.transformation}
+    ``event_type``/``source`` may be literals (str) or per-row columns.
     """
+    et = F.lit(event_type) if isinstance(event_type, str) else event_type
+    src = F.lit(source) if isinstance(source, str) else source
     return F.struct(
         (event_id if event_id is not None else generate_event_id()).alias("event_id"),
-        F.lit(event_type).alias("event_type"),
-        F.lit(source).alias("source"),
+        et.alias("event_type"),
+        src.alias("source"),
         (ts_ms if ts_ms is not None else F.unix_millis(F.current_timestamp())).alias("ts_ms"),
         data.alias("data"),
         F.struct(

@@ -710,3 +710,81 @@ def p39_a9_tool_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ta.tool_success_rate(F.col("tool_results")).alias("success_rate"),
         F.array_join(ta.tool_categories(F.col("tools_used")), ",").alias("categories_str"),
     )
+
+
+# --- P5/P45-P47 envelope pipeline: wrap -> route -> flatten -> aggregate -----------
+
+_ENVELOPE_ORACLE = """
+WITH synth AS (
+  SELECT event_id, user_id, value,
+    CASE event_id % 3
+      WHEN 0 THEN 'marketo_lead_update'
+      WHEN 1 THEN 'frontend_interaction'
+      ELSE 'text_agent_turn_completed' END AS et
+  FROM events
+)
+SELECT 'marketo' AS branch, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM synth WHERE contains(et, 'marketo') AND NOT contains(et, 'activity')
+UNION ALL
+SELECT 'marketo_activity', count(*),
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+FROM synth WHERE contains(et, 'marketo') AND contains(et, 'activity')
+UNION ALL
+SELECT 'frontend', count(*),
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+FROM synth WHERE contains(et, 'frontend') OR contains(et, 'interaction')
+UNION ALL
+SELECT 'text_agent', count(*),
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+FROM synth WHERE contains(et, 'text_agent') OR contains(et, 'turn')
+"""
+
+
+@register(
+    "p45_p47_envelope_routing",
+    oracle=_ENVELOPE_ORACLE,
+    tags=("transform", "dispatch", "envelope"),
+    doc="P5 envelope construction + P46 substring routing + P47 flatten, "
+    "end to end: a mixed synthetic stream is wrapped, split into the four "
+    "source branches, flattened, and aggregated per branch (reference "
+    "etl/transform/__init__.py:25-48, enhanced_kpi_consumer.py:103-112, "
+    "snowflake_loader.py:173-188).",
+)
+def p45_p47_envelope_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from iheardai_data_pipeline_spark.functions.common import (
+        deterministic_event_id,
+        envelope,
+    )
+    from iheardai_data_pipeline_spark.functions.dispatch import (
+        flatten_envelope,
+        route_by_event_type,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    et = (
+        F.when(eid % 3 == 0, F.lit("marketo_lead_update"))
+        .when(eid % 3 == 1, F.lit("frontend_interaction"))
+        .otherwise(F.lit("text_agent_turn_completed"))
+    )
+    env = envelope(
+        event_type=et,
+        source="synthetic",
+        data=F.struct(F.col("event_id"), F.col("user_id"), F.col("value")),
+        event_id=deterministic_event_id("event_id"),
+        ts_ms=F.col("event_id") * 1000,
+    )
+    enveloped = events.select(env.alias("ev")).select("ev.*")
+    branches = route_by_event_type(enveloped)
+    parts = [
+        flatten_envelope(branch).agg(
+            F.lit(name).alias("branch"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        for name, branch in branches.items()
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)

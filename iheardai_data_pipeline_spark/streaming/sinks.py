@@ -158,3 +158,24 @@ def run_to_memory(result: DataFrame, name: str, output_mode: str = "complete") -
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def kafka_message_frame(df: DataFrame, key_col: str, topic: str | None = None) -> DataFrame:
+    """K1: project a DataFrame into the Kafka sink contract — string
+    ``key`` (per-key partition ordering, the reference keys by lead id /
+    session_id) and ``value`` = JSON of the full row.
+
+    Reference: marketo_extractor.py:253-266, frontend_events_extractor.py
+    :231-251 (idempotent JSON producers, acks=all). Feed the result to
+    ``.write.format("kafka")`` / ``.writeStream.format("kafka")``;
+    exactly-once comes from checkpoint + the idempotent producer.
+    """
+    from pyspark.sql import functions as F
+
+    out = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
+    )
+    if topic is not None:
+        out = out.withColumn("topic", F.lit(topic))
+    return out
