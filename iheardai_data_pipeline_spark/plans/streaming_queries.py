@@ -77,3 +77,33 @@ def t4_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = session_windows(stream, gap="30 minutes")
     out = run_to_memory(result, f"t4_out_{uuid.uuid4().hex[:8]}")
     return out.orderBy("user_id", "started_at_s")
+
+
+_T5_ORACLE = """
+SELECT COUNT(*) AS n_unique, COUNT(DISTINCT user_id) AS n_users FROM events
+"""
+
+
+@register(
+    "t5_stream_watermark_dedup",
+    oracle=_T5_ORACLE,
+    tags=("streaming", "dedup"),
+    doc="T5: watermark-bounded event-id dedup as a streaming query — the "
+    "doubled input stream collapses back to exactly the original events "
+    "(reference enable_deduplication + seq guard, config/config.yaml:260, "
+    "enhanced_kpi_consumer.py:643-646). State is evicted past the "
+    "watermark, so dedup memory stays bounded at any scale.",
+)
+def t5_stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.streaming.windows import dedup_within_watermark
+
+    stream = read_events_stream(spark, sf_dir)
+    doubled = stream.unionByName(stream)
+    deduped = dedup_within_watermark(doubled, id_cols=("event_id",), watermark="1 hour")
+    # streaming forbids exact distinct aggregates: aggregate per user in
+    # the stream, finish the rollup on the batch side of the memory sink
+    per_user = deduped.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    out = run_to_memory(per_user, f"t5_out_{uuid.uuid4().hex[:8]}")
+    return out.agg(
+        F.sum("n").alias("n_unique"), F.count(F.lit(1)).alias("n_users")
+    )

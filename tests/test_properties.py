@@ -1,0 +1,104 @@
+"""Property-based invariants (SURVEY.md §5): PII redaction idempotence,
+score range bounds, upsert idempotence, sessionization conservation."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from iheardai_data_pipeline_spark.functions.common import redact_pii
+from iheardai_data_pipeline_spark.functions.frontend import engagement_score
+from iheardai_data_pipeline_spark.functions.text_agent import business_value_score
+from iheardai_data_pipeline_spark.operators.mutations import last_write_wins
+from iheardai_data_pipeline_spark.operators.sessionize import session_kpis
+from iheardai_data_pipeline_spark.operators.text import quality_score
+from iheardai_data_pipeline_spark.sources.batch import load_table
+
+_PII_BITS = st.sampled_from(
+    [
+        "contact me at jane.doe@example.com please",
+        "call 555-123-4567 or (555) 987-6543",
+        "card 4111 1111 1111 1111 ssn 123-45-6789",
+        "no pii here at all",
+        "x@y.io and 1-555-000-1111 mixed",
+        "",
+    ]
+)
+_NOISE = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="\x00"), max_size=40
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(_PII_BITS, _NOISE), min_size=1, max_size=24))
+def test_pii_redaction_idempotent(spark, rows):
+    df = spark.createDataFrame(
+        [(f"{n} {p}",) for p, n in rows], "t string"
+    ).select(
+        redact_pii(F.col("t")).alias("once"),
+    ).select(
+        "once", redact_pii(F.col("once")).alias("twice")
+    )
+    bad = df.filter(F.col("once") != F.col("twice")).count()
+    assert bad == 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["purchase", "click", "scroll", "weird", ""]),
+            st.integers(min_value=-10_000, max_value=10_000),
+            st.text(max_size=60),
+            st.integers(min_value=-500, max_value=5_000),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_scores_always_bounded(spark, rows):
+    df = spark.createDataFrame(
+        rows, "event_type string, top long, body string, tokens_out long"
+    ).select(
+        engagement_score(F.col("event_type"), F.col("top")).alias("engagement"),
+        business_value_score(F.col("body"), F.col("tokens_out")).alias("bvalue"),
+        quality_score(F.col("body")).alias("quality"),
+    )
+    out_of_range = df.filter(
+        (F.col("engagement") < 0) | (F.col("engagement") > 100)
+        | (F.col("bvalue") < 0) | (F.col("bvalue") > 100)
+        | (F.col("quality") < 0) | (F.col("quality") > 100)
+    ).count()
+    assert out_of_range == 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # key
+            st.integers(min_value=0, max_value=50),  # version
+            st.integers(min_value=0, max_value=999),  # payload
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_last_write_wins_idempotent(spark, rows):
+    df = spark.createDataFrame(rows, "k long, v long, payload long")
+    once = last_write_wins(df, key_cols=["k"], order_cols=["v", "payload"])
+    twice = last_write_wins(once, key_cols=["k"], order_cols=["v", "payload"])
+    # applying twice equals once, and applying to doubled input equals once
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    doubled = last_write_wins(df.union(df), key_cols=["k"], order_cols=["v", "payload"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, doubled.collect()))
+    # exactly one survivor per distinct key
+    assert once.count() == df.select("k").distinct().count()
+
+
+def test_sessionization_conserves_events(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    kpis = session_kpis(events)
+    total = events.count()
+    assert kpis.agg(F.sum("n_events")).first()[0] == total
