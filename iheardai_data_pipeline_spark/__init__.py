@@ -18,3 +18,20 @@ genuinely cannot express the semantics, and then always Arrow-vectorized.
 __version__ = "0.1.0"
 
 from iheardai_data_pipeline_spark.session import get_spark  # noqa: F401
+
+def list_queries() -> dict[str, str]:
+    """Name -> one-line description of every declared catalog query."""
+    from iheardai_data_pipeline_spark.plans.catalog import CATALOG, _ensure_loaded
+
+    _ensure_loaded()
+    return {name: spec.doc for name, spec in sorted(CATALOG.items())}
+
+
+def run_query(name: str, spark=None, sf_dir: str = "/root/testdata/sf0.01"):
+    """Execute a catalog query by name; returns its DataFrame."""
+    from iheardai_data_pipeline_spark.plans.catalog import CATALOG, _ensure_loaded
+
+    _ensure_loaded()
+    if spark is None:
+        spark = get_spark()
+    return CATALOG[name].fn(spark, sf_dir)

@@ -198,3 +198,88 @@ def ivf_topk(
         .limit(k)
         .select(id_col, F.round(F.col("sim"), 6).alias("sim"))
     )
+
+
+def _hyperplanes(n_bits: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from sha256(bit:dim) — no RNG state,
+    identical across runs/executors."""
+    import hashlib
+
+    planes = []
+    for b in range(n_bits):
+        row = []
+        for d in range(dim):
+            h = hashlib.sha256(f"{b}:{d}".encode()).digest()[0]
+            row.append(1.0 if h % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_lsh_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_bits: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Cosine-LSH near-dup pairs: random-hyperplane signatures, banded
+    candidate join, exact-cosine verification.
+
+    The scale path when no blocking key exists: sign(v . h_b) bits are
+    locality-sensitive for angle (P[bit match] = 1 - theta/pi), so banding
+    r-bit chunks finds high-cosine pairs via equi-joins — never an
+    all-pairs compare. Verification keeps only true pairs; recall at
+    cos>=t is 1-(1-p^r)^bands (tune bands upward for higher recall).
+    """
+    r = n_bits // bands
+    planes = _hyperplanes(n_bits, dim)
+    withnorm = embeddings.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
+    )
+    bits = [
+        (_dot(F.col(vec_col), vector_literal(planes[b])) >= 0).cast("int").alias(f"b{b}")
+        for b in range(n_bits)
+    ]
+    sig = withnorm.select(id_col, vec_col, "nrm", *bits)
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                sum(
+                    (F.col(f"b{i * r + j}") * (2**j) for j in range(r)),
+                    start=F.lit(0),
+                ).alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+    # candidate generation carries only ids — the distinct shuffles narrow
+    # rows; vectors re-attach afterwards via two joins on the small side
+    banded = sig.select(id_col, F.explode(band_keys).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    candidates = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = withnorm.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), F.col("nrm").alias("norm_a")
+    )
+    vb = withnorm.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), F.col("nrm").alias("norm_b")
+    )
+    sim = _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+        .orderBy("id_a", "id_b")
+    )

@@ -342,3 +342,18 @@ FROM documents
 def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.attach_fake_media(load_table(spark, sf_dir, "documents"))
     return multimodal.extract_media_features(media)
+
+
+@register(
+    "x_sim_hyperplane_lsh",
+    oracle=None,  # sketch recall is probabilistic (1-(1-p^r)^bands < 1)
+    tags=("extension", "similarity", "sketch"),
+    doc="Cosine-LSH near-dup pairs via random-hyperplane signatures: "
+    "banded equi-join candidates + exact-cosine verification — the "
+    "no-blocking-key scale path beside IVF (rows-only check; recall is "
+    "probabilistic, tested against the exact answer in unit tests).",
+)
+def x_sim_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.hyperplane_lsh_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, n_bits=16, bands=4
+    )
