@@ -123,7 +123,6 @@ def embedding_dup_pairs(
         .withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
         .select(block_col, "id_a", "id_b", F.round("sim", 6).alias("sim"))
-        .orderBy(block_col, "id_a", "id_b")
     )
 
 
@@ -281,5 +280,4 @@ def hyperplane_lsh_pairs(
         .withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
-        .orderBy("id_a", "id_b")
     )
