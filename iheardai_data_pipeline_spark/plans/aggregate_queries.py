@@ -479,3 +479,23 @@ def j5_nation_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --- A4 extension: approximate distinct for the dashboard path ---------------------
+
+
+@register(
+    "a4_dashboard_approx",
+    oracle=None,  # approximate by design (HLL sketch) — rows-only check
+    tags=("aggregate", "approximate", "extension"),
+    doc="A4 extension (SURVEY §2.5 note): the real-time dashboard's "
+    "COUNT(DISTINCT session) computed with approx_count_distinct — the "
+    "sketch the reference can't express but a 100 TB dashboard needs "
+    "(bounded memory, one pass, mergeable across executors).",
+)
+def a4_dashboard_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
