@@ -125,15 +125,26 @@ def ngram_jaccard_pairs(
     )
 
 
+def _minhash_from_set(sh_set, k: int):
+    """MinHash signature as ONE array<long> expression over a collected
+    shingle set: sig[i] = min over shingles of xxhash64(i, shingle).
+
+    Identical values to a k-column min-aggregate formulation, but the plan
+    stays k-independent in width — Catalyst analysis cost (which dominates
+    cold-query latency) doesn't scale with k."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(F.transform(sh_set, lambda s: F.xxhash64(i, s))),
+    )
+
+
 def minhash_signatures(
     shingles: DataFrame, id_col: str = "doc_id", k: int = 64
 ) -> DataFrame:
-    """k-permutation MinHash signature per doc: one aggregation computing
+    """k-permutation MinHash signature per doc: ``sig`` array<long> of
     min(xxhash64(seed_i, shingle)) for every i — constant per-doc state."""
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(k)
-    ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    sets = shingles.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
+    return sets.select(id_col, _minhash_from_set(F.col("sh_set"), k).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -158,18 +169,25 @@ def minhash_lsh_pairs(
     non-colliding documents.
     """
     r = k // bands
-    sh = word_shingles(docs, id_col, text_col, n).cache()
-    sig = minhash_signatures(sh, id_col, k)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)]).alias("sig"),
-            )
-            for b in range(bands)
-        ]
+    sh = word_shingles(docs, id_col, text_col, n)
+    # ONE aggregation produces both the verification shingle set and (as a
+    # derived array expression) the minhash signature — the old two-agg
+    # formulation shuffled the shingle relation twice.
+    profile = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
+    profile = profile.withColumn(
+        "sig", _minhash_from_set(F.col("sh_set"), k)
+    ).cache()
+    # band key = xxhash64 of the r-slice of the signature array (any
+    # injective-enough combiner works: candidates collide iff their r
+    # minhash values agree)
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)).alias("sig"),
+        ),
     )
-    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("bs")).select(
+    banded = profile.select(F.col(id_col), F.explode(band_structs).alias("bs")).select(
         id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
     left = banded.select(F.col(id_col).alias("doc_a"), "band", "sig")
@@ -181,10 +199,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact-Jaccard verification of candidates only: attach each side's
-    # collected shingle set (ONE extra shuffle) and intersect per pair —
-    # candidate count is ~#near-dups, so the per-pair array_intersect work
-    # is tiny, and no second shingle-level shuffle cascade is needed.
-    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
+    # collected shingle set and intersect per pair — candidate count is
+    # ~#near-dups, so the per-pair array_intersect work is tiny, and no
+    # second shingle-level shuffle cascade is needed.
+    sets = profile.select(id_col, "sh_set")
     return (
         candidates.join(
             sets.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("set_a")),
@@ -217,34 +235,31 @@ def simhash64(
     Computed as 64 conditional aggregates over one exploded pass — no
     Python, no per-row loops.
     """
-    words = (
+    # distinct word hashes per doc, computed set-wise: the per-bit ±1 sums
+    # and the final bit-pack are ONE nested array expression, not 64 wide
+    # aggregate columns — identical values, but Catalyst analysis stays
+    # O(1) in the sketch width (cold-plan latency dominated the old form).
+    hset = (
         ensure_parallelism(docs)
         .select(
-            F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
+            F.col(id_col),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
         )
         .distinct()
-        .withColumn("h", F.xxhash64("w"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.xxhash64("w")).alias("hs"))
     )
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(64)
-    ]
-    sums = words.groupBy(id_col).agg(*bit_sums)
-    sig = sums.select(
-        F.col(id_col),
-        sum(
-            (
-                F.when(
-                    F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-                ).otherwise(F.lit(0).cast("long"))
-                for b in range(64)
-            ),
-            start=F.lit(0).cast("long"),
-        ).alias("simhash"),
+    packed = F.expr(
+        """
+        aggregate(sequence(0, 63), cast(0 as bigint), (acc, b) ->
+          acc + if(
+            aggregate(hs, 0, (a, h) ->
+              a + if((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
+            shiftleft(cast(1 as bigint), b),
+            cast(0 as bigint)))
+        """
     )
-    return sig
+    return hset.select(F.col(id_col), packed.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -282,11 +297,22 @@ def simhash_near_pairs(
     right = banded.select(
         F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "chunk", "key"
     )
+    # A pair agreeing on several chunks would surface once per chunk; keep
+    # only the FIRST agreeing chunk (a bit test on the two sketches already
+    # in hand) — equivalent to distinct() but a filter instead of a second
+    # shuffle over the candidate stream.
+    xor = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    chunk_mask = (1 << width) - 1
+    first_chunk_only = F.lit(True)
+    for c in range(n_chunks - 1):
+        chunk_differs = (
+            F.shiftrightunsigned(xor, c * width).bitwiseAND(F.lit(chunk_mask)) != 0
+        )
+        first_chunk_only = first_chunk_only & ((F.col("chunk") <= c) | chunk_differs)
     pairs = (
         left.join(right, ["chunk", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .distinct()
+        .filter(first_chunk_only)
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")

@@ -241,7 +241,10 @@ def hyperplane_lsh_pairs(
         (_dot(F.col(vec_col), vector_literal(planes[b])) >= 0).cast("int").alias(f"b{b}")
         for b in range(n_bits)
     ]
-    sig = withnorm.select(id_col, vec_col, "nrm", *bits)
+    # the whole signature packs into one int; band keys are r-bit slices
+    sig = withnorm.select(id_col, *bits).withColumn(
+        "sigbits", sum((F.col(f"b{i}") * (2**i) for i in range(n_bits)), start=F.lit(0))
+    )
     band_keys = F.array(
         *[
             F.struct(
@@ -254,18 +257,33 @@ def hyperplane_lsh_pairs(
             for i in range(bands)
         ]
     )
-    # candidate generation carries only ids — the distinct shuffles narrow
-    # rows; vectors re-attach afterwards via two joins on the small side
-    banded = sig.select(id_col, F.explode(band_keys).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    banded = sig.select(id_col, "sigbits", F.explode(band_keys).alias("bk")).select(
+        id_col, "sigbits", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    left = banded.select(F.col(id_col).alias("id_a"), "band", "key")
-    right = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    # Candidates: codegen'd equi-self-join on (band, key). A pair colliding
+    # in several bands would surface once per band; instead of distinct()
+    # (a second shuffle over the candidate stream — the dominant
+    # intermediate at scale) each pair is kept only in its FIRST colliding
+    # band, a pure bit test on the two packed signatures already in hand.
+    mask = (1 << r) - 1
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sigbits").alias("bits_a"), "band", "key"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sigbits").alias("bits_b"), "band", "key"
+    )
+    # unrolled over bands-1 terms (not exists()): stays inside whole-stage
+    # codegen, no per-row sequence allocation
+    xor = F.col("bits_a").bitwiseXOR(F.col("bits_b"))
+    first_band_only = F.lit(True)
+    for bp in range(bands - 1):
+        chunk_differs = F.shiftright(xor, r * bp).bitwiseAND(F.lit(mask)) != 0
+        first_band_only = first_band_only & ((F.col("band") <= bp) | chunk_differs)
     candidates = (
         left.join(right, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(first_band_only)
         .select("id_a", "id_b")
-        .distinct()
     )
     va = withnorm.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), F.col("nrm").alias("norm_a")
