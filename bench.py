@@ -22,9 +22,12 @@ def main() -> None:
     _ensure_loaded()
     spark = get_spark(app_name="iheardai-bench")
 
-    # Warm the JVM + parquet footers once so per-query numbers measure the
-    # queries, not first-touch overhead.
+    # Warm the JVM + parquet footers + the Python worker pool once so
+    # per-query numbers measure the queries, not first-touch overhead.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    spark.range(spark.sparkContext.defaultParallelism).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, schema="id long").count()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(CATALOG.items()):
@@ -33,6 +36,9 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         del n
+        # queries are independent; don't let one query's cached
+        # intermediates raise GC pressure on the next
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -90,19 +90,26 @@ def ngram_jaccard_pairs(
     the all-pairs answer for any pair that shares at least one
     sub-cap shingle.
     """
-    sh = word_shingles(docs, id_col, text_col, n).cache()
+    # every downstream shuffle keys on the shingle: carry an 8-byte
+    # xxhash64 instead of the ~n-word string (equal results up to 64-bit
+    # hash collisions, ~1e-9 at millions of distinct shingles; the rare
+    # collision could only merge two shingle identities, nudging one
+    # jaccard by 1 count)
+    sh = word_shingles(docs, id_col, text_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("shingle_h")
+    ).cache()
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     rare = (
-        sh.groupBy("shingle")
+        sh.groupBy("shingle_h")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= max_doc_freq)
-        .select("shingle")
+        .select("shingle_h")
     )
-    sh_rare = sh.join(rare, "shingle")
-    a = sh_rare.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh_rare.select(F.col(id_col).alias("doc_b"), "shingle")
+    sh_rare = sh.join(rare, "shingle_h")
+    a = sh_rare.select(F.col(id_col).alias("doc_a"), "shingle_h")
+    b = sh_rare.select(F.col(id_col).alias("doc_b"), "shingle_h")
     shared = (
-        a.join(b, "shingle")
+        a.join(b, "shingle_h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
