@@ -6,6 +6,7 @@ operators produce the batch-equivalent answer.
 
 from __future__ import annotations
 
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -107,3 +108,47 @@ def t5_stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.agg(
         F.sum("n").alias("n_unique"), F.count(F.lit(1)).alias("n_users")
     )
+
+
+_T6_ORACLE = """
+SELECT user_id,
+    COUNT(*) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+    CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS started_at_s,
+    CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS last_seen_s,
+    MAX(event_id) AS max_event_id
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register(
+    "t6_stream_session_state",
+    oracle=_T6_ORACLE,
+    tags=("streaming", "stateful"),
+    doc="T6/K5: per-key session state via applyInPandasWithState — "
+    "Spark's keyed state store as the reference's Redis session hash "
+    "(seq high-water, counts, started/last-seen) with the state timeout "
+    "as the 1h TTL (enhanced_kpi_consumer.py:638-673, "
+    "config/config.yaml:146-151). The final snapshot per key equals the "
+    "batch per-user rollup.",
+)
+def t6_stream_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.mutations import last_write_wins
+    from iheardai_data_pipeline_spark.streaming.stateful import track_session_state
+
+    stream = read_events_stream(spark, sf_dir)
+    # ttl_ms=None: TTL timeouts would keep the bounded availableNow
+    # replay alive forever (see streaming/stateful.py docstring)
+    snapshots = track_session_state(stream, ttl_ms=None)
+    out = run_to_memory(
+        snapshots,
+        f"t6_out_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+        checkpoint_location=tempfile.mkdtemp(prefix="t6_ckpt_"),
+    )
+    # update mode appends one snapshot per (key, touching micro-batch);
+    # the session's final state is the one with the highest event count
+    final = last_write_wins(out, ["user_id"], ["n_events", "last_seen_s"])
+    return final.select(
+        "user_id", "n_events", "sum_value", "started_at_s", "last_seen_s", "max_event_id"
+    ).orderBy("user_id")

@@ -144,18 +144,31 @@ def session_state_foreach_batch(store: ParquetUpsertStore, seq_col: str = "seq")
     return apply
 
 
-def run_to_memory(result: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+def run_to_memory(
+    result: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    checkpoint_location: str | None = None,
+) -> DataFrame:
     """Execute a streaming aggregation to completion into an in-memory
     table and return it as a batch DataFrame (availableNow + memory sink
-    — the local test harness for T3/T4)."""
+    — the local test harness for T3/T4).
+
+    Pass ``checkpoint_location`` for stateful Python operators
+    (applyInPandasWithState): Spark's auto-created ``/tmp/temporary-*``
+    checkpoint has shown a state-dir creation race under many state
+    partitions; an explicitly created directory sidesteps it.
+    """
     spark = result.sparkSession
-    q = (
+    writer = (
         result.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_location:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    q = writer.start()
     q.awaitTermination()
     return spark.table(name)
 
