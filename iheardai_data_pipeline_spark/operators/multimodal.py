@@ -105,6 +105,67 @@ def extract_media_features(media: DataFrame, batch_decoder=None) -> DataFrame:
     return media.mapInPandas(op, schema=_FEATURE_SCHEMA)
 
 
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_start", T.LongType(), False),
+        T.StructField("frame_len", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for video-like payloads: each media row fans out to
+    ``n_frames`` evenly-spaced frames, one output row per frame, through
+    the same Arrow-batched ``mapInPandas`` shell as feature extraction.
+
+    STUB decode: a real deployment seeks keyframes with ffmpeg/pyav and
+    featurizes the decoded image; this container has no codecs, so the
+    "frame" is the i-th even slice of the payload (decoded as UTF-8 and
+    sliced by character so the DuckDB oracle can reproduce it — blob
+    slicing isn't ANSI) and its features are sha256-derived, exactly like
+    ``extract_media_features``. The operator shape — partition-parallel
+    fan-out, typed frame schema, per-batch vectorized kernel — is the
+    production shape.
+    """
+    from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism
+
+    media = ensure_parallelism(media)
+
+    def op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "kind": [],
+                "frame_idx": [],
+                "frame_start": [],
+                "frame_len": [],
+                "features": [],
+            }
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                text = bytes(content).decode("utf-8")
+                n = len(text)
+                for i in range(n_frames):
+                    a, b = (i * n) // n_frames, ((i + 1) * n) // n_frames
+                    digest = hashlib.sha256(text[a:b].encode("utf-8")).digest()
+                    out["media_id"].append(mid)
+                    out["kind"].append(kind)
+                    out["frame_idx"].append(i)
+                    out["frame_start"].append(a)
+                    out["frame_len"].append(b - a)
+                    out["features"].append([c / 255.0 for c in digest[:FEATURE_DIM]])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(op, schema=_FRAME_SCHEMA)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize operator — signature + plumbing only.
 

@@ -344,6 +344,87 @@ def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_media_features(media)
 
 
+_FRAMES_ORACLE = f"""
+WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+f AS (SELECT media_id, text, n, unnest(range(0, 4)) AS frame_idx FROM m)
+SELECT media_id, 'video' AS kind, CAST(frame_idx AS INT) AS frame_idx,
+    (frame_idx * n) // 4 AS frame_start,
+    ((frame_idx + 1) * n) // 4 - (frame_idx * n) // 4 AS frame_len,
+    list_transform(generate_series(1, {multimodal.FEATURE_DIM}),
+        i -> ('0x' || substr(sha256(substring(text, (frame_idx * n) // 4 + 1,
+                      ((frame_idx + 1) * n) // 4 - (frame_idx * n) // 4)),
+                      2*i - 1, 2))::INT / 255.0) AS features
+FROM f
+"""
+
+
+@register(
+    "x_media_frames",
+    oracle=_FRAMES_ORACLE,
+    tags=("extension", "multimodal"),
+    doc="Video frame sampling: each payload fans out to 4 evenly-spaced "
+    "frames through the mapInPandas decode shell, one typed row per "
+    "frame (deterministic sha256 stub kernel; full value oracle).",
+)
+def x_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.attach_fake_media(
+        load_table(spark, sf_dir, "documents"), kind="video"
+    )
+    return multimodal.sample_frames(media, n_frames=4)
+
+
+# --- as-of join ------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+SELECT p.event_id, p.user_id,
+    CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS purchase_ts_s,
+    round(p.value, 2) AS purchase_value,
+    c.event_id AS click_event_id,
+    CAST(FLOOR(epoch(c.ts)) AS BIGINT) AS click_ts_s
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+@register(
+    "x_asof_attribution",
+    oracle=_ASOF_ORACLE,
+    tags=("extension", "join"),
+    doc="As-of join (last-touch attribution): each purchase event joined "
+    "to the same user's most recent click at-or-before it. Union + "
+    "window composition — one keyed shuffle, no range join "
+    "(operators/asof.py); oracle = DuckDB ASOF LEFT JOIN.",
+)
+def x_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id"],
+        suffix="_click",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_seconds("ts").alias("purchase_ts_s"),
+        F.round("value", 2).alias("purchase_value"),
+        F.col("event_id_click").alias("click_event_id"),
+        F.unix_seconds("ts_click").alias("click_ts_s"),
+    )
+
+
 @register(
     "x_sim_hyperplane_lsh",
     oracle=None,  # sketch recall is probabilistic (1-(1-p^r)^bands < 1)
