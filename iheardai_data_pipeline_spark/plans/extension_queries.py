@@ -373,6 +373,53 @@ def x_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(media, n_frames=4)
 
 
+# --- interval / range join -------------------------------------------------------
+
+_RANGE_ORACLE = """
+SELECT e1.event_id AS error_event_id, e1.user_id,
+    e2.event_id AS other_event_id, e2.event_type AS other_type,
+    epoch_us(e2.ts) - epoch_us(e1.ts) AS dt_us
+FROM (SELECT * FROM events WHERE event_type = 'error') e1
+JOIN events e2 ON e1.user_id = e2.user_id
+    AND e2.ts >= e1.ts - INTERVAL 60 SECOND
+    AND e2.ts <= e1.ts + INTERVAL 60 SECOND
+    AND e2.event_id <> e1.event_id
+"""
+
+
+@register(
+    "x_range_cooccur",
+    oracle=_RANGE_ORACLE,
+    tags=("extension", "join"),
+    doc="Interval join (error co-occurrence): same-user events within "
+    "+/-60s of each error event. Time-bucketed equi-join + residual "
+    "filter (operators/rangejoin.py) — candidate volume bounded per "
+    "(key, bucket), never per-key quadratic.",
+)
+def x_range_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    others = ev.select("user_id", "ts", "event_id", "event_type")
+    joined = interval_join(
+        errors, others, on=["user_id"], left_ts="ts", right_ts="ts",
+        lower_s=-60.0, upper_s=60.0,
+    )
+    return (
+        joined.filter(F.col("event_id_r") != F.col("event_id"))
+        .select(
+            F.col("event_id").alias("error_event_id"),
+            "user_id",
+            F.col("event_id_r").alias("other_event_id"),
+            F.col("event_type_r").alias("other_type"),
+            (F.unix_micros("ts_r") - F.unix_micros("ts")).alias("dt_us"),
+        )
+    )
+
+
 # --- as-of join ------------------------------------------------------------------
 
 _ASOF_ORACLE = """
