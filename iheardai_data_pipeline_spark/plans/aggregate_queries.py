@@ -499,3 +499,93 @@ def a4_dashboard_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --- extensions: percentiles + hierarchical rollup ---------------------------------
+
+_PCTL_ORACLE = """
+SELECT event_type,
+    round(quantile_cont(value, 0.5), 4) AS p50,
+    round(quantile_cont(value, 0.95), 4) AS p95,
+    round(quantile_cont(value, 0.99), 4) AS p99,
+    COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "a_pctl_latency",
+    oracle=_PCTL_ORACLE,
+    tags=("aggregate", "extension"),
+    doc="Exact interpolated percentiles (p50/p95/p99 of value per event "
+    "type) — the latency-SLO shape the reference tracks operationally "
+    "(README.md:758-761) but can't compute in its Python loop. Spark's "
+    "percentile() interpolates identically to DuckDB quantile_cont.",
+)
+def a_pctl_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "a_pctl_approx",
+    oracle=None,  # t-digest style sketch: approximate by design, rows-only
+    tags=("aggregate", "approximate", "extension"),
+    doc="The 100 TB path for the same percentiles: approx_percentile "
+    "(mergeable sketch, bounded memory, one pass) — exact percentile() "
+    "needs the full value set per group; the sketch doesn't.",
+)
+def a_pctl_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)").alias(
+                "pctls"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT event_type,
+    strftime(ts, '%Y-%m-%d') AS day,
+    COUNT(*) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
+ORDER BY event_type NULLS FIRST, day NULLS FIRST
+"""
+
+
+@register(
+    "a_rollup_daily",
+    oracle=_ROLLUP_ORACLE,
+    tags=("aggregate", "extension"),
+    doc="Hierarchical ROLLUP (event_type, day) with subtotal and grand-"
+    "total rows — grouping-sets surface the reference lacks entirely "
+    "(SURVEY §2.5 note); one pass, partial-aggregation eligible.",
+)
+def a_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.rollup("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy(F.col("event_type").asc_nulls_first(), F.col("day").asc_nulls_first())
+    )
