@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from iheardai_data_pipeline_spark.operators.text import fingerprint_md5, normalize_text
-from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism
+from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism, eval_once
 
 
 def exact_duplicate_groups(
@@ -50,27 +50,36 @@ def exact_duplicate_groups(
     )
 
 
-def word_shingles(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
-) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+def shingle_array(text_col, n: int = 5):
+    """Row-local distinct word n-gram shingle set as ONE array expression.
 
-    transform over a 0..len-n index range, then explode + distinct —
-    all JVM-side; the distinct reuses the downstream shuffle key.
+    A document's shingle set is a function of that row alone, so it never
+    needs a shuffle: dedup within the set is ``array_distinct``, the set
+    size is ``size()``, and the MinHash signature derives from the array
+    in-line. Every operator below builds on this so the (big) shingle
+    relation is only ever shuffled when pair generation truly requires it.
     """
-    words = F.split(normalize_text(F.col(text_col)), " ")
+    words = F.split(normalize_text(text_col), " ")
     # docs shorter than n words yield no shingles (sequence(0,-1) would
     # descend and feed slice() an illegal start-0)
     idx = F.when(
         F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
     ).otherwise(F.array().cast("array<int>"))
-    shingle_arr = F.transform(
-        idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
     )
-    return (
-        ensure_parallelism(docs)
-        .select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
-        .distinct()
+
+
+def word_shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Distinctness is per document, so it's resolved row-locally
+    (``array_distinct`` before the explode) — no shuffle at all.
+    """
+    return ensure_parallelism(docs).select(
+        F.col(id_col), F.explode(shingle_array(F.col(text_col), n)).alias("shingle")
     )
 
 
@@ -89,36 +98,67 @@ def ngram_jaccard_pairs(
     exactly from shared/distinct shingle counts, so the result equals
     the all-pairs answer for any pair that shares at least one
     sub-cap shingle.
+
+    Shape (3 shuffles, all on 8-byte hashed keys): the per-doc shingle
+    set and its size are row-local (``shingle_array``), so the exploded
+    posting list carries (doc, set_size, shingle_hash) with no prior
+    shuffle. Pass 1 counts document frequency per shingle (map-side
+    partial agg — skew-safe even for boilerplate shingles). Pass 2
+    re-keys postings on the shingle to keep only sub-cap groups; the
+    posting list per surviving shingle is bounded by ``max_doc_freq``,
+    so the in-line pair expansion (the inverted-index step) is capped at
+    df*(df-1)/2 per shingle. Pass 3 sums shared counts per pair. Set
+    sizes ride along the postings, so no count-table join is needed.
     """
-    # every downstream shuffle keys on the shingle: carry an 8-byte
-    # xxhash64 instead of the ~n-word string (equal results up to 64-bit
-    # hash collisions, ~1e-9 at millions of distinct shingles; the rare
-    # collision could only merge two shingle identities, nudging one
-    # jaccard by 1 count)
-    sh = word_shingles(docs, id_col, text_col, n).select(
-        F.col(id_col), F.xxhash64("shingle").alias("shingle_h")
-    ).cache()
-    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    # shuffles key on an 8-byte xxhash64 instead of the ~n-word string
+    # (equal results up to 64-bit hash collisions, ~1e-9 at millions of
+    # distinct shingles; the rare collision could only merge two shingle
+    # identities, nudging one jaccard by 1 count)
+    postings = (
+        eval_once(
+            ensure_parallelism(docs),
+            shs=F.transform(
+                shingle_array(F.col(text_col), n), lambda s: F.xxhash64(s)
+            ),
+        )
+        .select(
+            F.col(id_col).alias("d"),
+            F.size("shs").alias("n"),
+            F.explode("shs").alias("shingle_h"),
+        )
+        # (d, n, shingle_h) longs only — compact; reused by the df pass
+        # and the re-key pass
+        .cache()
+    )
     rare = (
-        sh.groupBy("shingle_h")
+        postings.groupBy("shingle_h")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_doc_freq)
+        # df=1 shingles can't produce a pair; dropping them here keeps the
+        # re-keyed posting relation to shingles that actually block
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_doc_freq))
         .select("shingle_h")
     )
-    sh_rare = sh.join(rare, "shingle_h")
-    a = sh_rare.select(F.col(id_col).alias("doc_a"), "shingle_h")
-    b = sh_rare.select(F.col(id_col).alias("doc_b"), "shingle_h")
-    shared = (
-        a.join(b, "shingle_h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+    # join + groupBy share the shingle_h partitioning: one exchange
+    grouped = (
+        postings.join(rare, "shingle_h")
+        .groupBy("shingle_h")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "n"))).alias("ds"))
     )
-    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(sequence(0, size(ds) - 2), i ->
+                  transform(sequence(i + 1, size(ds) - 1), j ->
+                    struct(ds[i].d AS doc_a, ds[i].n AS n_a,
+                           ds[j].d AS doc_b, ds[j].n AS n_b))))
+                """
+            )
+        ).alias("p")
+    ).select("p.*")
     return (
-        shared.join(ca, "doc_a")
-        .join(cb, "doc_b")
+        pairs.groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
         .withColumn(
             "jaccard",
             F.round(
@@ -146,12 +186,21 @@ def _minhash_from_set(sh_set, k: int):
 
 
 def minhash_signatures(
-    shingles: DataFrame, id_col: str = "doc_id", k: int = 64
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    k: int = 64,
 ) -> DataFrame:
     """k-permutation MinHash signature per doc: ``sig`` array<long> of
-    min(xxhash64(seed_i, shingle)) for every i — constant per-doc state."""
-    sets = shingles.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
-    return sets.select(id_col, _minhash_from_set(F.col("sh_set"), k).alias("sig"))
+    min(xxhash64(seed_i, shingle)) for every i — constant per-doc state,
+    computed entirely row-locally (shingle set -> signature is one narrow
+    projection; no shuffle)."""
+    return (
+        eval_once(ensure_parallelism(docs), sh_set=shingle_array(F.col(text_col), n))
+        .filter(F.size("sh_set") > 0)
+        .select(id_col, _minhash_from_set(F.col("sh_set"), k).alias("sig"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -176,14 +225,19 @@ def minhash_lsh_pairs(
     non-colliding documents.
     """
     r = k // bands
-    sh = word_shingles(docs, id_col, text_col, n)
-    # ONE aggregation produces both the verification shingle set and (as a
-    # derived array expression) the minhash signature — the old two-agg
-    # formulation shuffled the shingle relation twice.
-    profile = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
-    profile = profile.withColumn(
-        "sig", _minhash_from_set(F.col("sh_set"), k)
-    ).cache()
+    # profile (shingle set + signature) is a NARROW projection of the doc
+    # scan — shingle sets are row-local (shingle_array, behind an
+    # eval_once barrier so the k-reference signature expression reads the
+    # materialized array instead of re-shingling per reference), so
+    # nothing shuffles until banded candidates meet; cached because
+    # banding and both verification sides reuse it.
+    profile = (
+        eval_once(ensure_parallelism(docs), sh_set=shingle_array(F.col(text_col), n))
+        .filter(F.size("sh_set") > 0)
+        .select(F.col(id_col), "sh_set")
+        .withColumn("sig", _minhash_from_set(F.col("sh_set"), k))
+        .cache()
+    )
     # band key = xxhash64 of the r-slice of the signature array (any
     # injective-enough combiner works: candidates collide iff their r
     # minhash values agree)
@@ -239,23 +293,20 @@ def simhash64(
     """64-bit SimHash per document from distinct word hashes.
 
     bit_b(doc) = 1 iff sum over words of (word-hash bit b ? +1 : -1) > 0.
-    Computed as 64 conditional aggregates over one exploded pass — no
-    Python, no per-row loops.
+    The distinct word-hash set, the per-bit ±1 sums, and the final
+    bit-pack are ONE nested array expression per row — no shuffle at all
+    (the old explode/distinct/collect_list form shuffled the word
+    relation twice), and Catalyst analysis stays O(1) in sketch width.
     """
-    # distinct word hashes per doc, computed set-wise: the per-bit ±1 sums
-    # and the final bit-pack are ONE nested array expression, not 64 wide
-    # aggregate columns — identical values, but Catalyst analysis stays
-    # O(1) in the sketch width (cold-plan latency dominated the old form).
-    hset = (
-        ensure_parallelism(docs)
-        .select(
-            F.col(id_col),
-            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
-        )
-        .distinct()
-        .groupBy(id_col)
-        .agg(F.collect_list(F.xxhash64("w")).alias("hs"))
-    )
+    hset = eval_once(
+        ensure_parallelism(docs).filter(F.col(text_col).isNotNull()),
+        hs=F.array_distinct(
+            F.transform(
+                F.split(normalize_text(F.col(text_col)), " "),
+                lambda w: F.xxhash64(w),
+            )
+        ),
+    ).select(F.col(id_col), "hs")
     packed = F.expr(
         """
         aggregate(sequence(0, 63), cast(0 as bigint), (acc, b) ->

@@ -59,6 +59,25 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in use}
 
 
+def eval_once(df: DataFrame, **named_exprs) -> DataFrame:
+    """Append expensive column expressions behind a Generate barrier so each
+    is evaluated exactly ONCE per row.
+
+    Catalyst's CollapseProject inlines a projected alias into every
+    downstream reference; when the alias is referenced from inside a
+    higher-order-function lambda (e.g. a MinHash signature reading its
+    shingle-set column k times), the whole construction re-executes per
+    reference — observed 30x slowdowns. ``inline(array(struct(...)))`` is
+    a generator, which projection collapse cannot cross, so downstream
+    operators see plain attributes. Row-local, deterministic, no shuffle,
+    no caching.
+    """
+    gen = F.inline(
+        F.array(F.struct(*[e.alias(k) for k, e in named_exprs.items()]))
+    )
+    return df.select("*", gen)
+
+
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Fan a narrow scan out to cluster parallelism before per-row-heavy
     operators (shingling, sketching, Pandas-UDF decode).
