@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from iheardai_data_pipeline_spark.sources.batch import eval_once
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -237,12 +239,18 @@ def hyperplane_lsh_pairs(
     withnorm = embeddings.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
     )
-    bits = [
-        (_dot(F.col(vec_col), vector_literal(planes[b])) >= 0).cast("int").alias(f"b{b}")
-        for b in range(n_bits)
-    ]
+    # each sign bit is a dim-wide dot-product fold referenced by BOTH the
+    # packed signature and its band key: project the bits through an
+    # eval_once barrier so every fold runs once per row, not per reference
+    sig = eval_once(
+        embeddings.select(F.col(id_col), F.col(vec_col)),
+        **{
+            f"b{b}": (_dot(F.col(vec_col), vector_literal(planes[b])) >= 0).cast("int")
+            for b in range(n_bits)
+        },
+    ).drop(vec_col)
     # the whole signature packs into one int; band keys are r-bit slices
-    sig = withnorm.select(id_col, *bits).withColumn(
+    sig = sig.withColumn(
         "sigbits", sum((F.col(f"b{i}") * (2**i) for i in range(n_bits)), start=F.lit(0))
     )
     band_keys = F.array(
