@@ -95,3 +95,50 @@ def quality_score(text: Column | str) -> Column:
     mwl = mean_word_len(t)
     mwl_score = F.when((mwl >= 3) & (mwl <= 12), 20).otherwise(0)
     return (length_score + sw_score + pr_score + mwl_score).cast("int")
+
+def tfidf_top_terms(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+):
+    """Top-k characteristic terms per document by tf-idf.
+
+    tfidf(d, t) = tf(d, t) * ln(N / df(t)); ties broken by term asc so
+    the result is fully deterministic.
+
+    Shape: tokenize narrow (duplicates kept — term frequency needs the
+    multiset), then two keyed aggregations that both feed partial
+    map-side combine — groupBy (doc, term) for tf, groupBy term for df —
+    a broadcast-or-sortmerge join on term, and a per-doc top-k window.
+    N is one scalar count action; everything else never leaves the
+    executors. At 100 TB the (doc, term) shuffle dominates; it carries
+    (id, 8-byte-hashable term, int) rows only.
+    """
+    from pyspark.sql import Window
+
+    from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism
+
+    n_docs = docs.count()
+    tokens = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    )
+    tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf"),
+            F.col("df"),
+            F.round("tfidf", 4).alias("tfidf"),
+            F.col("rnk"),
+        )
+    )

@@ -485,3 +485,126 @@ def x_sim_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hyperplane_lsh_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4, n_bits=16, bands=4
     )
+
+
+# --- duplicate groups: connected components over the near-dup pair graph ---------
+
+# Transitive closure of the exact n-gram Jaccard pairs (same CTEs as the
+# pair oracle), via a recursive CTE; Spark side iterates min-label
+# propagation to the same fixpoint.
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN counts ca ON shared.doc_a = ca.doc_id
+  JOIN counts cb ON shared.doc_b = cb.doc_id
+  WHERE round(s * 1.0 / (ca.n + cb.n - s), 4) >= 0.7
+),
+edges AS (
+  SELECT doc_a AS node, doc_b AS nbr FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+cc AS (
+  SELECT node, node AS label FROM (SELECT DISTINCT node FROM edges) t
+  UNION
+  SELECT e.nbr, cc.label FROM cc JOIN edges e ON cc.node = e.node
+),
+comp AS (SELECT node, min(label) AS component FROM cc GROUP BY node)
+SELECT d.doc_id,
+       coalesce(comp.component, d.doc_id) AS component,
+       (d.doc_id = coalesce(comp.component, d.doc_id)) AS is_keeper
+FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+"""
+
+
+@register(
+    "x_dedup_components",
+    oracle=_COMPONENTS_ORACLE,
+    tags=("extension", "dedup", "graph"),
+    doc="Duplicate GROUPS from near-dup pairs: connected components "
+    "(iterative min-label propagation; oracle = recursive CTE closure). "
+    "Pairs alone can chain A~B~C without A~C — group identity needs the "
+    "transitive closure, the step that actually dedups a corpus.",
+)
+def x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.graph import duplicate_groups_from_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=5, threshold=0.7, max_doc_freq=100)
+    return duplicate_groups_from_pairs(docs, pairs)
+
+
+# --- tf-idf top terms ------------------------------------------------------------
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         tf * ln((SELECT count(*) FROM documents) * 1.0 / df) AS tfidf
+  FROM tf JOIN dfreq USING (term)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, round(tfidf, 4) AS tfidf, rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@register(
+    "x_text_tfidf",
+    oracle=_TFIDF_ORACLE,
+    tags=("extension", "text"),
+    doc="Top-5 characteristic terms per document by tf-idf "
+    "(tf * ln(N/df), deterministic term-asc tiebreak): two partial-agg "
+    "shuffles + a term join + a per-doc top-k window.",
+)
+def x_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tfidf_top_terms(
+        load_table(spark, sf_dir, "documents"), k=5
+    ).withColumn("rnk", F.col("rnk").cast("long"))
+
+
+# --- deterministic sampling / sharding -------------------------------------------
+
+_SAMPLE_SHARD_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket % 8 AS shard FROM b WHERE bucket % 100 < 10
+"""
+
+
+@register(
+    "x_sample_shard",
+    oracle=_SAMPLE_SHARD_ORACLE,
+    tags=("extension", "sampling"),
+    doc="Deterministic 10% sample + 8-way shard assignment keyed on "
+    "md5(doc_id): reproducible on any engine/run (md5 is portable, "
+    "unlike xxhash), nested-sample stable, and a pure narrow filter — "
+    "no shuffle, no RNG state, evaluated at scan speed.",
+)
+def x_sample_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.sampling import (
+        assign_shards,
+        deterministic_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return assign_shards(deterministic_sample(docs, "doc_id", 10, 100), "doc_id", 8).select(
+        "doc_id", "shard"
+    )

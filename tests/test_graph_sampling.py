@@ -1,0 +1,62 @@
+"""Connected-components and deterministic-sampling operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iheardai_data_pipeline_spark.operators.graph import (
+    connected_components,
+    duplicate_groups_from_pairs,
+)
+from iheardai_data_pipeline_spark.operators.sampling import (
+    assign_shards,
+    deterministic_sample,
+)
+
+
+def test_components_chain_merges_transitively(spark):
+    # 1-2, 2-3, 3-4 chain + isolated pair 10-11: closure must merge the
+    # chain even though 1 and 4 never share an edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_components_edge_order_invariant(spark):
+    e1 = spark.createDataFrame([(5, 3), (3, 9), (9, 1)], "src long, dst long")
+    e2 = spark.createDataFrame([(9, 1), (5, 3), (3, 9)], "src long, dst long")
+    c1 = sorted(map(tuple, connected_components(e1).collect()))
+    c2 = sorted(map(tuple, connected_components(e2).collect()))
+    assert c1 == c2 == [(1, 1), (3, 1), (5, 1), (9, 1)]
+
+
+def test_duplicate_groups_include_singletons(spark):
+    docs = spark.createDataFrame([(1,), (2,), (3,), (4,)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 3)], "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: (r["component"], r["is_keeper"])
+        for r in duplicate_groups_from_pairs(docs, pairs).collect()
+    }
+    assert got == {1: (1, True), 2: (2, True), 3: (1, False), 4: (4, True)}
+
+
+def test_sample_is_nested_and_stable(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s10 = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 10).collect()}
+    s10_again = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 10).collect()}
+    s20 = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 20).collect()}
+    assert s10 == s10_again  # reproducible
+    assert s10 <= s20  # enlarging the rate keeps prior rows
+    assert 0.05 < len(s10) / 2000 < 0.15  # near the nominal rate
+
+
+def test_shards_cover_range_and_are_stable(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    shards = assign_shards(df, "doc_id", 8)
+    got = shards.groupBy("shard").count().collect()
+    assert {r["shard"] for r in got} == set(range(8))
+    first = {r["doc_id"]: r["shard"] for r in shards.collect()}
+    second = {r["doc_id"]: r["shard"] for r in assign_shards(df, "doc_id", 8).collect()}
+    assert first == second
