@@ -10,17 +10,25 @@ with itself; each round a node takes the min of its own label and its
 neighbors' labels; at fixpoint label(n) = min node id in n's component.
 
 Scale posture (100 TB):
-- per round: ONE equi-join keyed on the neighbor id + ONE groupBy min —
-  both partial-aggregation-eligible, skew bounded by max degree;
-- rounds = graph diameter. Near-dup graphs are unions of near-cliques
-  (similarity is ~transitive), so diameter is tiny (2-4) regardless of
-  corpus size — the driver loop does not grow with data volume;
-- ``localCheckpoint`` truncates lineage each round, keeping the plan
-  O(1) instead of O(rounds) (iterative self-joins otherwise stack into
-  an exponentially analyzed tree);
-- convergence = the per-round sum of labels (a single scalar agg):
-  labels only ever decrease, so an unchanged sum IS the fixpoint — no
-  row-level diff join needed.
+- the edge relation is the *pair output of a near-dup stage*, i.e.
+  ~(dup_rate x corpus) rows — orders of magnitude smaller than the
+  corpus. When it fits in driver memory (threshold-guarded, like
+  Spark's own broadcast-join threshold) an exact union-find on the
+  driver is optimal: zero shuffles, zero iterations. The result is
+  identical (min node id per component) and deterministic.
+- above the threshold, iterative min-label propagation, distributed:
+  - per round: ONE equi-join keyed on the neighbor id + ONE groupBy
+    min — both partial-aggregation-eligible, skew bounded by max
+    degree;
+  - rounds = graph diameter. Near-dup graphs are unions of
+    near-cliques (similarity is ~transitive), so diameter is tiny
+    (2-4) regardless of corpus size — the driver loop does not grow
+    with data volume;
+  - ``localCheckpoint`` truncates lineage each round, keeping the
+    plan O(1) instead of O(rounds);
+  - convergence = the per-round sum of labels (a single scalar agg):
+    labels only ever decrease, so an unchanged sum IS the fixpoint —
+    no row-level diff join needed.
 
 Reference scope note: the reference has no graph operator (SURVEY §2 —
 its dedup is key-equality upsert only, enhanced_kpi_consumer.py:395-434);
@@ -31,6 +39,43 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+LOCAL_EDGE_THRESHOLD = 2_000_000
+
+
+def _local_components(edge_rows, spark, node_type) -> DataFrame:
+    """Union-find over a driver-resident edge list; component = min
+    node id, matching the distributed fixpoint exactly."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # keep the smaller id as root so root == min of component
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    schema = T.StructType(
+        [
+            T.StructField("node", node_type, False),
+            T.StructField("label", node_type, False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def connected_components(
@@ -38,15 +83,30 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    local_edge_threshold: int = LOCAL_EDGE_THRESHOLD,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min
-    reachable node id. Deterministic for any edge order."""
+    reachable node id. Deterministic for any edge order.
+
+    Adaptive physical strategy: pair graphs from near-dup stages are
+    tiny relative to the corpus, so when the (deduplicated, symmetric)
+    edge count is under ``local_edge_threshold`` the transitive closure
+    runs as an exact union-find on the driver — the graph analog of a
+    broadcast join. Larger graphs use distributed min-label
+    propagation; both paths produce identical output.
+    """
     sym = (
         edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
         .unionByName(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
         .distinct()
         .cache()
     )
+    n_edges = sym.count()
+    if n_edges <= local_edge_threshold:
+        rows = [(r[0], r[1]) for r in sym.collect()]
+        sym.unpersist()
+        out = _local_components(rows, edges.sparkSession, edges.schema[src].dataType)
+        return out.withColumnRenamed("label", "component")
     labels = sym.select("node").distinct().withColumn("label", F.col("node"))
     prev_sum = None
     for _ in range(max_iter):

@@ -32,6 +32,19 @@ def test_components_edge_order_invariant(spark):
     assert c1 == c2 == [(1, 1), (3, 1), (5, 1), (9, 1)]
 
 
+def test_components_local_and_distributed_paths_agree(spark):
+    # chain + clique + isolated pair; threshold=0 forces the distributed
+    # min-label loop, default takes the driver union-find — same answer
+    raw = [(1, 2), (2, 3), (3, 4), (7, 8), (8, 9), (7, 9), (20, 21)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    local = sorted(map(tuple, connected_components(edges).collect()))
+    dist = sorted(
+        map(tuple, connected_components(edges, local_edge_threshold=0).collect())
+    )
+    assert local == dist
+    assert dict(local)[4] == 1 and dict(local)[9] == 7
+
+
 def test_duplicate_groups_include_singletons(spark):
     docs = spark.createDataFrame([(1,), (2,), (3,), (4,)], "doc_id long")
     pairs = spark.createDataFrame([(1, 3)], "doc_a long, doc_b long")
