@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from iheardai_data_pipeline_spark.sources.batch import eval_once
+from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism, eval_once
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -239,33 +239,63 @@ def hyperplane_lsh_pairs(
     withnorm = embeddings.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
     )
-    # each sign bit is a dim-wide dot-product fold referenced by BOTH the
-    # packed signature and its band key: project the bits through an
-    # eval_once barrier so every fold runs once per row, not per reference
+    # ALL n_bits sign dots in ONE fold over the vector: the accumulator is
+    # an n_bits-wide array, and each element folds x * sign(b, d) using a
+    # dim-major sign-constant matrix. One pass per row and one constant
+    # node, vs n_bits separate 64-wide aggregate()s each dragging its own
+    # literal array through analysis/codegen (the old shape spent seconds
+    # of fixed planner time before any data moved).
+    # one SQL-parsed literal, not dim*n_bits F.lit() py4j calls (those
+    # alone cost ~2.5s of driver time at 64x16)
+    signs_by_dim = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{planes[b][d]}D" for b in range(n_bits)) + ")"
+            for d in range(dim)
+        )
+        + ")"
+    )
+    indexed = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.struct(x.cast("double").alias("x"), i.alias("i")),
+    )
+    sig_arr = F.aggregate(
+        indexed,
+        F.array_repeat(F.lit(0.0), n_bits),
+        lambda acc, v: F.zip_with(
+            acc,
+            F.element_at(signs_by_dim, v["i"] + 1),
+            lambda a, s: a + v["x"] * s,
+        ),
+    )
+    # the fold is referenced by the packed signature AND every band key:
+    # project it through an eval-once barrier so it runs once per row.
+    # ensure_parallelism fans a single-split scan out first — the fold is
+    # the per-row-heavy step, and the self-join below evaluates it twice.
     sig = eval_once(
-        embeddings.select(F.col(id_col), F.col(vec_col)),
-        **{
-            f"b{b}": (_dot(F.col(vec_col), vector_literal(planes[b])) >= 0).cast("int")
-            for b in range(n_bits)
-        },
+        ensure_parallelism(embeddings.select(F.col(id_col), F.col(vec_col))),
+        sig=sig_arr,
     ).drop(vec_col)
-    # the whole signature packs into one int; band keys are r-bit slices
-    sig = sig.withColumn(
-        "sigbits", sum((F.col(f"b{i}") * (2**i) for i in range(n_bits)), start=F.lit(0))
+    # the whole signature packs into one int; band keys are r-bit slices.
+    # Built as parsed SQL strings: one py4j round trip each instead of
+    # ~5 per bit (driver build time is real bench time).
+    mask_r = (1 << r) - 1
+    sigbits_sql = " + ".join(
+        f"shiftleft(cast(element_at(sig, {i + 1}) >= 0 as long), {i})"
+        for i in range(n_bits)
     )
-    band_keys = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                sum(
-                    (F.col(f"b{i * r + j}") * (2**j) for j in range(r)),
-                    start=F.lit(0),
-                ).alias("key"),
-            )
+    band_keys_sql = (
+        "array("
+        + ",".join(
+            f"struct({i} as band, shiftright(sigbits, {r * i}) & {mask_r}L as key)"
             for i in range(bands)
-        ]
+        )
+        + ")"
     )
-    banded = sig.select(id_col, "sigbits", F.explode(band_keys).alias("bk")).select(
+    sig = sig.withColumn("sigbits", F.expr(sigbits_sql))
+    banded = sig.select(
+        id_col, "sigbits", F.explode(F.expr(band_keys_sql)).alias("bk")
+    ).select(
         id_col, "sigbits", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     # Candidates: codegen'd equi-self-join on (band, key). A pair colliding
@@ -282,11 +312,16 @@ def hyperplane_lsh_pairs(
     )
     # unrolled over bands-1 terms (not exists()): stays inside whole-stage
     # codegen, no per-row sequence allocation
-    xor = F.col("bits_a").bitwiseXOR(F.col("bits_b"))
-    first_band_only = F.lit(True)
-    for bp in range(bands - 1):
-        chunk_differs = F.shiftright(xor, r * bp).bitwiseAND(F.lit(mask)) != 0
-        first_band_only = first_band_only & ((F.col("band") <= bp) | chunk_differs)
+    first_band_only = (
+        F.expr(
+            " AND ".join(
+                f"(band <= {bp} OR (shiftright(bits_a ^ bits_b, {r * bp}) & {mask}L) != 0)"
+                for bp in range(bands - 1)
+            )
+        )
+        if bands > 1
+        else F.lit(True)
+    )
     candidates = (
         left.join(right, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -145,6 +145,9 @@ def t6_stream_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"t6_out_{uuid.uuid4().hex[:8]}",
         output_mode="update",
         checkpoint_location=tempfile.mkdtemp(prefix="t6_ckpt_"),
+        # per-key pandas batches run in Python workers: state I/O is not
+        # the bottleneck here, worker parallelism is — keep session width
+        state_partitions=None,
     )
     # update mode appends one snapshot per (key, touching micro-batch);
     # the session's final state is the one with the highest event count

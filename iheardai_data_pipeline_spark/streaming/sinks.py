@@ -149,10 +149,20 @@ def run_to_memory(
     name: str,
     output_mode: str = "complete",
     checkpoint_location: str | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Execute a streaming aggregation to completion into an in-memory
     table and return it as a batch DataFrame (availableNow + memory sink
     — the local test harness for T3/T4).
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    query's lifetime: every stateful operator materializes one state
+    store (checkpoint dir + per-batch delta file) PER shuffle partition,
+    so a bounded local replay with 32 partitions pays 32x the state I/O
+    for the same answer. 8 is the local-harness default; pass None to
+    inherit the session value (what a production deployment would do —
+    state partitioning is fixed at first checkpoint, so size it for peak
+    key cardinality there).
 
     Pass ``checkpoint_location`` for stateful Python operators
     (applyInPandasWithState): Spark's auto-created ``/tmp/temporary-*``
@@ -168,8 +178,15 @@ def run_to_memory(
     )
     if checkpoint_location:
         writer = writer.option("checkpointLocation", checkpoint_location)
-    q = writer.start()
-    q.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = writer.start()
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
