@@ -228,3 +228,91 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# --- Q4 shape: EXISTS semi-join ----------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "q4_order_priority",
+    oracle=_Q4_ORACLE,
+    tags=("benchmark", "join", "semijoin"),
+    doc="Q4 shape: EXISTS decorrelated to a LEFT SEMI join (reference "
+    "analog: the validation split's implicit anti-join inverted, SURVEY "
+    "§2.6) — orders with at least one line shipped >90 days after the "
+    "order date, counted by priority. The semi-join keeps the build side "
+    "duplicate-free without a distinct, and the date filter prunes the "
+    "probe scan.",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- salted skew join --------------------------------------------------------------
+
+_SALTED_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "x_skew_salted_join",
+    oracle=_SALTED_ORACLE,
+    tags=("benchmark", "join", "skew"),
+    doc="Skew-tolerant fact join: lineitem->orders through salted_join "
+    "(key spread over 8 reducers via a non-key salt; small side "
+    "replicated 8x). Row-identical to the plain equi-join — the oracle "
+    "IS the plain join — while bounding any hot key's reducer share at "
+    "1/n_salts. The plan-level answer to skew where AQE's runtime "
+    "split cannot apply (operators/skewjoin.py).",
+)
+def x_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.skewjoin import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, orders, on="l_orderkey", salt_on="l_linenumber", n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
