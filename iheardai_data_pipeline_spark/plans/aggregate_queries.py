@@ -589,3 +589,95 @@ def a_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("event_type").asc_nulls_first(), F.col("day").asc_nulls_first())
     )
+
+
+# --- ranking windows: rank / dense_rank / ntile ------------------------------------
+
+_RANKING_ORACLE = """
+WITH ranked AS (
+    SELECT c_custkey, o_orderkey, o_totalprice,
+        RANK() OVER w AS price_rank,
+        DENSE_RANK() OVER w AS price_dense_rank,
+        NTILE(4) OVER w AS spend_quartile
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WINDOW w AS (PARTITION BY c_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+)
+SELECT c_custkey, o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice,
+       price_rank, price_dense_rank, spend_quartile
+FROM ranked WHERE price_rank <= 3
+"""
+
+
+@register(
+    "w_ranking_top_orders",
+    oracle=_RANKING_ORACLE,
+    tags=("window", "ranking", "topk"),
+    doc="Ranking-window family the reference never uses but the engine "
+    "exposes (SURVEY §2.7 note): rank / dense_rank / ntile(4) per "
+    "customer over order value, keeping each customer's top 3. "
+    "Partition-local top-k: one shuffle on the window key, rank filter "
+    "applied before anything wide. Deterministic via the full "
+    "(price DESC, orderkey ASC) ordering.",
+)
+def w_ranking_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(12,2)").cast("double").alias("totalprice"),
+            F.rank().over(w).alias("price_rank"),
+            F.dense_rank().over(w).alias("price_dense_rank"),
+            F.ntile(4).over(w).alias("spend_quartile"),
+        )
+        .filter(F.col("price_rank") <= 3)
+    )
+
+
+# --- pivot: event_type x weekday matrix --------------------------------------------
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = """
+SELECT CAST(dayofweek(ts) + 1 AS INT) AS weekday,  -- DuckDB 0=Sun, Spark 1=Sun
+    COUNT(*) FILTER (event_type = 'click') AS click_n,
+    COUNT(*) FILTER (event_type = 'error') AS error_n,
+    COUNT(*) FILTER (event_type = 'purchase') AS purchase_n,
+    COUNT(*) FILTER (event_type = 'signup') AS signup_n,
+    COUNT(*) FILTER (event_type = 'view') AS view_n
+FROM events GROUP BY 1
+"""
+
+
+@register(
+    "a_pivot_weekday_matrix",
+    oracle=_PIVOT_ORACLE,
+    tags=("aggregate", "pivot"),
+    doc="PIVOT with a DECLARED value domain (event_type x weekday count "
+    "matrix): the declared list keeps the schema static and skips the "
+    "extra distinct-collection job an undeclared pivot runs on the "
+    "driver. Compiles to one conditional aggregation — same shape as "
+    "the reference's CASE-bucketed dashboard (A4, "
+    "sql/enhanced_schema.sql:254-278).",
+)
+def a_pivot_weekday_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pivoted = (
+        events.select(F.dayofweek("ts").alias("weekday"), "event_type")
+        .groupBy("weekday")
+        .pivot("event_type", _PIVOT_TYPES)
+        .count()
+    )
+    # pivot leaves NULL for empty cells; the CASE-count oracle yields 0
+    return pivoted.select(
+        "weekday",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"{t}_n") for t in _PIVOT_TYPES],
+    )
