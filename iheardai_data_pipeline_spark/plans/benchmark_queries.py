@@ -316,3 +316,87 @@ def x_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- Q13 shape: outer-join histogram (count of counts, zeros kept) -----------------
+
+_Q13_ORACLE = """
+WITH per_cust AS (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register(
+    "q13_customer_distribution",
+    oracle=_Q13_ORACLE,
+    tags=("benchmark", "join", "outer"),
+    doc="Q13 shape: customer order-count distribution — LEFT OUTER join "
+    "so zero-order customers survive (COUNT(col) skips their NULLs), "
+    "then a second aggregation over the first's output. The re-agg "
+    "input is one row per customer, so the second shuffle moves "
+    "already-reduced data.",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --- Q17 shape: per-group average as a join threshold ------------------------------
+
+_Q17_ORACLE = """
+WITH part_avg AS (
+    SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_threshold
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly_raw,
+       COUNT(*) AS n_small_lots
+FROM lineitem l JOIN part_avg pa ON l.l_partkey = pa.l_partkey
+WHERE l.l_quantity < pa.qty_threshold
+"""
+
+
+@register(
+    "q17_small_lot_revenue",
+    oracle=_Q17_ORACLE,
+    tags=("benchmark", "join", "subquery"),
+    doc="Q17 shape: correlated scalar subquery (per-part average "
+    "quantity) decorrelated into an aggregate + self-join — lines "
+    "under 20% of their part's average quantity. The per-part "
+    "aggregate is partial-agg reduced before the join, so the "
+    "self-join's build side is one row per part, broadcast-eligible "
+    "under AQE.",
+)
+def q17_small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double") / 7.0)
+            .cast("double")
+            .alias("avg_yearly_raw"),
+            F.count(F.lit(1)).alias("n_small_lots"),
+        )
+    )
