@@ -156,3 +156,29 @@ class Checkpoint:
         if row["w"] is not None:
             value = row["w"]
             self.save(value.isoformat() if hasattr(value, "isoformat") else value)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    n_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a fact as a BUCKETED table: pre-hashed into ``n_buckets``
+    files per partition on ``bucket_cols``, optionally sorted within
+    buckets.
+
+    This is the engine's replacement for the reference's B-tree indexes
+    (SURVEY §4, sql/enhanced_schema.sql:173-205) on the join path: two
+    tables bucketed on the same key with the same bucket count join with
+    ZERO exchanges — the shuffle is paid once at write time and amortized
+    over every subsequent join/aggregate on that key. Size ``n_buckets``
+    so one bucket ≈ one task's memory budget at full scale.
+    """
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = df.write.mode(mode).bucketBy(n_buckets, *cols)
+    if sort:
+        writer = writer.sortBy(*cols)
+    writer.saveAsTable(table)
