@@ -44,3 +44,30 @@ def deterministic_sample(
 def assign_shards(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
     """Add a stable ``shard`` column in [0, n_shards)."""
     return df.withColumn("shard", hash_bucket(id_col) % n_shards)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, tuple[int, int]],
+    default_rate: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: ``rates`` maps stratum value
+    -> (num, denom); strata absent from the map keep ``default_rate``
+    (None = dropped entirely).
+
+    The training-data rebalance primitive (e.g. downsample the dominant
+    language, keep the tail whole). Same md5 keying as
+    ``deterministic_sample``, so per-stratum subsets stay nested and
+    portable; still a pure narrow filter — the stratum column rides the
+    scan, no shuffle.
+    """
+    bucket = hash_bucket(id_col)
+    strat = F.col(stratum_col)
+    keep = F.lit(False) if default_rate is None else (
+        bucket % default_rate[1] < default_rate[0]
+    )
+    for value, (num, denom) in sorted(rates.items()):
+        keep = F.when(strat == value, bucket % denom < num).otherwise(keep)
+    return df.filter(keep)

@@ -608,3 +608,43 @@ def x_sample_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_shards(deterministic_sample(docs, "doc_id", 10, 100), "doc_id", 8).select(
         "doc_id", "shard"
     )
+
+
+# --- stratified sampling: per-language rebalance -----------------------------------
+
+_STRATIFIED_ORACLE = """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id, lang FROM b
+WHERE CASE lang
+        WHEN 'en' THEN bucket % 100 < 25
+        WHEN 'zh' THEN bucket % 100 < 50
+        ELSE bucket % 100 < 100
+      END
+"""
+
+
+@register(
+    "x_sample_stratified",
+    oracle=_STRATIFIED_ORACLE,
+    tags=("extension", "sampling"),
+    doc="Stratified deterministic sample over documents: downsample the "
+    "dominant language (en 25%), zh to 50%, keep the tail whole — the "
+    "corpus-rebalance primitive. Same portable md5 keying as "
+    "x_sample_shard (nested subsets, engine-independent), still a pure "
+    "narrow filter at scan speed.",
+)
+def x_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": (25, 100), "zh": (50, 100)},
+        default_rate=(100, 100),
+    ).select("doc_id", "lang")

@@ -11,6 +11,7 @@ from iheardai_data_pipeline_spark.operators.graph import (
 from iheardai_data_pipeline_spark.operators.sampling import (
     assign_shards,
     deterministic_sample,
+    stratified_sample,
 )
 
 
@@ -73,3 +74,26 @@ def test_shards_cover_range_and_are_stable(spark):
     first = {r["doc_id"]: r["shard"] for r in shards.collect()}
     second = {r["doc_id"]: r["shard"] for r in assign_shards(df, "doc_id", 8).collect()}
     assert first == second
+
+
+def test_stratified_sample_rates_and_default(spark):
+    df = (
+        spark.range(0, 3000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "grp",
+            F.when(F.col("doc_id") % 3 == 0, "a")
+            .when(F.col("doc_id") % 3 == 1, "b")
+            .otherwise("c"),
+        )
+    )
+    out = stratified_sample(df, "doc_id", "grp", {"a": (10, 100), "b": (100, 100)})
+    counts = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("c") is None          # no default rate -> dropped
+    assert counts["b"] == 1000              # kept whole
+    assert 60 <= counts["a"] <= 140         # ~10% of 1000
+    # nested within the flat sample: stratum-a rows are a subset of the
+    # same-rate unstratified sample
+    flat = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 10).collect()}
+    a_rows = {r["doc_id"] for r in out.filter("grp = 'a'").collect()}
+    assert a_rows <= flat
