@@ -681,3 +681,36 @@ def a_pivot_weekday_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weekday",
         *[F.coalesce(F.col(t), F.lit(0)).alias(f"{t}_n") for t in _PIVOT_TYPES],
     )
+
+
+# --- cube: all grouping-set combinations -------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT event_type,
+       CAST(dayofweek(ts) + 1 AS INT) AS weekday,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, (dayofweek(ts) + 1))
+"""
+
+
+@register(
+    "a_cube_type_weekday",
+    oracle=_CUBE_ORACLE,
+    tags=("aggregate", "extension"),
+    doc="CUBE(event_type, weekday): all four grouping sets (detail, two "
+    "marginals, grand total) in one pass — completes the grouping-sets "
+    "family beside ROLLUP (a_rollup_daily) and PIVOT "
+    "(a_pivot_weekday_matrix). One Expand + one shuffle, partial-agg "
+    "eligible; the 4x row expansion happens before the combine, so "
+    "shuffled volume is already reduced.",
+)
+def a_cube_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.cube(
+        "event_type", F.dayofweek("ts").alias("weekday")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
