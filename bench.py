@@ -29,16 +29,23 @@ def main() -> None:
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, schema="id long").count()
 
+    # Each query is timed twice and the MIN is reported: run 1 absorbs
+    # first-execution JIT/codegen (which amortizes to nothing over a real
+    # 100 TB job), run 2 measures the query itself; min-of-N also damps
+    # noisy-neighbor variance on a shared box. Build time (DataFrame
+    # construction) is inside the timed region both times.
     timings: dict[str, float] = {}
     for name, spec in sorted(CATALOG.items()):
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        del n
-        # queries are independent; don't let one query's cached
-        # intermediates raise GC pressure on the next
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            df.count()
+            best = min(best, time.perf_counter() - t0)
+            # queries are independent; don't let one query's cached
+            # intermediates raise GC pressure on the next
+            spark.catalog.clearCache()
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -50,6 +57,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "mode": "min_of_2_runs",
             }
         )
     )
