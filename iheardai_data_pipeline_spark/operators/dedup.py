@@ -172,16 +172,20 @@ def ngram_jaccard_pairs(
     )
 
 
-def _minhash_from_set(sh_set, k: int):
-    """MinHash signature as ONE array<long> expression over a collected
-    shingle set: sig[i] = min over shingles of xxhash64(i, shingle).
+def _minhash_from_set(sh_hashes, k: int):
+    """MinHash signature as ONE array<long> expression over a set of
+    PRE-HASHED shingles (array<long>): sig[i] = min over h of
+    xxhash64(i, h).
 
-    Identical values to a k-column min-aggregate formulation, but the plan
-    stays k-independent in width — Catalyst analysis cost (which dominates
-    cold-query latency) doesn't scale with k."""
+    Two deliberate shapes:
+    - the plan stays k-independent in width (vs a k-column min-aggregate
+      formulation) — Catalyst analysis cost doesn't scale with k;
+    - each shingle string is hashed ONCE upstream, so the k-wide inner
+      loop mixes fixed-width longs instead of re-hashing ~40-byte
+      strings k times (the dominant per-row cost at k=64)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(F.transform(sh_set, lambda s: F.xxhash64(i, s))),
+        lambda i: F.array_min(F.transform(sh_hashes, lambda h: F.xxhash64(i, h))),
     )
 
 
@@ -197,9 +201,14 @@ def minhash_signatures(
     computed entirely row-locally (shingle set -> signature is one narrow
     projection; no shuffle)."""
     return (
-        eval_once(ensure_parallelism(docs), sh_set=shingle_array(F.col(text_col), n))
-        .filter(F.size("sh_set") > 0)
-        .select(id_col, _minhash_from_set(F.col("sh_set"), k).alias("sig"))
+        eval_once(
+            ensure_parallelism(docs),
+            sh_hashes=F.transform(
+                shingle_array(F.col(text_col), n), lambda s: F.xxhash64(s)
+            ),
+        )
+        .filter(F.size("sh_hashes") > 0)
+        .select(id_col, _minhash_from_set(F.col("sh_hashes"), k).alias("sig"))
     )
 
 
@@ -225,14 +234,23 @@ def minhash_lsh_pairs(
     non-colliding documents.
     """
     r = k // bands
-    # profile (shingle set + signature) is a NARROW projection of the doc
-    # scan — shingle sets are row-local (shingle_array, behind an
-    # eval_once barrier so the k-reference signature expression reads the
-    # materialized array instead of re-shingling per reference), so
-    # nothing shuffles until banded candidates meet; cached because
-    # banding and both verification sides reuse it.
+    # profile (hashed shingle set + signature) is a NARROW projection of
+    # the doc scan — shingle sets are row-local (shingle_array, hashed to
+    # longs immediately, behind an eval_once barrier so the k-reference
+    # signature expression reads the materialized array instead of
+    # re-shingling per reference), so nothing shuffles until banded
+    # candidates meet; cached because banding and both verification
+    # sides reuse it. Longs (not shingle strings) keep the cached
+    # profile ~5x smaller and make the Jaccard intersect fixed-width
+    # (same counts as string sets up to 64-bit collisions, ~1e-9 —
+    # the same accepted trade as the n-gram pipeline above).
     profile = (
-        eval_once(ensure_parallelism(docs), sh_set=shingle_array(F.col(text_col), n))
+        eval_once(
+            ensure_parallelism(docs),
+            sh_set=F.transform(
+                shingle_array(F.col(text_col), n), lambda s: F.xxhash64(s)
+            ),
+        )
         .filter(F.size("sh_set") > 0)
         .select(F.col(id_col), "sh_set")
         .withColumn("sig", _minhash_from_set(F.col("sh_set"), k))
