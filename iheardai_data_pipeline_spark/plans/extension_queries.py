@@ -221,8 +221,9 @@ def x_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOPWORDS_SQL = ", ".join(f"'{w}'" for w in text.QUALITY_STOPWORDS)
 
-_TEXT_QUALITY_ORACLE = f"""
-WITH m AS (
+# quality metrics CTE + score expression, shared by x_text_quality and
+# the end-to-end curation pipeline oracle
+_QUALITY_M_CTE = f"""m AS (
   SELECT doc_id,
     length(text) AS n_chars_raw,
     CASE WHEN length(trim(text)) = 0 THEN 0
@@ -242,14 +243,21 @@ WITH m AS (
                     / len(string_split_regex(trim(text), '\\s+')), 6)
          END AS mean_word_len
   FROM documents
-)
-SELECT doc_id, n_tokens_ws, n_tokens_bpe, punct_ratio, stopword_ratio, mean_word_len,
+)"""
+
+_QUALITY_EXPR = """
   (CASE WHEN n_chars_raw BETWEEN 200 AND 5000 THEN 30
         WHEN (n_chars_raw BETWEEN 50 AND 199) OR (n_chars_raw BETWEEN 5001 AND 20000) THEN 15
         ELSE 0 END
    + CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 25 ELSE 0 END
    + CASE WHEN punct_ratio <= 0.2 THEN 25 ELSE 0 END
-   + CASE WHEN mean_word_len BETWEEN 3 AND 12 THEN 20 ELSE 0 END)::INT AS quality
+   + CASE WHEN mean_word_len BETWEEN 3 AND 12 THEN 20 ELSE 0 END)::INT
+"""
+
+_TEXT_QUALITY_ORACLE = f"""
+WITH {_QUALITY_M_CTE}
+SELECT doc_id, n_tokens_ws, n_tokens_bpe, punct_ratio, stopword_ratio, mean_word_len,
+  {_QUALITY_EXPR} AS quality
 FROM m
 """
 
@@ -648,3 +656,65 @@ def x_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"en": (25, 100), "zh": (50, 100)},
         default_rate=(100, 100),
     ).select("doc_id", "lang")
+
+
+# --- end-to-end curation pipeline --------------------------------------------------
+
+_CURATION_ORACLE = f"""
+WITH {_QUALITY_M_CTE},
+scored AS (
+  SELECT d.doc_id, d.lang, m.n_tokens_ws, {_QUALITY_EXPR} AS quality,
+         md5({_NORM_SQL}) AS fp
+  FROM documents d JOIN m USING (doc_id)
+),
+good AS (SELECT * FROM scored WHERE quality >= 70),
+kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM good
+  ) WHERE rn = 1
+)
+SELECT doc_id, lang, quality, n_tokens_ws
+FROM kept
+WHERE CASE lang
+        WHEN 'en' THEN
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50
+        ELSE TRUE
+      END
+"""
+
+
+@register(
+    "x_curation_pipeline",
+    oracle=_CURATION_ORACLE,
+    tags=("extension", "text", "dedup", "sampling", "pipeline"),
+    doc="END-TO-END corpus curation in one plan: quality-score filter "
+    "(>=70) -> exact dedup keeping min doc_id per fingerprint -> "
+    "stratified rebalance (en halved, tail kept). The full training-"
+    "data flow composed from the engine's own operators — narrow "
+    "scoring, ONE shuffle for the dedup window, then a narrow sample "
+    "filter; every stage deterministic and oracle-checked.",
+)
+def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from iheardai_data_pipeline_spark.operators.sampling import stratified_sample
+    from iheardai_data_pipeline_spark.operators.text import (
+        fingerprint_md5,
+        quality_score,
+        token_count_ws,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        quality_score(t).alias("quality"),
+        token_count_ws(t).alias("n_tokens_ws"),
+        fingerprint_md5(t).alias("fp"),
+    ).filter(F.col("quality") >= 70)
+    keeper = F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    kept = scored.withColumn("rn", keeper).filter(F.col("rn") == 1)
+    return stratified_sample(
+        kept, "doc_id", "lang", {"en": (50, 100)}, default_rate=(100, 100)
+    ).select("doc_id", "lang", "quality", "n_tokens_ws")
