@@ -155,3 +155,38 @@ def t6_stream_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "user_id", "n_events", "sum_value", "started_at_s", "last_seen_s", "max_event_id"
     ).orderBy("user_id")
+
+
+_T8_ORACLE = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+    CAST(FLOOR(epoch(c.ts)) AS BIGINT) AS click_ts_s,
+    CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS purchase_ts_s,
+    CAST(ROUND(CAST(p.value AS DECIMAL(18,2)), 2) AS DOUBLE) AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
+@register(
+    "t8_stream_stream_join",
+    oracle=_T8_ORACLE,
+    tags=("streaming", "join"),
+    doc="Stream-stream event-time join: purchases attributed to a "
+    "preceding same-user click within 30 min, BOTH sides unbounded "
+    "streams. The explicit time-range bound + watermarks let Spark "
+    "evict join state past watermark+horizon, so state tracks the "
+    "horizon, not stream length. Equals the batch interval self-join "
+    "(the oracle) — the fully-streaming upgrade of x_asof_attribution.",
+)
+def t8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.streaming.windows import (
+        stream_stream_attribution_join,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = stream_stream_attribution_join(clicks, purchases, horizon="30 minutes")
+    return run_to_memory(joined, f"t8_out_{uuid.uuid4().hex[:8]}", output_mode="append")

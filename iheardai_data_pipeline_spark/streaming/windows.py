@@ -80,3 +80,52 @@ def dedup_within_watermark(
     """T5/M5: event-id dedup bounded by a watermark (state is evicted once
     the watermark passes — bounded memory at any scale)."""
     return stream.withWatermark(ts_col, watermark).dropDuplicates([*id_cols])
+
+
+def stream_stream_attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INNER join: purchases attributed to a preceding
+    click by the same key within ``horizon``.
+
+    The fully-streaming restatement of the as-of/attribution pattern:
+    both sides are unbounded, so Spark buffers each in the state store
+    and the explicit event-time bound (p.ts BETWEEN c.ts AND c.ts +
+    horizon) plus both watermarks let it EVICT state older than
+    watermark + horizon — without the time bound the join would be
+    rejected (unbounded state). State size tracks the horizon's worth
+    of events per key, not stream length.
+
+    Output: one row per (click, purchase) pair within the horizon.
+    """
+    c = clicks.withWatermark(ts_col, watermark).select(
+        F.col(key_col).alias("c_user"),
+        F.col(ts_col).alias("ts_click"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark(ts_col, watermark).select(
+        F.col(key_col).alias("p_user"),
+        F.col(ts_col).alias("ts_purchase"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("ts_purchase") >= F.col("ts_click"))
+        & (F.col("ts_purchase") <= F.col("ts_click") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return c.join(p, cond, "inner").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_seconds("ts_click").alias("click_ts_s"),
+        F.unix_seconds("ts_purchase").alias("purchase_ts_s"),
+        F.round(F.col("purchase_value").cast("decimal(18,2)"), 2)
+        .cast("double")
+        .alias("purchase_value"),
+    )
