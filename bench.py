@@ -35,6 +35,7 @@ def main() -> None:
     # noisy-neighbor variance on a shared box. Build time (DataFrame
     # construction) is inside the timed region both times.
     timings: dict[str, float] = {}
+    jvm_gc = spark.sparkContext._jvm.System.gc
     for name, spec in sorted(CATALOG.items()):
         best = float("inf")
         for _ in range(2):
@@ -43,8 +44,11 @@ def main() -> None:
             df.count()
             best = min(best, time.perf_counter() - t0)
             # queries are independent; don't let one query's cached
-            # intermediates raise GC pressure on the next
+            # intermediates or garbage raise pressure on the next (heap
+            # debt from 40 earlier queries showed up as 2-3x slowdowns
+            # in later cache-heavy ones)
             spark.catalog.clearCache()
+            jvm_gc()
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
