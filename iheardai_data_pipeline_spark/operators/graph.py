@@ -89,24 +89,34 @@ def connected_components(
     reachable node id. Deterministic for any edge order.
 
     Adaptive physical strategy: pair graphs from near-dup stages are
-    tiny relative to the corpus, so when the (deduplicated, symmetric)
-    edge count is under ``local_edge_threshold`` the transitive closure
-    runs as an exact union-find on the driver — the graph analog of a
-    broadcast join. Larger graphs use distributed min-label
-    propagation; both paths produce identical output.
+    tiny relative to the corpus, so when the raw pair count is under
+    ``local_edge_threshold`` the transitive closure runs as an exact
+    union-find on the driver — the graph analog of a broadcast join;
+    union-find tolerates duplicate/directed edges, so the local path
+    never pays the symmetrize + distinct shuffle. Larger graphs use
+    distributed min-label propagation; both paths produce identical
+    output.
     """
+    # Union-find is insensitive to edge direction and multiplicity, so the
+    # local-path decision works on the RAW pair projection: one map-side
+    # count (no shuffle), then a collect from cache. Symmetrization +
+    # distinct — a full shuffle of the pair relation — is paid only on
+    # the distributed path, where label propagation genuinely needs a
+    # deduplicated symmetric adjacency.
+    proj = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).cache()
+    n_edges = proj.count()
+    if n_edges <= local_edge_threshold:
+        rows = [(r[0], r[1]) for r in proj.collect()]
+        proj.unpersist()
+        out = _local_components(rows, edges.sparkSession, edges.schema[src].dataType)
+        return out.withColumnRenamed("label", "component")
     sym = (
-        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
-        .unionByName(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        proj.unionByName(
+            proj.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+        )
         .distinct()
         .cache()
     )
-    n_edges = sym.count()
-    if n_edges <= local_edge_threshold:
-        rows = [(r[0], r[1]) for r in sym.collect()]
-        sym.unpersist()
-        out = _local_components(rows, edges.sparkSession, edges.schema[src].dataType)
-        return out.withColumnRenamed("label", "component")
     labels = sym.select("node").distinct().withColumn("label", F.col("node"))
     prev_sum = None
     for _ in range(max_iter):
@@ -125,6 +135,7 @@ def connected_components(
             break
         prev_sum = cur_sum
     sym.unpersist()
+    proj.unpersist()
     return labels.withColumnRenamed("label", "component")
 
 
