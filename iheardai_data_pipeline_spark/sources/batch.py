@@ -35,21 +35,44 @@ TESTDATA_TABLES = (
 )
 
 
-# Tables whose parquet timestamps are TIMESTAMP(NANOS) — Spark rejects the
+# Tables whose parquet timestamps may be TIMESTAMP(NANOS) — Spark rejects the
 # physical type unless nanosAsLong is on; we read the raw nanos and floor to
 # microseconds, which is exactly what DuckDB's µs-native TIMESTAMP sees, so
 # oracle comparisons stay bit-identical.
 _NANOS_TS_COLS = {"events": ("ts",)}
 
 
+def _set_read_confs(spark: SparkSession) -> None:
+    """Runtime confs every scan needs, applied on whatever session the
+    caller hands us (the correctness driver builds its own).
+
+    - nanosAsLong: tolerate TIMESTAMP(NANOS) parquet (read raw, floor below).
+    - inferTimestampNTZ off: isAdjustedToUTC=false parquet timestamps read
+      as TIMESTAMP (the stored micros taken as the instant) instead of
+      TIMESTAMP_NTZ, which ``unix_micros``/``withWatermark``/streaming
+      window ops all reject.
+    - UTC session zone: keeps date_trunc/to_date over those instants equal
+      to DuckDB's naive-timestamp semantics, so oracle hashes match.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated parquet table from ``sf_dir``."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _set_read_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
             # integer DIV, not float /: ns epochs (~1.7e18) overflow double precision
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+    # belt-and-braces: any NTZ column that still slipped through (e.g. the
+    # conf not honored by an exotic reader path) becomes a plain TIMESTAMP;
+    # under the UTC session zone the cast preserves the stored wall-clock.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -67,10 +67,23 @@ def read_file_stream(
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the driver's events table through the file source, with the
-    same ns->us timestamp normalization as the batch loader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    same timestamp normalization as the batch loader (ns->us flooring,
+    NTZ->TIMESTAMP so watermarks and window aggs accept the column)."""
+    from iheardai_data_pipeline_spark.sources.batch import _set_read_confs
+
+    _set_read_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema  # bigint ts under nanosAsLong
+    schema = spark.read.parquet(path).schema
+    # streaming rejects NTZ event-time columns; force plain TIMESTAMP in the
+    # declared schema (stored micros are read as the instant, UTC zone)
+    from pyspark.sql.types import StructField, TimestampNTZType, TimestampType
+
+    schema = StructType(
+        [
+            StructField(f.name, TimestampType() if isinstance(f.dataType, TimestampNTZType) else f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
     # the file source wants a directory: stream the sf dir with a glob
     # filter selecting just the events file
     stream = (
