@@ -10,14 +10,17 @@ the reference's SQL aggregates, written so Catalyst plans a single-shuffle
 - small dimension sides broadcast automatically (10 MB default threshold).
 
 Float discipline (driver hash-compare): every money-ish sum goes through
-DECIMAL(18,2) then back to double; every avg is round(exact_sum/count, 4);
-timestamps surface as epoch seconds.
+DECIMAL(18,2) then back to double; every avg/ratio is computed in exact
+integer arithmetic (functions.exact) so Spark and the DuckDB oracle round
+identically; timestamps surface as epoch seconds.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from iheardai_data_pipeline_spark.functions.exact import avg_money, ratio_half_up
 
 
 def _dec(col: str) -> F.Column:
@@ -37,9 +40,7 @@ def daily_rollup(
         df.groupBy(d)
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum(_dec(value_col)).cast("double") / F.count(F.lit(1)), 4).alias(
-                "avg_value"
-            ),
+            avg_money(value_col, 4).alias("avg_value"),
         )
         .orderBy("metric_date")
     )
@@ -59,9 +60,7 @@ def daily_performance_summary(events: DataFrame, orders: DataFrame) -> DataFrame
             F.countDistinct("user_id").alias("active_users"),
             F.count(F.lit(1)).alias("total_events"),
             F.sum(_dec("value")).cast("double").alias("sum_value"),
-            F.round(F.sum(_dec("value")).cast("double") / F.count(F.lit(1)), 4).alias(
-                "avg_value"
-            ),
+            avg_money("value", 4).alias("avg_value"),
         )
     )
     od = (
@@ -156,8 +155,8 @@ def journey_paths(
         per_session.groupBy("path")
         .agg(
             F.count(F.lit(1)).alias("frequency"),
-            F.round(F.avg("n_events"), 4).alias("avg_events"),
-            F.round(F.avg("duration_s"), 4).alias("avg_duration_s"),
+            ratio_half_up(F.sum("n_events"), F.count(F.lit(1)), 4).alias("avg_events"),
+            ratio_half_up(F.sum("duration_s"), F.count(F.lit(1)), 4).alias("avg_duration_s"),
         )
         .orderBy(F.desc("frequency"), "path")
     )
@@ -192,7 +191,7 @@ def conversion_funnel(events: DataFrame) -> DataFrame:
             "conversion_rate",
             F.when(
                 F.col("prev_users").isNotNull(),
-                F.round(F.col("users").cast("double") / F.col("prev_users"), 4),
+                ratio_half_up(F.col("users"), F.col("prev_users"), 4),
             ),
         )
         .orderBy("funnel_stage")

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from iheardai_data_pipeline_spark.functions.exact import ratio_half_up
 from iheardai_data_pipeline_spark.operators.text import fingerprint_md5, normalize_text
 from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism, eval_once
 
@@ -161,10 +162,8 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("shared"))
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("shared").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("shared")),
-                4,
+            ratio_half_up(
+                F.col("shared"), F.col("n_a") + F.col("n_b") - F.col("shared"), 4
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -294,10 +293,8 @@ def minhash_lsh_pairs(
         .withColumn("shared", F.size(F.array_intersect("set_a", "set_b")))
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("shared").cast("double")
-                / (F.size("set_a") + F.size("set_b") - F.col("shared")),
-                4,
+            ratio_half_up(
+                F.col("shared"), F.size("set_a") + F.size("set_b") - F.col("shared"), 4
             ),
         )
         .filter(F.col("jaccard") >= threshold)

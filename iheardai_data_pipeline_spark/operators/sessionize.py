@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from iheardai_data_pipeline_spark.functions.exact import avg_money, sql_avg_money
+
 DEFAULT_GAP_SECONDS = 30 * 60  # reference session TTL analog: config/config.yaml:149
 
 
@@ -79,7 +81,7 @@ def session_kpis(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct(F.col(type_col)).alias("n_event_types"),
             F.sum(dec_val).cast("double").alias("sum_value"),
-            F.round(F.sum(dec_val).cast("double") / F.count(F.lit(1)), 4).alias("avg_value"),
+            avg_money(value_col, 4).alias("avg_value"),
             F.min(F.unix_seconds(F.col(ts_col))).alias("started_at_s"),
             F.max(F.unix_seconds(F.col(ts_col))).alias("ended_at_s"),
             (
@@ -116,11 +118,11 @@ SELECT
     COUNT(*) AS n_events,
     COUNT(DISTINCT event_type) AS n_event_types,
     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_value,
+    {avg_sql} AS avg_value,
     CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS started_at_s,
     CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS ended_at_s,
     CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_s
 FROM sess
 GROUP BY user_id, session_seq
 ORDER BY user_id, session_seq
-""".format(gap_seconds=DEFAULT_GAP_SECONDS)
+""".format(gap_seconds=DEFAULT_GAP_SECONDS, avg_sql=sql_avg_money("value", 4))

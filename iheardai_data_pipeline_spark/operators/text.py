@@ -12,6 +12,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from iheardai_data_pipeline_spark.functions.common import _col
+from iheardai_data_pipeline_spark.functions.exact import ratio_half_up
 
 # BPE-ish tokenization: letter runs, digit runs, or single non-space
 # symbols — ASCII class so Spark (Java regex) and DuckDB (RE2) agree.
@@ -48,7 +49,7 @@ def punct_ratio(text: Column | str) -> Column:
     t = _col(text)
     n_punct = F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]"))
     return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
-        F.round(n_punct.cast("double") / F.length(t), 6)
+        ratio_half_up(n_punct, F.length(t), 6)
     )
 
 
@@ -59,7 +60,7 @@ def stopword_ratio(text: Column | str) -> Column:
     stop_arr = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
     hits = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
     return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
-        F.round(hits.cast("double") / F.size(words), 6)
+        ratio_half_up(hits, F.size(words), 6)
     )
 
 
@@ -68,7 +69,7 @@ def mean_word_len(text: Column | str) -> Column:
     words = F.split(t, r"\s+")
     total = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
     return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
-        F.round(total.cast("double") / F.size(words), 6)
+        ratio_half_up(total, F.size(words), 6)
     )
 
 

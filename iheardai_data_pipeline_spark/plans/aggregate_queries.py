@@ -10,6 +10,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from iheardai_data_pipeline_spark.functions.exact import (
+    avg_money,
+    int_sum,
+    ratio_half_up,
+    sql_avg_money,
+    sql_int_sum,
+    sql_ratio_half_up,
+)
 from iheardai_data_pipeline_spark.operators import aggregates as agg
 from iheardai_data_pipeline_spark.operators import mutations as mut
 from iheardai_data_pipeline_spark.operators.sessionize import with_session_id
@@ -35,11 +43,10 @@ sess AS (
 
 # --- A2 ---------------------------------------------------------------------
 
-_A2_ORACLE = """
+_A2_ORACLE = f"""
 SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS metric_date,
     COUNT(*) AS n_rows,
-    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4)
-        AS avg_value
+    {sql_avg_money("o_totalprice", 4)} AS avg_value
 FROM orders
 GROUP BY 1 ORDER BY 1
 """
@@ -58,13 +65,13 @@ def a2_daily_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- A3 ---------------------------------------------------------------------
 
-_A3_ORACLE = """
+_A3_ORACLE = f"""
 WITH ev AS (
     SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS metric_date,
         COUNT(DISTINCT user_id) AS active_users,
         COUNT(*) AS total_events,
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_value
+        {sql_avg_money("value", 4)} AS avg_value
     FROM events GROUP BY 1
 ),
 od AS (
@@ -123,12 +130,12 @@ def a4_realtime_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- A5 / J1 ------------------------------------------------------------------
 
-_A5_ORACLE = """
+_A5_ORACLE = f"""
 SELECT c.c_custkey, c.c_mktsegment,
     COUNT(o.o_orderkey) AS n_orders,
     CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-    ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-          / NULLIF(COUNT(o.o_orderkey), 0), 4) AS avg_order_value,
+    {sql_ratio_half_up(sql_int_sum("o.o_totalprice"), "COUNT(o.o_orderkey) * 100", 4)}
+        AS avg_order_value,
     CAST(FLOOR(epoch(MIN(o.o_orderdate))) AS BIGINT) AS first_order_s,
     CAST(FLOOR(epoch(MAX(o.o_orderdate))) AS BIGINT) AS last_order_s,
     CAST(FLOOR(epoch(MAX(o.o_orderdate))) AS BIGINT)
@@ -160,10 +167,8 @@ def a5_customer_order_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("o_orderkey").alias("n_orders"),
             F.sum(dec_price).cast("double").alias("revenue"),
-            F.round(
-                F.sum(dec_price).cast("double")
-                / F.nullif(F.count("o_orderkey"), F.lit(0)),
-                4,
+            ratio_half_up(
+                int_sum("o_totalprice"), F.count("o_orderkey") * 100, 4
             ).alias("avg_order_value"),
             F.min(F.unix_seconds(odate)).alias("first_order_s"),
             F.max(F.unix_seconds(odate)).alias("last_order_s"),
@@ -186,8 +191,8 @@ per_session AS (
     FROM sess GROUP BY user_id, session_seq
 )
 SELECT path, COUNT(*) AS frequency,
-    ROUND(AVG(n_events), 4) AS avg_events,
-    ROUND(AVG(duration_s), 4) AS avg_duration_s
+    {sql_ratio_half_up("SUM(n_events)", "COUNT(*)", 4)} AS avg_events,
+    {sql_ratio_half_up("SUM(duration_s)", "COUNT(*)", 4)} AS avg_duration_s
 FROM per_session GROUP BY path
 ORDER BY frequency DESC, path
 """
@@ -208,7 +213,7 @@ def a6_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- A7 / W1 ------------------------------------------------------------------
 
-_A7_ORACLE = """
+_A7_ORACLE = f"""
 WITH staged AS (
     SELECT CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
                            WHEN 'signup' THEN 3 WHEN 'purchase' THEN 4 END AS funnel_stage,
@@ -221,9 +226,8 @@ per_stage AS (
 )
 SELECT funnel_stage, users,
     LAG(users) OVER (ORDER BY funnel_stage) AS prev_users,
-    CASE WHEN LAG(users) OVER (ORDER BY funnel_stage) IS NOT NULL
-         THEN ROUND(CAST(users AS DOUBLE) / LAG(users) OVER (ORDER BY funnel_stage), 4)
-    END AS conversion_rate
+    {sql_ratio_half_up("users", "LAG(users) OVER (ORDER BY funnel_stage)", 4)}
+        AS conversion_rate
 FROM per_stage ORDER BY funnel_stage
 """
 
@@ -431,15 +435,14 @@ def j3_dashboard_crossjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- J5 cross-source correlation ------------------------------------------------------
 
-_J5_ORACLE = """
+_J5_ORACLE = f"""
 WITH cust_rev AS (
     SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
     FROM orders GROUP BY 1
 )
 SELECT n.n_name AS nation,
     COUNT(*) AS n_customers,
-    ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4)
-        AS avg_acctbal,
+    {sql_avg_money("c.c_acctbal", 4)} AS avg_acctbal,
     CAST(SUM(cr.rev) AS DOUBLE) AS total_revenue
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -470,11 +473,7 @@ def j5_nation_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(
-                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
-                / F.count(F.lit(1)),
-                4,
-            ).alias("avg_acctbal"),
+            avg_money("c_acctbal", 4).alias("avg_acctbal"),
             F.sum("rev").cast("double").alias("total_revenue"),
         )
         .orderBy("nation")
@@ -546,13 +545,18 @@ def a_pctl_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a_pctl_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    # scalar columns, not the raw array: the driver's canonicalizer sorts
+    # on every output column and list cells are unhashable there
+    pctls = F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)")
     return (
         events.groupBy("event_type")
-        .agg(
-            F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)").alias(
-                "pctls"
-            ),
-            F.count(F.lit(1)).alias("n"),
+        .agg(pctls.alias("pctls"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.element_at("pctls", 1).alias("p50"),
+            F.element_at("pctls", 2).alias("p95"),
+            F.element_at("pctls", 3).alias("p99"),
+            "n",
         )
         .orderBy("event_type")
     )

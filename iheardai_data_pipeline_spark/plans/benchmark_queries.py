@@ -13,10 +13,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from iheardai_data_pipeline_spark.functions.exact import (
+    int_sum,
+    ratio_half_up,
+    sql_int_sum,
+    sql_ratio_half_up,
+)
 from iheardai_data_pipeline_spark.plans.catalog import register
 from iheardai_data_pipeline_spark.sources.batch import load_table
 
-_Q1_ORACLE = """
+_Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
     CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
     CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
@@ -25,9 +31,9 @@ SELECT l_returnflag, l_linestatus,
     CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
              * (1 - CAST(l_discount AS DECIMAL(4,2)))
              * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-    ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
-    ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
-    ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+    {sql_ratio_half_up(sql_int_sum("l_quantity", 100, "DECIMAL(12,2)"), "COUNT(*) * 100", 4)} AS avg_qty,
+    {sql_ratio_half_up(sql_int_sum("l_extendedprice", 100, "DECIMAL(12,2)"), "COUNT(*) * 100", 4)} AS avg_price,
+    {sql_ratio_half_up(sql_int_sum("l_discount", 100, "DECIMAL(4,2)"), "COUNT(*) * 100", 4)} AS avg_disc,
     COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -59,9 +65,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(price).cast("double").alias("sum_base_price"),
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
             F.sum(charge).cast("double").alias("sum_charge"),
-            F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 4).alias("avg_qty"),
-            F.round(F.sum(price).cast("double") / F.count(F.lit(1)), 4).alias("avg_price"),
-            F.round(F.sum(disc).cast("double") / F.count(F.lit(1)), 4).alias("avg_disc"),
+            ratio_half_up(
+                int_sum("l_quantity", 100, "decimal(12,2)"), F.count(F.lit(1)) * 100, 4
+            ).alias("avg_qty"),
+            ratio_half_up(
+                int_sum("l_extendedprice", 100, "decimal(12,2)"), F.count(F.lit(1)) * 100, 4
+            ).alias("avg_price"),
+            ratio_half_up(
+                int_sum("l_discount", 100, "decimal(4,2)"), F.count(F.lit(1)) * 100, 4
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

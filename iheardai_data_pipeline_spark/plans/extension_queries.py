@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from iheardai_data_pipeline_spark.functions.exact import sql_ratio_half_up
 from iheardai_data_pipeline_spark.operators import dedup, multimodal, similarity, text
 from iheardai_data_pipeline_spark.plans.catalog import register
 from iheardai_data_pipeline_spark.sources.batch import load_table
@@ -66,6 +67,8 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Mirrors the operator exactly: candidate/shared counts use only shingles
 # with doc-frequency <= cap (hot-shingle skew guard); union sizes use all
 # shingles.
+_JACCARD_SQL = sql_ratio_half_up("s", "ca.n + cb.n - s", 4)
+
 _NGRAM_JACCARD_ORACLE = f"""
 WITH {_SHINGLE_CTE},
 rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
@@ -76,11 +79,11 @@ shared AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       round(s * 1.0 / (ca.n + cb.n - s), 4) AS jaccard
+       {_JACCARD_SQL} AS jaccard
 FROM shared
 JOIN counts ca ON shared.doc_a = ca.doc_id
 JOIN counts cb ON shared.doc_b = cb.doc_id
-WHERE round(s * 1.0 / (ca.n + cb.n - s), 4) >= 0.7
+WHERE {_JACCARD_SQL} >= 0.7
 """
 
 
@@ -112,11 +115,11 @@ shared AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       round(s * 1.0 / (ca.n + cb.n - s), 4) AS jaccard
+       {_JACCARD_SQL} AS jaccard
 FROM shared
 JOIN counts ca ON shared.doc_a = ca.doc_id
 JOIN counts cb ON shared.doc_b = cb.doc_id
-WHERE round(s * 1.0 / (ca.n + cb.n - s), 4) >= 0.7
+WHERE {_JACCARD_SQL} >= 0.7
 """
 
 
@@ -222,7 +225,23 @@ def x_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOPWORDS_SQL = ", ".join(f"'{w}'" for w in text.QUALITY_STOPWORDS)
 
 # quality metrics CTE + score expression, shared by x_text_quality and
-# the end-to-end curation pipeline oracle
+# the end-to-end curation pipeline oracle (ratio macros precomputed:
+# f-string expression parts can't contain backslashes on py3.11)
+_PUNCT_RATIO_SQL = sql_ratio_half_up(
+    "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))", "length(text)", 6
+)
+_STOPWORD_RATIO_SQL = sql_ratio_half_up(
+    "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+    f" w -> w IN ({_STOPWORDS_SQL})))",
+    "len(string_split_regex(lower(trim(text)), '\\s+'))",
+    6,
+)
+_MEAN_WORD_LEN_SQL = sql_ratio_half_up(
+    "list_sum(list_transform(string_split_regex(trim(text), '\\s+'), w -> length(w)))",
+    "len(string_split_regex(trim(text), '\\s+'))",
+    6,
+)
+
 _QUALITY_M_CTE = f"""m AS (
   SELECT doc_id,
     length(text) AS n_chars_raw,
@@ -230,18 +249,11 @@ _QUALITY_M_CTE = f"""m AS (
          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens_ws,
     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
     CASE WHEN length(text) = 0 THEN 0.0
-         ELSE round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
-                    / length(text), 6) END AS punct_ratio,
+         ELSE {_PUNCT_RATIO_SQL} END AS punct_ratio,
     CASE WHEN length(lower(trim(text))) = 0 THEN 0.0
-         ELSE round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                                    w -> w IN ({_STOPWORDS_SQL}))) * 1.0
-                    / len(string_split_regex(lower(trim(text)), '\\s+')), 6)
-         END AS stopword_ratio,
+         ELSE {_STOPWORD_RATIO_SQL} END AS stopword_ratio,
     CASE WHEN length(trim(text)) = 0 THEN 0.0
-         ELSE round(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
-                                            w -> length(w))) * 1.0
-                    / len(string_split_regex(trim(text), '\\s+')), 6)
-         END AS mean_word_len
+         ELSE {_MEAN_WORD_LEN_SQL} END AS mean_word_len
   FROM documents
 )"""
 
@@ -513,7 +525,7 @@ pairs AS (
   SELECT doc_a, doc_b FROM shared
   JOIN counts ca ON shared.doc_a = ca.doc_id
   JOIN counts cb ON shared.doc_b = cb.doc_id
-  WHERE round(s * 1.0 / (ca.n + cb.n - s), 4) >= 0.7
+  WHERE {_JACCARD_SQL} >= 0.7
 ),
 edges AS (
   SELECT doc_a AS node, doc_b AS nbr FROM pairs
