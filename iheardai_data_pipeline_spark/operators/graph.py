@@ -75,7 +75,15 @@ def _local_components(edge_rows, spark, node_type) -> DataFrame:
             T.StructField("label", node_type, False),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    # Arrow path: a pandas frame ships to the JVM as one Arrow batch;
+    # the row-list path pickles tuple-by-tuple (~2s for 5k rows)
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["node", "label"]), schema
+    )
 
 
 def connected_components(
@@ -84,6 +92,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     local_edge_threshold: int = LOCAL_EDGE_THRESHOLD,
+    _took_local_path: list | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min
     reachable node id. Deterministic for any edge order.
@@ -98,18 +107,24 @@ def connected_components(
     output.
     """
     # Union-find is insensitive to edge direction and multiplicity, so the
-    # local-path decision works on the RAW pair projection: one map-side
-    # count (no shuffle), then a collect from cache. Symmetrization +
-    # distinct — a full shuffle of the pair relation — is paid only on
-    # the distributed path, where label propagation genuinely needs a
-    # deduplicated symmetric adjacency.
-    proj = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).cache()
-    n_edges = proj.count()
-    if n_edges <= local_edge_threshold:
-        rows = [(r[0], r[1]) for r in proj.collect()]
-        proj.unpersist()
+    # local-path decision works on the RAW pair projection. The decision
+    # probe IS the data fetch: collect limit(threshold+1) executes the
+    # pair plan exactly once — if it comes back under the threshold we
+    # already hold the whole edge list (no separate count + cached
+    # re-read), else we fall through to the distributed path.
+    # Symmetrization + distinct — a full shuffle of the pair relation —
+    # is paid only on the distributed path, where label propagation
+    # genuinely needs a deduplicated symmetric adjacency.
+    proj = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+    probe = proj.limit(local_edge_threshold + 1).collect()
+    if len(probe) <= local_edge_threshold:
+        if _took_local_path is not None:
+            _took_local_path.append(True)
+        rows = [(r[0], r[1]) for r in probe]
         out = _local_components(rows, edges.sparkSession, edges.schema[src].dataType)
         return out.withColumnRenamed("label", "component")
+    proj = proj.cache()
+    proj.count()
     sym = (
         proj.unionByName(
             proj.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
@@ -152,10 +167,17 @@ def duplicate_groups_from_pairs(
     Output: (id, component, is_keeper) — keep ``is_keeper`` rows to
     deduplicate the corpus.
     """
-    comp = connected_components(pairs, src=a_col, dst=b_col)
+    took_local: list = []
+    comp = connected_components(pairs, src=a_col, dst=b_col, _took_local_path=took_local)
+    comp = comp.withColumnRenamed("node", id_col)
+    if took_local:
+        # local path => comp is bounded by the edge threshold: broadcast so
+        # the corpus side never shuffles. Distributed path => comp can be
+        # arbitrarily large; leave the strategy to Catalyst/AQE.
+        comp = F.broadcast(comp)
     return (
         docs.select(F.col(id_col))
-        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .join(comp, id_col, "left")
         .select(
             id_col,
             F.coalesce("component", F.col(id_col)).alias("component"),

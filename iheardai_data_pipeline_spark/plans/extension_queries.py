@@ -284,15 +284,14 @@ FROM m
 )
 def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
+    return text.with_text_quality_metrics(docs, "text").select(
         "doc_id",
-        text.token_count_ws(t).alias("n_tokens_ws"),
-        text.token_count_bpe(t).alias("n_tokens_bpe"),
-        text.punct_ratio(t).alias("punct_ratio"),
-        text.stopword_ratio(t).alias("stopword_ratio"),
-        text.mean_word_len(t).alias("mean_word_len"),
-        text.quality_score(t).alias("quality"),
+        "n_tokens_ws",
+        "n_tokens_bpe",
+        "punct_ratio",
+        "stopword_ratio",
+        "mean_word_len",
+        "quality",
     )
 
 
@@ -710,21 +709,21 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from iheardai_data_pipeline_spark.operators.sampling import stratified_sample
-    from iheardai_data_pipeline_spark.operators.text import (
-        fingerprint_md5,
-        quality_score,
-        token_count_ws,
-    )
+    from iheardai_data_pipeline_spark.operators.text import fingerprint_md5
 
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    scored = docs.select(
-        "doc_id",
-        "lang",
-        quality_score(t).alias("quality"),
-        token_count_ws(t).alias("n_tokens_ws"),
-        fingerprint_md5(t).alias("fp"),
-    ).filter(F.col("quality") >= 70)
+    scored = (
+        text.with_text_quality_metrics(docs, "text")
+        .select(
+            "doc_id",
+            "lang",
+            "quality",
+            "n_tokens_ws",
+            fingerprint_md5(t).alias("fp"),
+        )
+        .filter(F.col("quality") >= 70)
+    )
     keeper = F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
     kept = scored.withColumn("rn", keeper).filter(F.col("rn") == 1)
     return stratified_sample(
