@@ -59,14 +59,31 @@ def _set_read_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def bigint_epoch_to_ts(col: str) -> F.Column:
+    """Integer epoch -> TIMESTAMP with the unit inferred from magnitude.
+
+    The fixture's integer epoch unit has varied across rounds; 2020s
+    epochs are ~1.7e9 s / ~1.7e12 ms / ~1.7e15 µs / ~1.7e18 ns — three
+    orders apart each, so the choice is unambiguous. Integer DIV, not
+    float /: ns epochs overflow double precision.
+    """
+    c = F.col(col)
+    micros = (
+        F.when(c >= 1_000_000_000_000_000_000, F.expr(f"`{col}` DIV 1000"))
+        .when(c >= 1_000_000_000_000_000, c)
+        .when(c >= 1_000_000_000_000, c * 1000)
+        .otherwise(c * 1_000_000)
+    )
+    return F.timestamp_micros(micros)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated parquet table from ``sf_dir``."""
     _set_read_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
-            # integer DIV, not float /: ns epochs (~1.7e18) overflow double precision
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+            df = df.withColumn(col, bigint_epoch_to_ts(col))
     # belt-and-braces: any NTZ column that still slipped through (e.g. the
     # conf not honored by an exotic reader path) becomes a plain TIMESTAMP;
     # under the UTC session zone the cast preserves the stored wall-clock.

@@ -92,5 +92,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        from iheardai_data_pipeline_spark.sources.batch import bigint_epoch_to_ts
+
+        stream = stream.withColumn("ts", bigint_epoch_to_ts("ts"))
     return stream
