@@ -535,19 +535,35 @@ def a_pctl_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCTL_APPROX_ORACLE = """
+SELECT event_type,
+    quantile_disc(value, 0.5) AS p50,
+    quantile_disc(value, 0.95) AS p95,
+    quantile_disc(value, 0.99) AS p99,
+    COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 @register(
     "a_pctl_approx",
-    oracle=None,  # t-digest style sketch: approximate by design, rows-only
+    oracle=_PCTL_APPROX_ORACLE,
     tags=("aggregate", "approximate", "extension"),
     doc="The 100 TB path for the same percentiles: approx_percentile "
-    "(mergeable sketch, bounded memory, one pass) — exact percentile() "
-    "needs the full value set per group; the sketch doesn't.",
+    "(mergeable GK sketch, bounded memory, one pass) — exact "
+    "percentile() needs the full value set per group; the sketch "
+    "doesn't. While a group's row count stays under the sketch "
+    "accuracy the GK summary is lossless and returns exactly the "
+    "lower-rank element — the same convention as DuckDB quantile_disc "
+    "(verified for group sizes 1..60 and the sf0.01 data), so the "
+    "oracle is exact at test scale and the operator degrades to "
+    "rank-error <= n/accuracy beyond it.",
 )
 def a_pctl_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     # scalar columns, not the raw array: the driver's canonicalizer sorts
     # on every output column and list cells are unhashable there
-    pctls = F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)")
+    pctls = F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 100000)")
     return (
         events.groupBy("event_type")
         .agg(pctls.alias("pctls"), F.count(F.lit(1)).alias("n"))
