@@ -128,6 +128,59 @@ def embedding_dup_pairs(
     )
 
 
+def _collect_centroids(
+    embeddings: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seed centroids: first n_centroids vectors by id.
+    Bounded collect (n_centroids rows) — the index-build analog of
+    collecting a broadcast side."""
+    rows = (
+        embeddings.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+    )
+    rows.sort(key=lambda r: r[0])
+    return [(r[0], [float(x) for x in r[1]]) for r in rows]
+
+
+def _argmax_centroid_expr(cent_vecs: list[list[float]], vec_col: str) -> Column:
+    """Row-local argmax-cosine centroid id as ONE fold expression.
+
+    Replaces the crossJoin(x n_centroids) + row_number window the naive
+    formulation needs: no row explosion, NO shuffle — assignment is a
+    narrow map that scales to any corpus size. Since |v| is constant
+    across a row's candidates, argmax of dot(v,c)/|c| equals argmax of
+    cosine; per-centroid 1/|c| are driver-computed constants. Ties break
+    to the lowest centroid id (strict > keeps the earlier winner),
+    matching ORDER BY csim DESC, centroid_id ASC.
+    """
+    import math
+
+    n = len(cent_vecs)
+    cents = "array(" + ",".join(
+        "array(" + ",".join(f"{x!r}D" for x in c) + ")" for c in cent_vecs
+    ) + ")"
+    invn = "array(" + ",".join(
+        f"{1.0 / math.sqrt(sum(x * x for x in c))!r}D" for c in cent_vecs
+    ) + ")"
+    return F.expr(
+        f"""
+        aggregate(
+          sequence(0, {n - 1}),
+          struct(CAST(-1.0E308 AS DOUBLE) AS s, -1 AS i),
+          (acc, i) -> CASE WHEN
+              aggregate(zip_with(`{vec_col}`, element_at({cents}, i + 1),
+                                 (a, b) -> CAST(a AS DOUBLE) * b),
+                        0.0D, (p, v) -> p + v) * element_at({invn}, i + 1) > acc.s
+            THEN struct(
+              aggregate(zip_with(`{vec_col}`, element_at({cents}, i + 1),
+                                 (a, b) -> CAST(a AS DOUBLE) * b),
+                        0.0D, (p, v) -> p + v) * element_at({invn}, i + 1) AS s,
+              i AS i)
+            ELSE acc END,
+          acc -> acc.i)
+        """
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -138,32 +191,21 @@ def ivf_assign(
     (deterministic seed set), every vector assigned to its max-cosine
     centroid. Returns (centroids, assigned).
 
-    A production build would run k-means refinement; the partition/probe
-    machinery — the Spark-side part — is identical.
+    Assignment is a NARROW map (see _argmax_centroid_expr) — the naive
+    crossJoin + per-id window would shuffle the whole corpus on vec_id;
+    this never shuffles at all. A production build would run k-means
+    refinement; the partition/probe machinery is identical.
     """
-    centroids = (
-        embeddings.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.monotonically_increasing_id().alias("centroid_tmp"),
-            F.col(id_col).alias("centroid_src"),
-            F.col(vec_col).alias("centroid_vec"),
-        )
+    cent = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
+    spark = embeddings.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, src, vec) for i, (src, vec) in enumerate(cent)],
+        f"centroid_id int, centroid_src long, centroid_vec array<double>",
     )
-    # stable centroid ids from source ids (monotonic id is partition-dependent)
-    from pyspark.sql import Window
-
-    w = Window.orderBy("centroid_src")
-    centroids = centroids.select(
-        (F.row_number().over(w) - 1).alias("centroid_id"), "centroid_src", "centroid_vec"
-    )
-    sim = cosine_similarity(F.col(vec_col), F.col("centroid_vec"))
-    scored = embeddings.crossJoin(F.broadcast(centroids)).withColumn("csim", sim)
-    w2 = Window.partitionBy(id_col).orderBy(F.desc("csim"), "centroid_id")
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "centroid_id")
+    assigned = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _argmax_centroid_expr([v for _, v in cent], vec_col).alias("centroid_id"),
     )
     return centroids, assigned
 
@@ -179,20 +221,35 @@ def ivf_topk(
     exclude_id: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the nprobe centroids nearest to the
-    query, brute-force only their inverted lists."""
-    centroids, assigned = ivf_assign(embeddings, n_centroids, id_col, vec_col)
-    q = vector_literal(query_vec)
-    probe_ids = [
-        r["centroid_id"]
-        for r in centroids.withColumn("qsim", cosine_similarity(F.col("centroid_vec"), q))
-        .orderBy(F.desc("qsim"), "centroid_id")
-        .limit(nprobe)
-        .collect()
-    ]
+    query, brute-force only their inverted lists.
+
+    The probe ranking runs driver-side over the (bounded) centroid set —
+    no Spark job just to pick nprobe ids; the only cluster work is the
+    narrow candidate scan + k-row sort.
+    """
+    import math
+
+    cent = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+
+    def qsim(vec: list[float]) -> float:
+        d = sum(float(a) * b for a, b in zip(query_vec, vec))
+        return d / (qn * math.sqrt(sum(x * x for x in vec)))
+
+    ranked = sorted(
+        ((qsim(vec), i) for i, (_, vec) in enumerate(cent)), key=lambda t: (-t[0], t[1])
+    )
+    probe_ids = [i for _, i in ranked[:nprobe]]
+    assigned = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _argmax_centroid_expr([v for _, v in cent], vec_col).alias("centroid_id"),
+    )
     candidates = assigned.filter(F.col("centroid_id").isin(probe_ids))
     if exclude_id is not None:
         candidates = candidates.filter(F.col(id_col) != exclude_id)
-    sim = cosine_similarity(F.col(vec_col), q)
+    q = vector_literal(query_vec)
+    sim = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
     return (
         candidates.select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.desc("sim"), id_col)
