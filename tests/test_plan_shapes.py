@@ -62,3 +62,17 @@ def test_x_text_quality_zero_exchanges(spark, sf_dir):
 def test_semi_join_planned(spark, sf_dir, name):
     plan = _formatted(CATALOG[name].fn(spark, sf_dir))
     assert "LeftSemi" in plan
+
+
+def test_ivf_assignment_is_narrow(spark, sf_dir):
+    """IVF centroid assignment must stay a shuffle-free map — no
+    crossJoin row explosion, no per-id window exchange."""
+    from iheardai_data_pipeline_spark.operators.similarity import ivf_assign
+    from iheardai_data_pipeline_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assigned = ivf_assign(emb, n_centroids=8)
+    plan = _formatted(assigned)
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
