@@ -729,3 +729,45 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         kept, "doc_id", "lang", {"en": (50, 100)}, default_rate=(100, 100)
     ).select("doc_id", "lang", "quality", "n_tokens_ws")
+
+
+# --- token-budget shard packing ---------------------------------------------------
+
+_PACK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset,
+  coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 20000 AS shard_id
+FROM toks
+"""
+
+
+@register(
+    "x_pack_token_shards",
+    oracle=_PACK_ORACLE,
+    tags=("extension", "packing", "window"),
+    doc="Token-budget shard packing (sequence-packing manifest): every "
+    "doc assigned to the contiguous ~20k-token training shard in which "
+    "it starts. The oracle is the naive global running total; the "
+    "engine computes it as a TWO-LEVEL prefix sum (bucketed local "
+    "cumsum + broadcast bucket offsets, operators/packing.py) so no "
+    "single reducer ever sees the whole corpus — the no-partition "
+    "window trap a 100 TB manifest build cannot afford.",
+)
+def x_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.packing import token_budget_shards
+    from iheardai_data_pipeline_spark.operators.text import token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    return token_budget_shards(
+        docs, order_col="doc_id", token_col="n_tokens", budget=20_000
+    ).select("doc_id", "n_tokens", "start_offset", "shard_id")
