@@ -391,3 +391,35 @@ def simhash_near_pairs(
         .select("doc_a", "doc_b", "hamming")
     )
     return pairs
+
+
+def incremental_dedup(
+    incoming: DataFrame,
+    corpus_fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Incremental-ingest dedup: keep only incoming docs whose normalized
+    fingerprint is absent from the existing corpus index AND unique
+    within the batch (min id wins on intra-batch dupes).
+
+    The production loop every growing corpus runs: the fingerprint index
+    is the only state carried between runs, the check is one LEFT ANTI
+    join (shuffle keyed on a 16-byte hash; the index side is cheap to
+    bucket on fingerprint so re-ingest joins shuffle-free), and the
+    intra-batch window shares the anti-join's key. Never rescans the
+    corpus text.
+    """
+    from pyspark.sql import Window
+
+    hashed = incoming.withColumn(fp_col, fingerprint_md5(F.col(text_col)))
+    fresh = hashed.join(
+        corpus_fingerprints.select(F.col(fp_col)), fp_col, "left_anti"
+    )
+    w = Window.partitionBy(fp_col).orderBy(id_col)
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -399,3 +399,42 @@ def hyperplane_lsh_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization, exploded to (id, idx, q).
+
+    The ANN memory lever at 100 TB: fp64 -> int8 shrinks the resident
+    index 8x while dot products stay SIMD-friendly; scale = amax/127 per
+    vector reconstructs within 0.4% amax. Rounding is floor(x/scale+0.5)
+    — identical IEEE ops in any engine (see docs/DETERMINISM.md), not
+    engine-native round(). All-zero vectors quantize to 0 with scale 0.
+    Row-local throughout: no shuffle at any corpus size.
+    """
+    from iheardai_data_pipeline_spark.sources.batch import eval_once
+
+    amax = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
+    )
+    base = eval_once(embeddings, scale=amax / F.lit(127.0))
+    exploded = base.select(
+        F.col(id_col),
+        F.col("scale"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    q = F.when(
+        F.col("scale") > 0,
+        F.floor(F.col("x").cast("double") / F.col("scale") + F.lit(0.5)).cast("int"),
+    ).otherwise(F.lit(0))
+    return exploded.select(
+        F.col(id_col),
+        (F.col("pos") + 1).alias("idx"),
+        q.alias("q"),
+        F.col("scale"),
+    )

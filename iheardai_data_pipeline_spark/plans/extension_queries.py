@@ -771,3 +771,72 @@ def x_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_shards(
         docs, order_col="doc_id", token_col="n_tokens", budget=20_000
     ).select("doc_id", "n_tokens", "start_offset", "shard_id")
+
+
+# --- incremental-ingest dedup -----------------------------------------------------
+
+_INCR_DEDUP_ORACLE = f"""
+WITH corpus AS (
+  SELECT DISTINCT md5({_NORM_SQL}) AS fingerprint
+  FROM documents WHERE doc_id % 3 <> 0
+),
+incoming AS (
+  SELECT doc_id, lang, md5({_NORM_SQL}) AS fingerprint
+  FROM documents WHERE doc_id % 3 = 0
+),
+fresh AS (
+  SELECT i.* FROM incoming i
+  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fingerprint = i.fingerprint)
+)
+SELECT doc_id, lang, fingerprint FROM fresh
+QUALIFY ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+"""
+
+
+@register(
+    "x_dedup_incremental",
+    oracle=_INCR_DEDUP_ORACLE,
+    tags=("extension", "dedup", "incremental"),
+    doc="Incremental-ingest dedup: an incoming batch (doc_id%3=0) checked "
+    "against the existing corpus's fingerprint index (doc_id%3<>0) with "
+    "ONE left-anti join + an intra-batch keeper window on the same key. "
+    "The index is the only state between runs; the corpus text is never "
+    "rescanned (operators/dedup.py:incremental_dedup).",
+)
+def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0).select(
+        text.fingerprint_md5(F.col("text")).alias("fingerprint")
+    ).distinct()
+    incoming = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "lang", "text")
+    return dedup.incremental_dedup(incoming, corpus).select(
+        "doc_id", "lang", "fingerprint"
+    )
+
+
+# --- int8 embedding quantization --------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+  FROM embeddings
+)
+SELECT vec_id, i AS idx,
+  CASE WHEN scale > 0 THEN CAST(floor(v[i] / scale + 0.5) AS INT) ELSE 0 END AS q,
+  scale
+FROM s, unnest(generate_series(1, len(v))) t(i)
+"""
+
+
+@register(
+    "x_sim_quantize_int8",
+    oracle=_QUANT_ORACLE,
+    tags=("extension", "similarity", "quantization"),
+    doc="Symmetric per-vector int8 quantization (scale = amax/127), "
+    "exploded to scalar (id, idx, q, scale) rows for the hash gate. "
+    "The 8x index-memory lever for ANN at 100 TB; row-local, zero "
+    "shuffles (operators/similarity.py:quantize_int8).",
+)
+def x_sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
