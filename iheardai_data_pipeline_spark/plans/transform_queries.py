@@ -286,3 +286,80 @@ def p11_scoring_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select(
         "c_custkey", F.least(score, F.lit(100)).alias("quality_score")
     ).orderBy("c_custkey")
+
+
+# --- P40 quality metrics over documents -------------------------------------
+
+_HELPFUL_SQL = " + ".join(
+    f"CASE WHEN contains(tl, '{kw}') THEN 1 ELSE 0 END" for kw in ta.HELPFUL_INDICATORS
+)
+
+# completeness/relevance/helpfulness are integer-valued (5-point steps),
+# so overall = round(sum/3, 1) is cross-engine safe: k/3 is never within
+# 1/60 of a 1-decimal midpoint unless it IS an exact integer.
+_P40_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         coalesce(text, '') AS tx,
+         lower(coalesce(text, '')) AS tl,
+         20 + (doc_id * 7) % 1980 AS tokens_out
+  FROM documents
+),
+s AS (
+  SELECT doc_id, tx, tokens_out,
+    CASE WHEN length(tx) = 0 THEN 0.0 ELSE least(
+      50.0 + CASE WHEN length(tx) > 100 THEN 20 ELSE 0 END
+           + CASE WHEN length(tx) > 500 THEN 10 ELSE 0 END
+           + CASE WHEN contains(tx, '.') THEN 10 ELSE 0 END
+           + CASE WHEN contains(tx, chr(10)) THEN 5 ELSE 0 END
+           + CASE WHEN contains(tl, 'however') OR contains(tl, 'additionally')
+                       OR contains(tl, 'furthermore') THEN 5 ELSE 0 END,
+      100.0) END AS completeness,
+    CASE WHEN length(tx) = 0 THEN 0.0 ELSE least(
+      70.0 - CASE WHEN contains(tl, 'sorry') AND contains(tl, 'help') THEN 20 ELSE 0 END
+           + CASE WHEN contains(tl, 'specifically') OR contains(tl, 'exactly')
+                       OR contains(tl, 'precisely') THEN 10 ELSE 0 END,
+      100.0) END AS relevance,
+    CASE WHEN length(tx) = 0 THEN 0.0 ELSE greatest(least(
+      60.0 + least(({_HELPFUL_SQL}) * 5.0, 30.0)
+           - CASE WHEN contains(tl, 'cannot') OR contains(tl, 'can''t') THEN 15 ELSE 0 END
+           - CASE WHEN contains(tl, 'sorry') THEN 5 ELSE 0 END,
+      100.0), 0.0) END AS helpfulness
+  FROM t
+)
+SELECT doc_id, completeness, relevance, helpfulness,
+  round((completeness + relevance + helpfulness) / 3.0, 1) AS overall,
+  CASE WHEN length(tx) = 0 THEN 'empty'
+       WHEN tokens_out < 10 THEN 'too_short'
+       WHEN tokens_out > 1000 THEN 'very_long'
+       WHEN tokens_out > 500 THEN 'long'
+       WHEN tokens_out > 100 THEN 'appropriate'
+       ELSE 'concise' END AS appropriateness
+FROM s
+"""
+
+
+@register(
+    "p40_quality_metrics",
+    oracle=_P40_ORACLE,
+    tags=("transform", "text_agent"),
+    doc="P40 response-quality metrics over documents.text: completeness/"
+    "relevance/helpfulness keyword scores, overall mean (round-1 safe: "
+    "integer sums over 3 never graze a midpoint), appropriateness "
+    "bucket from synthesized tokens_out (reference "
+    "text_agent_transformer.py:325-426).",
+)
+def p40_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    tokens_out = (20 + (F.col("doc_id") * 7) % 1980).alias("tokens_out")
+    return docs.select("doc_id", t.alias("text"), tokens_out).select(
+        "doc_id",
+        ta.completeness_score(F.col("text")).alias("completeness"),
+        ta.relevance_score(F.col("text")).alias("relevance"),
+        ta.helpfulness_score(F.col("text")).alias("helpfulness"),
+        ta.overall_quality_score(F.col("text")).alias("overall"),
+        ta.response_appropriateness(F.col("text"), F.col("tokens_out")).alias(
+            "appropriateness"
+        ),
+    )
