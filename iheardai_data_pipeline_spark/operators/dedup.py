@@ -423,3 +423,36 @@ def incremental_dedup(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    testset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    n-gram with a held-out evaluation set (the standard 8-13-gram
+    collision test used before LLM training runs).
+
+    Shape: both sides shingle row-locally (hashed to longs), the test
+    side's distinct shingle set is typically tiny relative to the corpus
+    — a broadcast-able semi-join probe. The corpus side aggregates
+    collision counts per doc in the same shuffle. Output: every corpus
+    doc with its collision count (docs with 0 collisions are clean and
+    absent; anti-join against this result to get the clean corpus).
+    """
+    corpus_sh = word_shingles(corpus, id_col, text_col, n).withColumn(
+        "h", F.xxhash64("shingle")
+    )
+    test_sh = (
+        word_shingles(testset, id_col, text_col, n)
+        .select(F.xxhash64("shingle").alias("h"))
+        .distinct()
+    )
+    return (
+        corpus_sh.join(test_sh, "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_collisions"))
+    )

@@ -840,3 +840,45 @@ FROM s, unnest(generate_series(1, len(v))) t(i)
 )
 def x_sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- benchmark decontamination ----------------------------------------------------
+
+_DECONTAM_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 7, 0)),
+                               i -> array_to_string(ws[i:i+7], ' '))) AS shingle
+  FROM norm
+),
+test_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0
+),
+corpus_sh AS (
+  SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0
+)
+SELECT c.doc_id, count(*) AS n_collisions
+FROM corpus_sh c JOIN test_sh t USING (shingle)
+GROUP BY c.doc_id
+"""
+
+
+@register(
+    "x_decontaminate",
+    oracle=_DECONTAM_ORACLE,
+    tags=("extension", "dedup", "decontamination"),
+    doc="Benchmark decontamination: corpus docs (doc_id%20<>0) sharing "
+    "any word 8-gram with the held-out eval split (doc_id%20=0), with "
+    "collision counts — the standard pre-training contamination test. "
+    "Test-side shingle set is the small side (broadcast-able probe); "
+    "corpus side shingles row-locally and aggregates in one shuffle "
+    "(operators/dedup.py:decontaminate).",
+)
+def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    testset = docs.filter(F.col("doc_id") % 20 == 0)
+    return dedup.decontaminate(corpus, testset, n=8)
