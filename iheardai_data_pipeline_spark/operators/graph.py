@@ -107,24 +107,35 @@ def connected_components(
     output.
     """
     # Union-find is insensitive to edge direction and multiplicity, so the
-    # local-path decision works on the RAW pair projection. The decision
-    # probe IS the data fetch: collect limit(threshold+1) executes the
-    # pair plan exactly once — if it comes back under the threshold we
-    # already hold the whole edge list (no separate count + cached
-    # re-read), else we fall through to the distributed path.
+    # local-path decision works on the RAW pair projection. Two-tier
+    # probe: a bounded limit(K).collect() executes the pair plan exactly
+    # once and IS the data fetch for the common case (near-dup pair
+    # graphs are tiny relative to the corpus) — no separate count +
+    # cached re-read. Only when the probe overflows K do we cache and
+    # count; edge lists between K and the threshold then collect FROM
+    # the cache, so nothing executes twice and the driver never holds
+    # more than max(K, threshold) rows it won't use.
     # Symmetrization + distinct — a full shuffle of the pair relation —
     # is paid only on the distributed path, where label propagation
     # genuinely needs a deduplicated symmetric adjacency.
+    probe_cap = min(200_000, local_edge_threshold)
     proj = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
-    probe = proj.limit(local_edge_threshold + 1).collect()
-    if len(probe) <= local_edge_threshold:
+    probe = proj.limit(probe_cap + 1).collect()
+    if len(probe) <= probe_cap:
         if _took_local_path is not None:
             _took_local_path.append(True)
         rows = [(r[0], r[1]) for r in probe]
         out = _local_components(rows, edges.sparkSession, edges.schema[src].dataType)
         return out.withColumnRenamed("label", "component")
     proj = proj.cache()
-    proj.count()
+    n_edges = proj.count()
+    if n_edges <= local_edge_threshold:
+        if _took_local_path is not None:
+            _took_local_path.append(True)
+        rows = [(r[0], r[1]) for r in proj.collect()]
+        proj.unpersist()
+        out = _local_components(rows, edges.sparkSession, edges.schema[src].dataType)
+        return out.withColumnRenamed("label", "component")
     sym = (
         proj.unionByName(
             proj.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))

@@ -52,8 +52,13 @@ def with_global_running_total(
     with_local = df.withColumn("__bucket", bucket).withColumn(
         "__local_off", F.coalesce(F.sum(value_col).over(local_w), F.lit(0)).cast("long")
     )
-    totals = with_local.groupBy("__bucket").agg(
-        F.sum(value_col).cast("long").alias("__tot")
+    # totals aggregate from the RAW rows, not from with_local: reading the
+    # windowed frame would drag the window's shuffle+sort into this branch,
+    # which only needs an ordinary partial-agg groupBy
+    totals = (
+        df.withColumn("__bucket", bucket)
+        .groupBy("__bucket")
+        .agg(F.sum(value_col).cast("long").alias("__tot"))
     )
     # the bucket relation is corpus/bucket_size rows — the one place a
     # no-partition window is CORRECT, because the input is bounded

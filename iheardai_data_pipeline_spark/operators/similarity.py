@@ -142,15 +142,19 @@ def _collect_centroids(
 
 
 def _argmax_centroid_expr(cent_vecs: list[list[float]], vec_col: str) -> Column:
-    """Row-local argmax-cosine centroid id as ONE fold expression.
+    """Row-local argmax-cosine centroid id as ONE scores-array expression.
 
     Replaces the crossJoin(x n_centroids) + row_number window the naive
     formulation needs: no row explosion, NO shuffle — assignment is a
     narrow map that scales to any corpus size. Since |v| is constant
     across a row's candidates, argmax of dot(v,c)/|c| equals argmax of
-    cosine; per-centroid 1/|c| are driver-computed constants. Ties break
-    to the lowest centroid id (strict > keeps the earlier winner),
-    matching ORDER BY csim DESC, centroid_id ASC.
+    cosine; per-centroid 1/|c| are driver-computed constants. The scores
+    array is built once (each dot fold runs exactly once per centroid)
+    and the argmax is a second fold OVER that array (its elements are
+    scalars, so re-reference is free — unlike re-referencing the dot
+    folds, which Catalyst would re-execute). Strict > keeps the first
+    maximal element, so ties break to the lowest centroid id — matching
+    ORDER BY csim DESC, centroid_id ASC. Null/absent vectors yield -1.
     """
     import math
 
@@ -161,22 +165,23 @@ def _argmax_centroid_expr(cent_vecs: list[list[float]], vec_col: str) -> Column:
     invn = "array(" + ",".join(
         f"{1.0 / math.sqrt(sum(x * x for x in c))!r}D" for c in cent_vecs
     ) + ")"
+    scores = f"""
+        transform(sequence(0, {n - 1}), i ->
+          aggregate(zip_with(`{vec_col}`, element_at({cents}, i + 1),
+                             (a, b) -> CAST(a AS DOUBLE) * b),
+                    0.0D, (p, v) -> p + v) * element_at({invn}, i + 1))
+    """
     return F.expr(
         f"""
-        aggregate(
-          sequence(0, {n - 1}),
-          struct(CAST(-1.0E308 AS DOUBLE) AS s, -1 AS i),
-          (acc, i) -> CASE WHEN
-              aggregate(zip_with(`{vec_col}`, element_at({cents}, i + 1),
-                                 (a, b) -> CAST(a AS DOUBLE) * b),
-                        0.0D, (p, v) -> p + v) * element_at({invn}, i + 1) > acc.s
-            THEN struct(
-              aggregate(zip_with(`{vec_col}`, element_at({cents}, i + 1),
-                                 (a, b) -> CAST(a AS DOUBLE) * b),
-                        0.0D, (p, v) -> p + v) * element_at({invn}, i + 1) AS s,
-              i AS i)
-            ELSE acc END,
-          acc -> acc.i)
+        coalesce(
+          aggregate(
+            {scores},
+            struct(CAST(-1.0E308 AS DOUBLE) AS s, -1 AS b, 0 AS i),
+            (acc, x) -> CASE WHEN x > acc.s
+                THEN struct(x AS s, acc.i AS b, acc.i + 1 AS i)
+                ELSE struct(acc.s AS s, acc.b AS b, acc.i + 1 AS i) END,
+            acc -> acc.b),
+          -1)
         """
     )
 
@@ -197,17 +202,36 @@ def ivf_assign(
     refinement; the partition/probe machinery is identical.
     """
     cent = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
+    from pyspark.sql import types as T
+
     spark = embeddings.sparkSession
-    centroids = spark.createDataFrame(
-        [(i, src, vec) for i, (src, vec) in enumerate(cent)],
-        f"centroid_id int, centroid_src long, centroid_vec array<double>",
+    schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.IntegerType(), False),
+            # carry the source id's own type — ids aren't always longs
+            T.StructField("centroid_src", embeddings.schema[id_col].dataType, False),
+            T.StructField("centroid_vec", T.ArrayType(T.DoubleType()), False),
+        ]
     )
-    assigned = embeddings.select(
+    centroids = spark.createDataFrame(
+        [(i, src, vec) for i, (src, vec) in enumerate(cent)], schema
+    )
+    return centroids, _assign_to_centroids(embeddings, cent, id_col, vec_col)
+
+
+def _assign_to_centroids(
+    embeddings: DataFrame,
+    cent: list[tuple],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared assignment body for ivf_assign and ivf_topk: one narrow
+    argmax-cosine projection over the collected centroid set."""
+    return embeddings.select(
         F.col(id_col),
         F.col(vec_col),
         _argmax_centroid_expr([v for _, v in cent], vec_col).alias("centroid_id"),
     )
-    return centroids, assigned
 
 
 def ivf_topk(
@@ -240,11 +264,7 @@ def ivf_topk(
         ((qsim(vec), i) for i, (_, vec) in enumerate(cent)), key=lambda t: (-t[0], t[1])
     )
     probe_ids = [i for _, i in ranked[:nprobe]]
-    assigned = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _argmax_centroid_expr([v for _, v in cent], vec_col).alias("centroid_id"),
-    )
+    assigned = _assign_to_centroids(embeddings, cent, id_col, vec_col)
     candidates = assigned.filter(F.col("centroid_id").isin(probe_ids))
     if exclude_id is not None:
         candidates = candidates.filter(F.col(id_col) != exclude_id)

@@ -59,22 +59,35 @@ def _set_read_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
-def bigint_epoch_to_ts(col: str) -> F.Column:
-    """Integer epoch -> TIMESTAMP with the unit inferred from magnitude.
+def infer_epoch_unit(max_value: int | None) -> int:
+    """Micros-per-unit for an integer epoch column, from its MAX value.
 
     The fixture's integer epoch unit has varied across rounds; 2020s
     epochs are ~1.7e9 s / ~1.7e12 ms / ~1.7e15 µs / ~1.7e18 ns — three
-    orders apart each, so the choice is unambiguous. Integer DIV, not
-    float /: ns epochs overflow double precision.
+    orders apart each, so the column maximum picks the unit
+    unambiguously. Inference is per-COLUMN (one max), never per-row: a
+    per-row magnitude test would silently mix units when a column spans
+    an order-of-magnitude boundary (e.g. ms epochs with one pre-2001
+    outlier).
     """
-    c = F.col(col)
-    micros = (
-        F.when(c >= 1_000_000_000_000_000_000, F.expr(f"`{col}` DIV 1000"))
-        .when(c >= 1_000_000_000_000_000, c)
-        .when(c >= 1_000_000_000_000, c * 1000)
-        .otherwise(c * 1_000_000)
-    )
-    return F.timestamp_micros(micros)
+    if max_value is None:
+        return 1  # empty column: treat as µs; nothing to convert anyway
+    if max_value >= 1_000_000_000_000_000_000:
+        return -1000  # nanos: DIVIDE by 1000 (marker, see below)
+    if max_value >= 1_000_000_000_000_000:
+        return 1  # micros
+    if max_value >= 1_000_000_000_000:
+        return 1_000  # millis
+    return 1_000_000  # seconds
+
+
+def bigint_epoch_to_ts(col: str, unit_to_micros: int) -> F.Column:
+    """Integer epoch -> TIMESTAMP given the column's (pre-inferred) unit
+    factor from :func:`infer_epoch_unit`. Integer DIV for the ns case —
+    ns epochs overflow double precision."""
+    if unit_to_micros == -1000:
+        return F.timestamp_micros(F.expr(f"`{col}` DIV 1000"))
+    return F.timestamp_micros(F.col(col) * unit_to_micros)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -83,7 +96,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
-            df = df.withColumn(col, bigint_epoch_to_ts(col))
+            # rare path (fixture-dependent); the one-column max is a
+            # parquet-stats aggregate, nearly free
+            max_val = df.agg(F.max(col)).collect()[0][0]
+            df = df.withColumn(col, bigint_epoch_to_ts(col, infer_epoch_unit(max_val)))
     # belt-and-braces: any NTZ column that still slipped through (e.g. the
     # conf not honored by an exotic reader path) becomes a plain TIMESTAMP;
     # under the UTC session zone the cast preserves the stored wall-clock.

@@ -92,7 +92,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     if dict(stream.dtypes).get("ts") == "bigint":
-        from iheardai_data_pipeline_spark.sources.batch import bigint_epoch_to_ts
+        from iheardai_data_pipeline_spark.sources.batch import (
+            bigint_epoch_to_ts,
+            infer_epoch_unit,
+        )
 
-        stream = stream.withColumn("ts", bigint_epoch_to_ts("ts"))
+        # streams can't run an agg up front; infer the unit from a batch
+        # read of the same file (parquet-stats max, nearly free)
+        max_val = spark.read.parquet(path).agg(F.max("ts")).collect()[0][0]
+        stream = stream.withColumn("ts", bigint_epoch_to_ts("ts", infer_epoch_unit(max_val)))
     return stream

@@ -41,9 +41,6 @@ def spark():
 
 
 def test_ratio_matches_duckdb_bitwise(spark):
-    rows = spark.createDataFrame(
-        [(n, d, k) for n, d, k in CASES], "num long, den long, digits int"
-    ).collect()  # materialize input order
     con = duckdb.connect()
     for n, d, k in CASES:
         s_val = (

@@ -56,9 +56,20 @@ def test_shard_assignment_boundaries(spark):
 
 
 def test_no_global_window_on_corpus(spark):
+    import re
+
     df = spark.createDataFrame([(i, 1) for i in range(100)], "doc_id long, n long")
-    plan = with_global_running_total(df, "doc_id", "n")._jdf.queryExecution().optimizedPlan().toString()
-    # the only no-partition window runs over the bucket totals (grouped
-    # relation), never over the corpus rows: the corpus-side window must
-    # carry the bucket partition key
-    assert "windowspecdefinition(__bucket" in plan.replace(" ", "").replace("#", "").lower() or "__bucket" in plan
+    plan = (
+        with_global_running_total(df, "doc_id", "n")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # A no-partition window over the corpus would render as
+    # windowspecdefinition(doc_id#N ASC ...) — the order column first.
+    # The corpus-side window must lead with the __bucket partition key;
+    # the only permitted no-partition window is over the bucket totals
+    # (leads with __bucket as its ORDER key).
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs, plan
+    assert all(s == "__bucket" for s in specs), specs

@@ -57,23 +57,33 @@ def test_fused_equals_column_helpers(spark):
 
 
 def test_bigint_epoch_unit_inference(spark):
-    from iheardai_data_pipeline_spark.sources.batch import bigint_epoch_to_ts
+    from iheardai_data_pipeline_spark.sources.batch import (
+        bigint_epoch_to_ts,
+        infer_epoch_unit,
+    )
 
     base_s = 1_700_000_000
-    rows = [
-        (base_s,),
-        (base_s * 1000 + 123,),
-        (base_s * 1_000_000 + 123_456,),
-        (base_s * 1_000_000_000 + 123_456_789,),
+    cases = [
+        (base_s, 1_000_000),
+        (base_s * 1000 + 123, 1_000),
+        (base_s * 1_000_000 + 123_456, 1),
+        (base_s * 1_000_000_000 + 123_456_789, -1000),
     ]
-    df = spark.createDataFrame(rows, "v long")
+    for v, want_unit in cases:
+        assert infer_epoch_unit(v) == want_unit, v
+    # unit decided by the column MAX, applied uniformly: a ms column with
+    # one pre-2001 outlier must NOT decode that row as seconds
+    ms_rows = [(999_999_999_999,), (base_s * 1000,)]
+    df = spark.createDataFrame(ms_rows, "v long")
+    unit = infer_epoch_unit(max(v for (v,) in ms_rows))
     out = [
         r["us"]
-        for r in df.select(F.unix_micros(bigint_epoch_to_ts("v")).alias("us")).collect()
+        for r in df.select(
+            F.unix_micros(bigint_epoch_to_ts("v", unit)).alias("us")
+        ).collect()
     ]
-    assert out == [
-        base_s * 1_000_000,
-        base_s * 1_000_000 + 123_000,
-        base_s * 1_000_000 + 123_456,
-        base_s * 1_000_000 + 123_456,  # ns floors to µs
-    ]
+    assert out == [999_999_999_999_000, base_s * 1_000_000]
+    # ns floors to µs
+    df = spark.createDataFrame([(base_s * 1_000_000_000 + 123_456_789,)], "v long")
+    out = df.select(F.unix_micros(bigint_epoch_to_ts("v", -1000)).alias("us")).collect()
+    assert out[0]["us"] == base_s * 1_000_000 + 123_456
