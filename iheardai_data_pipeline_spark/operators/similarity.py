@@ -300,7 +300,7 @@ def hyperplane_lsh_pairs(
     bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine-LSH near-dup pairs: random-hyperplane signatures, banded
     candidate join, exact-cosine verification.
@@ -310,8 +310,15 @@ def hyperplane_lsh_pairs(
     r-bit chunks finds high-cosine pairs via equi-joins — never an
     all-pairs compare. Verification keeps only true pairs; recall at
     cos>=t is 1-(1-p^r)^bands (tune bands upward for higher recall).
+
+    ``dim`` defaults to the data's own width (one first() probe) — a
+    fixed plane matrix narrower than the vectors would silently zero the
+    missing components' contribution.
     """
     r = n_bits // bands
+    if dim is None:
+        first = embeddings.select(vec_col).first()
+        dim = len(first[0]) if first and first[0] is not None else 0
     planes = _hyperplanes(n_bits, dim)
     withnorm = embeddings.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
