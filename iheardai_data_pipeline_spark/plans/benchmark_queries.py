@@ -412,3 +412,65 @@ def q17_small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_small_lots"),
         )
     )
+
+
+# --- Q18 shape: HAVING-filtered IN-subquery (aggregate semi-join) ------------------
+
+_Q18_ORACLE = """
+WITH big AS (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 200
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+    CAST(FLOOR(epoch(o.o_orderdate)) AS BIGINT) AS order_date_s,
+    CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice,
+    CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle=_Q18_ORACLE,
+    tags=("benchmark", "join", "subquery"),
+    doc="Q18 shape: large-volume customers — IN over a HAVING-filtered "
+    "aggregate subquery (plans as a semi-join against the grouped key "
+    "set; the aggregate runs once, map-side-combined), then a 3-way "
+    "join re-aggregated and top-100'd. The decorrelated-aggregate "
+    "semi-join pattern q4/q17 don't cover.",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("s"))
+        .filter(F.col("s") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(big, "l_orderkey", "left_semi")
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(qty).cast("double").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_seconds(F.col("o_orderdate").cast("timestamp")).alias("order_date_s"),
+            F.col("o_totalprice").cast("decimal(12,2)").cast("double").alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(100)
+    )
