@@ -734,3 +734,48 @@ def a_cube_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
+
+
+# --- RANGE-frame window: trailing 7-day revenue ------------------------------------
+
+_TRAILING_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day_num,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+    FROM orders GROUP BY 1
+)
+SELECT day_num,
+    CAST(rev AS DOUBLE) AS day_revenue,
+    CAST(SUM(rev) OVER (ORDER BY day_num
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d_revenue
+FROM daily ORDER BY day_num
+"""
+
+
+@register(
+    "w_trailing_7d_revenue",
+    oracle=_TRAILING_ORACLE,
+    tags=("window", "range-frame"),
+    doc="RANGE-frame window (the frame spec ROWS can't express): per-day "
+    "revenue with a trailing-7-day RANGE sum — value-based framing skips "
+    "missing days correctly where a ROWS frame would span them. The "
+    "window runs over the per-day rollup (bounded by the calendar, not "
+    "the fact table), so the no-partition spec is safe at any corpus "
+    "size; sums stay decimal until the final double cast.",
+)
+def w_trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.unix_date(F.col("o_orderdate").cast("date")).alias("day_num")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return (
+        daily.select(
+            "day_num",
+            F.col("rev").cast("double").alias("day_revenue"),
+            F.sum("rev").over(w).cast("double").alias("trailing_7d_revenue"),
+        )
+        .orderBy("day_num")
+    )
