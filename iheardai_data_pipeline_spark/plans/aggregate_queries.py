@@ -779,3 +779,29 @@ def w_trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_num")
     )
+
+
+# --- set ops: INTERSECT -------------------------------------------------------------
+
+_INTERSECT_ORACLE = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'click'
+ORDER BY user_id
+"""
+
+
+@register(
+    "s_intersect_buyers_clickers",
+    oracle=_INTERSECT_ORACLE,
+    tags=("setop",),
+    doc="Set operations (SURVEY §2.9): users who both clicked AND "
+    "purchased, via INTERSECT (plans as a left-semi join over the "
+    "distinct key sets — one shuffle per side). Completes the "
+    "union/except/intersect family.",
+)
+def s_intersect_buyers_clickers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
+    clickers = events.filter(F.col("event_type") == "click").select("user_id")
+    return buyers.intersect(clickers).orderBy("user_id")
