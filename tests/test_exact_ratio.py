@@ -71,6 +71,43 @@ def test_half_up_semantics(spark):
     assert v == -0.0313
 
 
+def test_ratio_matches_duckdb_randomized_bulk(spark):
+    """500 seeded random (num, den, digits) triples, compared bitwise in
+    ONE Spark job and one DuckDB query — the broad-spectrum guard behind
+    the hand-picked midpoint cases above."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(20260813)
+    cases = []
+    for _ in range(500):
+        digits = rng.choice([0, 1, 2, 4, 6])
+        den = rng.choice(
+            [rng.randint(1, 10), 2 ** rng.randint(0, 12), rng.randint(1, 10**6)]
+        )
+        num = rng.randint(-(10**9), 10**9)
+        cases.append((num, den, digits))
+    sdf = spark.createDataFrame(
+        pd.DataFrame(cases, columns=["num", "den", "digits"])
+    )
+    got = {}
+    for digits in sorted({k for _, _, k in cases}):
+        part = sdf.filter(F.col("digits") == digits).select(
+            "num", "den", ratio_half_up(F.col("num"), F.col("den"), digits).alias("r")
+        )
+        for row in part.collect():
+            got[(row["num"], row["den"], digits)] = row["r"]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(cases, columns=["num", "den", "digits"]))
+    for digits in sorted({k for _, _, k in cases}):
+        sql = sql_ratio_half_up("num", "den", digits)
+        for num, den, r in con.execute(
+            f"SELECT num, den, {sql} FROM t WHERE digits = {digits}"
+        ).fetchall():
+            assert got[(num, den, digits)] == r, (num, den, digits, got[(num, den, digits)], r)
+
+
 def test_zero_denominator_is_null(spark):
     v = (
         spark.range(1)

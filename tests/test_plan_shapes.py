@@ -58,7 +58,7 @@ def test_x_text_quality_zero_exchanges(spark, sf_dir):
     assert "Exchange" not in plan
 
 
-@pytest.mark.parametrize("name", ["q4_order_priority"])
+@pytest.mark.parametrize("name", ["q4_order_priority", "q18_large_volume_customers"])
 def test_semi_join_planned(spark, sf_dir, name):
     plan = _formatted(CATALOG[name].fn(spark, sf_dir))
     assert "LeftSemi" in plan
