@@ -2,14 +2,16 @@
 
 Runs a catalog query on Spark and its oracle SQL on DuckDB over the same
 parquet tables, then compares row count, column names, and
-order-insensitive values (floats compared with tolerance so legitimate
-float formatting differences don't mask real bugs — the driver hashes
-exact values, which is why the engine rounds/decimalizes float outputs).
+order-insensitive values. Floats compare EXACTLY (== on the doubles):
+the driver hashes exact values, and the engine's determinism discipline
+(docs/DETERMINISM.md) is designed to produce bit-identical floats — a
+tolerance here would let cross-engine drift pass locally and fail the
+driver's gate.
 """
 
 from __future__ import annotations
 
-import math
+
 
 import duckdb
 import pandas as pd
@@ -61,7 +63,7 @@ def _values_equal(a, b) -> bool:
         pass
     if isinstance(a, float) or isinstance(b, float):
         try:
-            return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+            return float(a) == float(b)
         except (TypeError, ValueError):
             return False
     if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
