@@ -211,13 +211,16 @@ def x_sim_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_sim_ivf_topk",
     oracle=None,  # approximate by design (probes a subset of lists)
     tags=("extension", "similarity"),
-    doc="IVF approximate top-10 (16 lists, nprobe=4): vectors partitioned "
-    "by nearest centroid, query probes 4 lists — the 100 TB scale path.",
+    doc="IVF approximate top-10 (16 lists, one deterministic Lloyd "
+    "refinement, nprobe=4): vectors partitioned by nearest centroid, "
+    "query probes 4 lists — the 100 TB scale path.",
 )
 def x_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return similarity.ivf_topk(emb, qvec, k=10, n_centroids=16, nprobe=4, exclude_id=0)
+    return similarity.ivf_topk(
+        emb, qvec, k=10, n_centroids=16, nprobe=4, exclude_id=0, refine_iters=1
+    )
 
 
 # --- text analysis ---------------------------------------------------------------
