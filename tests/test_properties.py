@@ -102,3 +102,65 @@ def test_sessionization_conserves_events(spark, sf_dir):
     kpis = session_kpis(events)
     total = events.count()
     assert kpis.agg(F.sum("n_events")).first()[0] == total
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(0, 500)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 64),
+)
+@settings(max_examples=12, deadline=None)
+def test_packing_prefix_sum_invariants(spark, rows, bucket_size):
+    """Two-level prefix sum: offsets are the exclusive cumsum in key
+    order, for any key distribution and bucket size."""
+    from iheardai_data_pipeline_spark.operators.packing import (
+        with_global_running_total,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    got = (
+        with_global_running_total(df, "doc_id", "n", bucket_size=bucket_size)
+        .orderBy("doc_id")
+        .collect()
+    )
+    expect = 0
+    for row, (_, n) in zip(got, sorted(rows)):
+        assert row["start_offset"] == expect
+        expect += n
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**4), st.sampled_from(["aa bb cc", "dd ee", "ff"])),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_incremental_dedup_invariants(spark, rows):
+    """Output fingerprints are unique, disjoint from the corpus index,
+    and a second run over the already-ingested result admits nothing."""
+    from iheardai_data_pipeline_spark.operators.dedup import incremental_dedup
+    from iheardai_data_pipeline_spark.operators.text import fingerprint_md5
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = df.filter(F.col("doc_id") % 2 == 0).select(
+        fingerprint_md5(F.col("text")).alias("fingerprint")
+    ).distinct()
+    incoming = df.filter(F.col("doc_id") % 2 == 1)
+    out = incremental_dedup(incoming, corpus).select("doc_id", "fingerprint").collect()
+    fps = [r["fingerprint"] for r in out]
+    assert len(fps) == len(set(fps))
+    corpus_fps = {r["fingerprint"] for r in corpus.collect()}
+    assert not (set(fps) & corpus_fps)
+    # ingest the accepted docs, re-run: nothing new can enter
+    new_corpus = corpus.unionByName(
+        spark.createDataFrame([(f,) for f in fps], "fingerprint string")
+    ).distinct()
+    again = incremental_dedup(incoming, new_corpus).count()
+    assert again == 0
