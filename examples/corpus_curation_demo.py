@@ -1,0 +1,110 @@
+"""End-to-end training-data curation demo: the engine's LLM-pipeline
+extension set composed into one realistic flow over the documents and
+embeddings tables.
+
+  1. quality gate      — single-pass text metrics, keep quality >= 70
+  2. exact dedup       — md5 fingerprint, min-doc_id keeper
+  3. near-dup groups   — n-gram Jaccard pairs -> connected components,
+                         keep one doc per duplicate group
+  4. decontamination   — drop docs sharing any word 8-gram with the
+                         held-out split (doc_id % 20 == 0)
+  5. shard manifest    — token-budget sequence packing (two-level
+                         prefix sum, ~5k-token shards at demo scale)
+  6. embedding side    — int8 quantization + IVF index build with one
+                         Lloyd refinement over the corresponding vectors
+
+Every stage is the same operator the catalog exposes; the demo asserts
+the invariants a production run would monitor (counts only shrink,
+fingerprints unique, shards within budget + one doc, index covers the
+corpus).
+
+Run: python examples/corpus_curation_demo.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from iheardai_data_pipeline_spark.operators import dedup, similarity
+from iheardai_data_pipeline_spark.operators.graph import duplicate_groups_from_pairs
+from iheardai_data_pipeline_spark.operators.packing import token_budget_shards
+from iheardai_data_pipeline_spark.operators.text import with_text_quality_metrics
+from iheardai_data_pipeline_spark.session import get_spark
+from iheardai_data_pipeline_spark.sources.batch import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = get_spark(app_name="corpus-curation-demo")
+    docs = load_table(spark, SF_DIR, "documents")
+    n0 = docs.count()
+
+    # 1. quality gate
+    scored = with_text_quality_metrics(docs, "text")
+    kept = scored.filter(F.col("quality") >= 70).select("doc_id", "lang", "text", "n_tokens_ws")
+    n1 = kept.count()
+    assert 0 < n1 <= n0
+
+    # 2. exact dedup
+    groups = dedup.exact_duplicate_groups(kept)
+    exact_kept = (
+        kept.join(groups.filter(F.col("is_keeper")).select("doc_id"), "doc_id")
+    )
+    n2 = exact_kept.count()
+    fp_unique = (
+        groups.filter(F.col("is_keeper")).select("fingerprint").distinct().count()
+    )
+    assert fp_unique == n2 <= n1
+
+    # 3. near-dup groups -> one keeper per component
+    pairs = dedup.ngram_jaccard_pairs(exact_kept, n=5, threshold=0.7, max_doc_freq=100)
+    comp = duplicate_groups_from_pairs(exact_kept, pairs)
+    near_kept = exact_kept.join(
+        comp.filter(F.col("is_keeper")).select("doc_id"), "doc_id"
+    )
+    n3 = near_kept.count()
+    assert 0 < n3 <= n2
+
+    # 4. decontamination against the held-out split
+    testset = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = near_kept.filter(F.col("doc_id") % 20 != 0)
+    dirty = dedup.decontaminate(corpus, testset, n=8)
+    clean = corpus.join(dirty.select("doc_id"), "doc_id", "left_anti")
+    n4 = clean.count()
+    assert 0 < n4 <= n3
+
+    # 5. shard manifest (token budget 5k at demo scale)
+    manifest = token_budget_shards(
+        clean.select("doc_id", "n_tokens_ws"), "doc_id", "n_tokens_ws", budget=5_000
+    )
+    shard_tok = manifest.groupBy("shard_id").agg(
+        F.sum("n_tokens_ws").alias("tok"), F.max("n_tokens_ws").alias("biggest")
+    )
+    # greedy packing: a shard overflows by at most one document
+    bad = shard_tok.filter(F.col("tok") > 5_000 + F.col("biggest")).count()
+    n_shards = shard_tok.count()
+    assert bad == 0 and n_shards >= 1
+
+    # 6. embedding side: int8 quantization + refined IVF index
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = similarity.quantize_int8(emb)
+    assert q.agg(F.max(F.abs(F.col("q")))).collect()[0][0] <= 127
+    centroids, assigned = similarity.ivf_assign(emb, n_centroids=8, refine_iters=1)
+    assert assigned.filter(F.col("centroid_id") < 0).count() == 0
+    assert centroids.count() == 8
+
+    print(
+        f"corpus curation OK: {n0} docs -> quality {n1} -> exact-dedup {n2} "
+        f"-> near-dedup {n3} -> decontaminated {n4} -> {n_shards} shards; "
+        f"embeddings quantized + {centroids.count()}-list IVF index built"
+    )
+
+
+if __name__ == "__main__":
+    main()
