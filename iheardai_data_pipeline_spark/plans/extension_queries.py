@@ -885,3 +885,86 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     testset = docs.filter(F.col("doc_id") % 20 == 0)
     return dedup.decontaminate(corpus, testset, n=8)
+
+
+# --- duplicate-group keeper by quality ---------------------------------------------
+
+# Same transitive closure as x_dedup_components, but the keeper policy is
+# the one a curation run actually wants: the highest-QUALITY doc per
+# duplicate group (doc_id ascending as the tiebreak), not the min id.
+_KEEPER_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN counts ca ON shared.doc_a = ca.doc_id
+  JOIN counts cb ON shared.doc_b = cb.doc_id
+  WHERE {_JACCARD_SQL} >= 0.7
+),
+edges AS (
+  SELECT doc_a AS node, doc_b AS nbr FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+cc AS (
+  SELECT node, node AS label FROM (SELECT DISTINCT node FROM edges) t
+  UNION
+  SELECT e.nbr, cc.label FROM cc JOIN edges e ON cc.node = e.node
+),
+comp AS (SELECT node, min(label) AS component FROM cc GROUP BY node),
+{_QUALITY_M_CTE},
+docs AS (
+  SELECT d.doc_id,
+         coalesce(comp.component, d.doc_id) AS component,
+         {_QUALITY_EXPR} AS quality
+  FROM documents d
+  LEFT JOIN comp ON d.doc_id = comp.node
+  JOIN m ON m.doc_id = d.doc_id
+)
+SELECT component, group_size, doc_id AS keeper_doc_id, keeper_quality
+FROM (
+  SELECT component, doc_id,
+         COUNT(*) OVER (PARTITION BY component) AS group_size,
+         MAX(quality) OVER (PARTITION BY component) AS keeper_quality,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY quality DESC, doc_id) AS rn
+  FROM docs
+) WHERE rn = 1
+"""
+
+
+@register(
+    "x_dedup_keeper_by_quality",
+    oracle=_KEEPER_ORACLE,
+    tags=("extension", "dedup", "graph"),
+    doc="Duplicate-group keeper selection by QUALITY: transitive closure "
+    "of the near-dup pairs, then one keeper per group chosen by "
+    "(quality DESC, doc_id ASC) — the policy a curation run actually "
+    "applies, vs the min-id convention of x_dedup_components. Reuses "
+    "the components' shuffle; keeper pick is a per-group window.",
+)
+def x_dedup_keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from iheardai_data_pipeline_spark.operators.graph import duplicate_groups_from_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=5, threshold=0.7, max_doc_freq=100)
+    comp = duplicate_groups_from_pairs(docs, pairs).select("doc_id", "component")
+    quality = text.with_text_quality_metrics(docs, "text").select("doc_id", "quality")
+    joined = comp.join(quality, "doc_id")
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.max(F.when(F.col("__rn") == 1, F.col("doc_id"))).alias("keeper_doc_id"),
+            F.max("quality").alias("keeper_quality"),
+        )
+    )
