@@ -106,10 +106,13 @@ WITH seq AS (
 ),
 sess AS (
     SELECT *,
-        SUM(is_new) OVER (
+        -- CAST: DuckDB's integer window SUM yields HUGEINT, which pandas
+        -- materializes as float64; Spark emits int64. The driver hashes
+        -- dtypes-as-values, so pin the oracle to BIGINT.
+        CAST(SUM(is_new) OVER (
             PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ) AS session_seq
+        ) AS BIGINT) AS session_seq
     FROM seq
 )
 SELECT

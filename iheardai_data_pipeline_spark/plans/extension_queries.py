@@ -744,10 +744,14 @@ WITH toks AS (
   FROM documents
 )
 SELECT doc_id, n_tokens,
-  coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset,
-  coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 20000 AS shard_id
+  -- CAST: DuckDB's integer window SUM is HUGEINT -> pandas float64,
+  -- while Spark emits int64 (same divergence as a1_session_kpis r2)
+  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS start_offset,
+  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 20000 AS BIGINT)
+    AS shard_id
 FROM toks
 """
 
