@@ -302,8 +302,22 @@ def minhash_lsh_pairs(
     )
 
 
+def _word_hash64_md5(w):
+    """SQL-portable 64-bit word hash: the first 16 hex chars of md5,
+    interpreted as a two's-complement int64 (two 32-bit halves combined
+    with shift+or so neither engine's signed-overflow checks trip).
+    Bit-identical to the DuckDB oracle's HUGEINT-wrapped equivalent."""
+    m = F.md5(w)
+    hi = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def simhash64(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_hash: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document from distinct word hashes.
 
@@ -312,13 +326,23 @@ def simhash64(
     bit-pack are ONE nested array expression per row — no shuffle at all
     (the old explode/distinct/collect_list form shuffled the word
     relation twice), and Catalyst analysis stays O(1) in sketch width.
+
+    ``word_hash``: "xxhash64" (default — fastest, JVM-native) or
+    "md5_portable" (md5-derived int64, exactly reproducible in ANSI
+    SQL / DuckDB, so the sketch itself can be value-oracled).
     """
+    if word_hash == "xxhash64":
+        hash_fn = F.xxhash64
+    elif word_hash == "md5_portable":
+        hash_fn = _word_hash64_md5
+    else:
+        raise ValueError(f"unknown word_hash {word_hash!r}")
     hset = eval_once(
         ensure_parallelism(docs).filter(F.col(text_col).isNotNull()),
         hs=F.array_distinct(
             F.transform(
                 F.split(normalize_text(F.col(text_col)), " "),
-                lambda w: F.xxhash64(w),
+                lambda w: hash_fn(w),
             )
         ),
     ).select(F.col(id_col), "hs")
@@ -340,14 +364,17 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    word_hash: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming distance <= max_hamming.
 
     Banding: split the 64-bit sketch into max_hamming+1 16-bit chunks —
     any pair within the distance budget must agree on >=1 chunk
     (pigeonhole), so candidates meet on an equi-join, never a cross join.
+    The banding is exhaustive, so the result EQUALS the naive all-pairs
+    hamming filter — which is what the DuckDB oracle computes.
     """
-    sig = simhash64(docs, id_col, text_col)
+    sig = simhash64(docs, id_col, text_col, word_hash=word_hash)
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     chunks = F.array(

@@ -136,15 +136,69 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Full value oracle for the SimHash sketch: with the md5-portable word
+# hash the sketch is deterministic and ANSI-SQL-expressible, and the
+# pigeonhole banding is exhaustive, so the engine's banded equi-join
+# result EQUALS this naive all-pairs hamming filter. 64-bit hashes are
+# built from two 32-bit md5 halves (DuckDB's signed << overflows at 63,
+# so the combine wraps through HUGEINT); bit b is tested with an
+# arithmetic shift, which sign-extension does not disturb under & 1.
+_SIMHASH_ORACLE = r"""
+WITH docs AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+  WHERE text IS NOT NULL
+),
+words AS (
+  SELECT DISTINCT doc_id, w
+  FROM docs, unnest(string_split(t, ' ')) AS u(w)
+),
+hashed AS (
+  SELECT DISTINCT doc_id,
+    CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
+              THEN hv - 18446744073709551616::HUGEINT ELSE hv END AS BIGINT) AS h
+  FROM (
+    SELECT doc_id,
+      CAST(CAST('0x' || substr(md5(w),1,8) AS BIGINT) AS HUGEINT) * 4294967296
+        + CAST('0x' || substr(md5(w),9,8) AS BIGINT) AS hv
+    FROM words
+  )
+),
+bits AS (
+  SELECT doc_id, b,
+    SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, (SELECT unnest(range(0, 64)) AS b)
+  GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN s > 0 THEN
+        CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+             ELSE CAST(1 AS BIGINT) << b END
+      ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits
+  GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id
+WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3
+"""
+
+
 @register(
     "x_dedup_simhash",
-    oracle=None,  # xxhash64-seeded sketch: not reproducible in ANSI SQL
+    oracle=_SIMHASH_ORACLE,
     tags=("extension", "dedup", "sketch"),
     doc="SimHash-64 near-dup pairs (hamming<=3) via pigeonhole chunk "
-    "banding; rows-only check (sketch bits depend on xxhash64).",
+    "banding, md5-portable word hash; oracle = naive all-pairs hamming "
+    "filter over the identically-computed sketch (banding is exhaustive, "
+    "so the two are provably equal).",
 )
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+    return dedup.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=3, word_hash="md5_portable"
+    )
 
 
 # --- similarity search -----------------------------------------------------------
@@ -205,6 +259,51 @@ def x_sim_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4
     )
+
+
+# Full value oracle for the IVF assignment step: seed centroids are the
+# first 16 vectors by id and the score is a LEFT-FOLD dot product times a
+# 1/|c| constant — DuckDB's list_reduce folds in the same order over the
+# same float32->double widenings, so every double is bit-identical to the
+# JVM fold in similarity._argmax_centroid_expr. Ties break to the lowest
+# centroid id on both sides (strict > vs ORDER BY s DESC, cid ASC).
+_IVF_ASSIGN_ORACLE = """
+WITH cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         embedding::DOUBLE[] AS cvec,
+         1.0 / sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                                (a, b) -> a + b)) AS invn
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+scores AS (
+  SELECT e.vec_id, c.cid,
+         list_reduce(list_transform(range(1, 65),
+             i -> e.embedding[i]::DOUBLE * c.cvec[i]), (a, b) -> a + b) * c.invn AS s
+  FROM embeddings e, cent c
+)
+SELECT vec_id, centroid_id FROM (
+  SELECT vec_id, CAST(cid AS INT) AS centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+  FROM scores
+)
+WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
+@register(
+    "x_sim_ivf_assign",
+    oracle=_IVF_ASSIGN_ORACLE,
+    tags=("extension", "similarity"),
+    doc="IVF index-build assignment (deterministic seed centroids = first "
+    "16 vectors by id): every vector mapped to its max-cosine centroid by "
+    "the narrow argmax-scores expression — no crossJoin, no shuffle. "
+    "Oracle = naive all-pairs argmax with identical fold arithmetic.",
+)
+def x_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assigned = similarity.ivf_assign(emb, n_centroids=16, refine_iters=0)
+    return assigned.select("vec_id", "centroid_id").orderBy("vec_id")
 
 
 @register(
