@@ -463,9 +463,14 @@ def decontaminate(
     n-gram with a held-out evaluation set (the standard 8-13-gram
     collision test used before LLM training runs).
 
-    Shape: both sides shingle row-locally (hashed to longs), the test
-    side's distinct shingle set is typically tiny relative to the corpus
-    — a broadcast-able semi-join probe. The corpus side aggregates
+    Shape: both sides shingle row-locally, the test side's distinct
+    shingle set is typically tiny relative to the corpus — a
+    broadcast-able semi-join probe. The join KEY is the 8-byte xxhash64
+    (keeps shuffled rows narrow if the test side ever outgrows
+    broadcast), with a residual equality on the raw shingle so a 64-bit
+    hash collision between distinct shingles can never inflate
+    n_collisions — the result exactly matches a raw-string join (which
+    is what the DuckDB oracle computes). The corpus side aggregates
     collision counts per doc in the same shuffle. Output: every corpus
     doc with its collision count (docs with 0 collisions are clean and
     absent; anti-join against this result to get the clean corpus).
@@ -475,11 +480,13 @@ def decontaminate(
     )
     test_sh = (
         word_shingles(testset, id_col, text_col, n)
-        .select(F.xxhash64("shingle").alias("h"))
+        .select("shingle")
         .distinct()
+        .select(F.xxhash64("shingle").alias("h"), F.col("shingle").alias("__t_shingle"))
     )
     return (
         corpus_sh.join(test_sh, "h")
+        .filter(F.col("shingle") == F.col("__t_shingle"))
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_collisions"))
     )

@@ -81,27 +81,29 @@ def with_text_quality_metrics(df, text_col: str = "text"):
     text, and Catalyst's CollapseProject inlines an aliased split into
     every downstream reference — quality_score alone re-evaluated the
     split ~6x (measured 6.3s vs 0.6s on 5k docs at sf0.1). Here the
-    lowered word array, raw length, and punct count are computed exactly
-    once behind the eval_once generator barrier and every metric derives
-    from them. Values are identical to the per-Column definitions
-    (lowercasing preserves word lengths, so mean_word_len can share the
-    lowered split).
+    word array, raw length, and punct count are computed exactly once
+    behind the eval_once generator barrier and every metric derives from
+    them. The split is NOT lowercased: word lengths must come from the
+    raw words (Unicode lowercasing can change string length, e.g.
+    U+0130 'İ' -> 'i' + combining dot), matching the standalone
+    mean_word_len helper and the DuckDB oracle; only the stopword
+    membership test lowercases, per word inside the filter lambda.
     """
     from iheardai_data_pipeline_spark.sources.batch import eval_once
 
     t = _col(text_col)
     base = eval_once(
         df,
-        __lw=F.split(F.lower(F.trim(t)), r"\s+"),
+        __w=F.split(F.trim(t), r"\s+"),
         __nchars=F.length(t),
         __ntrim=F.length(F.trim(t)),
         __npunct=F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]")),
         __nbpe=F.regexp_count(t, F.lit(BPE_TOKEN_PATTERN)),
     )
-    lw = F.col("__lw")
+    lw = F.col("__w")
     nchars, ntrim = F.col("__nchars"), F.col("__ntrim")
     stop_arr = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
-    hits = F.size(F.filter(lw, lambda w: F.array_contains(stop_arr, w)))
+    hits = F.size(F.filter(lw, lambda w: F.array_contains(stop_arr, F.lower(w))))
     wlen_total = F.aggregate(lw, F.lit(0), lambda acc, w: acc + F.length(w))
     zero = F.lit(0.0)
     base = eval_once(
@@ -132,7 +134,7 @@ def with_text_quality_metrics(df, text_col: str = "text"):
         + F.when((mwl >= 3) & (mwl <= 12), 20).otherwise(0)
     ).cast("int")
     return base.withColumn("quality", quality).drop(
-        "__lw", "__nchars", "__ntrim", "__npunct", "__nbpe"
+        "__w", "__nchars", "__ntrim", "__npunct", "__nbpe"
     )
 
 

@@ -69,16 +69,32 @@ def infer_epoch_unit(max_value: int | None) -> int:
     per-row magnitude test would silently mix units when a column spans
     an order-of-magnitude boundary (e.g. ms epochs with one pre-2001
     outlier).
+
+    Supported epoch range: the column MAX must be post-2001-09
+    (>= 1e9 s / 1e12 ms / 1e15 µs / 1e18 ns). A column whose maximum
+    falls wholly below a unit boundary (e.g. all-pre-2001 millis,
+    max < 1e12) is indistinguishable from the next-smaller unit by
+    magnitude alone and would be misconverted — raise rather than
+    guess when the implied instant lands outside a plausible window.
     """
     if max_value is None:
         return 1  # empty column: treat as µs; nothing to convert anyway
     if max_value >= 1_000_000_000_000_000_000:
-        return -1000  # nanos: DIVIDE by 1000 (marker, see below)
-    if max_value >= 1_000_000_000_000_000:
-        return 1  # micros
-    if max_value >= 1_000_000_000_000:
-        return 1_000  # millis
-    return 1_000_000  # seconds
+        unit = -1000  # nanos: DIVIDE by 1000 (marker, see below)
+    elif max_value >= 1_000_000_000_000_000:
+        unit = 1  # micros
+    elif max_value >= 1_000_000_000_000:
+        unit = 1_000  # millis
+    else:
+        unit = 1_000_000  # seconds
+    implied_us = max_value // 1000 if unit == -1000 else max_value * unit
+    if implied_us < 1_000_000_000_000_000:  # < 2001-09-09 in µs
+        raise ValueError(
+            f"epoch column max {max_value} implies a pre-2001 instant under "
+            f"every unit hypothesis — magnitude inference cannot pick a unit "
+            f"for wholly-pre-2001 data; convert this column explicitly"
+        )
+    return unit
 
 
 def bigint_epoch_to_ts(col: str, unit_to_micros: int) -> F.Column:

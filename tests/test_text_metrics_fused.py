@@ -18,6 +18,9 @@ DOCS = [
     (7, "The the THE the and and is is to to in in."),
     (8, "x" * 250),
     (9, "Mixed 123 tokens, with punct-uation; and números."),
+    # U+0130 lowercases to 'i' + combining dot (length changes): word
+    # lengths must come from the UN-lowered split
+    (10, "İstanbul İZMİR and the İ case"),
 ]
 
 
@@ -87,3 +90,8 @@ def test_bigint_epoch_unit_inference(spark):
     df = spark.createDataFrame([(base_s * 1_000_000_000 + 123_456_789,)], "v long")
     out = df.select(F.unix_micros(bigint_epoch_to_ts("v", -1000)).alias("us")).collect()
     assert out[0]["us"] == base_s * 1_000_000 + 123_456
+    # wholly-pre-2001 columns are ambiguous under magnitude inference:
+    # refuse rather than silently shift every timestamp
+    for bad in (5, 999_999_999, 999_999_999_999 // 1000):
+        with pytest.raises(ValueError, match="pre-2001"):
+            infer_epoch_unit(bad)
