@@ -48,7 +48,11 @@ def archive_sink(
 
 class ParquetUpsertStore:
     """Keyed parquet snapshot store with last-writer-wins merge — the
-    test-rig stand-in for a Delta table / Postgres upsert target."""
+    single-writer test-rig stand-in for a Delta table / Postgres upsert
+    target. For concurrent-writer safety or real MERGE, use the
+    drop-in backends in :mod:`streaming.stores`
+    (``TransactionalParquetStore`` / ``DeltaMergeStore``) — same
+    ``read``/``merge``/``write_snapshot`` interface."""
 
     def __init__(self, spark: SparkSession, path: str, key_cols: list[str], order_cols: list[str]):
         self.spark = spark
@@ -67,9 +71,13 @@ class ParquetUpsertStore:
             merged = updates
         else:
             merged = merge_upsert(current, updates, self.key_cols, self.order_cols)
+        self.write_snapshot(merged)
+
+    def write_snapshot(self, df: DataFrame) -> None:
         # write-then-swap so a crash never leaves a half-written snapshot
+        # (the input may read from self.path, so materialize to tmp first)
         tmp = self.path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
+        df.write.mode("overwrite").parquet(tmp)
         final = self.spark.read.parquet(tmp)
         final.write.mode("overwrite").parquet(self.path)
 
@@ -110,9 +118,7 @@ def session_kpis_foreach_batch(
             )
         else:
             merged = partial
-        tmp = store.path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        store.spark.read.parquet(tmp).write.mode("overwrite").parquet(store.path)
+        store.write_snapshot(merged)
 
     return apply
 
@@ -137,9 +143,7 @@ def session_state_foreach_batch(store: ParquetUpsertStore, seq_col: str = "seq")
             merged = last_write_wins(
                 current.unionByName(newest), store.key_cols, [seq_col]
             )
-        tmp = store.path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        store.spark.read.parquet(tmp).write.mode("overwrite").parquet(store.path)
+        store.write_snapshot(merged)
 
     return apply
 

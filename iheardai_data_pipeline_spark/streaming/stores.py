@@ -1,0 +1,272 @@
+"""Pluggable keyed upsert stores for foreachBatch sinks (§3.2, K2/K4/M1-M4).
+
+The reference's upserts are transactional (``ON CONFLICT ... DO UPDATE``
+inside a connection transaction, enhanced_kpi_consumer.py:395-434). The
+rig's original ``ParquetUpsertStore`` (sinks.py) is rewrite-on-merge
+WITHOUT concurrent-writer safety — fine for a single-writer test rig,
+wrong for production. This module closes that gap with two backends
+behind one interface (``read`` / ``merge`` / ``write_snapshot``):
+
+- :class:`TransactionalParquetStore` — optimistic concurrency control on
+  a plain filesystem: every commit stages a complete snapshot under a
+  unique directory, then atomically claims the next version number with
+  an exclusive hard link (``os.link`` fails with EEXIST if the version
+  is taken — the same claim primitive Delta's log protocol relies on for
+  its ``_delta_log/N.json`` files). A losing writer re-reads the new
+  base, re-merges, and retries; readers only ever see fully-committed
+  versions, so reads are snapshot-isolated and a crash mid-write leaves
+  at most an unreferenced staging dir (cleaned by :meth:`vacuum`).
+
+- :class:`DeltaMergeStore` — a real Delta Lake ``MERGE INTO`` when the
+  ``delta-spark`` package is installed (it is not in this rig's
+  container, so the class import-gates and its test skips; the MERGE
+  condition reproduces the same last-writer-wins ordering the parquet
+  stores implement).
+
+At 100 TB the parquet stores' full-snapshot rewrite is the scale
+limitation (every merge rewrites the table); Delta's MERGE rewrites only
+touched files. The interface isolates that choice from the foreachBatch
+logic, which is identical across backends.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iheardai_data_pipeline_spark.operators.mutations import (
+    last_write_wins,
+    merge_upsert,
+)
+
+try:  # pragma: no cover - exercised only where delta-spark is installed
+    from delta.tables import DeltaTable  # type: ignore
+
+    HAS_DELTA = True
+except ImportError:
+    DeltaTable = None
+    HAS_DELTA = False
+
+
+class TransactionalParquetStore:
+    """Keyed upsert store with optimistic-concurrency commits on parquet.
+
+    Layout under ``path``::
+
+        _snapshots/<uuid>/   complete parquet snapshot per committed (or
+                             in-flight) version
+        _commits/<N>         content = the snapshot dir name for version N;
+                             created atomically via exclusive hard link
+
+    ``merge`` semantics match :func:`operators.mutations.merge_upsert`
+    last-writer-wins on ``order_cols`` per ``key_cols`` — the reference's
+    ``ON CONFLICT DO UPDATE WHERE excluded.seq > current.seq`` shape.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        order_cols: list[str],
+        max_retries: int = 10,
+    ):
+        self.spark = spark
+        self.path = path
+        self.key_cols = key_cols
+        self.order_cols = order_cols
+        self.max_retries = max_retries
+        os.makedirs(os.path.join(path, "_snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(path, "_commits"), exist_ok=True)
+
+    # -- commit-log primitives ------------------------------------------------
+
+    def _commits_dir(self) -> str:
+        return os.path.join(self.path, "_commits")
+
+    def current_version(self) -> int:
+        """Highest committed version, or 0 if the store is empty."""
+        versions = [int(f) for f in os.listdir(self._commits_dir()) if f.isdigit()]
+        return max(versions, default=0)
+
+    def _snapshot_dir(self, version: int) -> str | None:
+        marker = os.path.join(self._commits_dir(), str(version))
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as fh:
+            name = json.load(fh)["snapshot"]
+        return os.path.join(self.path, "_snapshots", name)
+
+    def _try_commit(self, version: int, snapshot_name: str) -> bool:
+        """Atomically claim ``version`` for ``snapshot_name``.
+
+        The marker's content is fully written BEFORE the exclusive
+        ``os.link`` publishes it, so any reader that can see the marker
+        sees a complete pointer to a complete snapshot. Returns False
+        when another writer already owns the version (EEXIST).
+        """
+        tmp = os.path.join(self._commits_dir(), f".tmp-{snapshot_name}")
+        with open(tmp, "w") as fh:
+            json.dump({"snapshot": snapshot_name}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, os.path.join(self._commits_dir(), str(version)))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def _stage_snapshot(self, df: DataFrame) -> str:
+        name = uuid.uuid4().hex
+        df.write.mode("overwrite").parquet(os.path.join(self.path, "_snapshots", name))
+        return name
+
+    # -- store interface ------------------------------------------------------
+
+    def read(self) -> DataFrame | None:
+        """Latest committed snapshot (snapshot-isolated), or None if empty."""
+        return self.read_version(self.current_version())
+
+    def read_version(self, version: int) -> DataFrame | None:
+        """Time travel: any still-vacuum-retained committed version."""
+        if version <= 0:
+            return None
+        d = self._snapshot_dir(version)
+        return None if d is None else self.spark.read.parquet(d)
+
+    def merge(self, updates: DataFrame) -> None:
+        """Transactional last-writer-wins merge with OCC retry."""
+        for _ in range(self.max_retries):
+            base_version = self.current_version()
+            current = self.read_version(base_version)
+            if current is None:
+                # first commit: still LWW-dedup within the batch itself
+                merged = last_write_wins(updates, self.key_cols, self.order_cols)
+            else:
+                merged = merge_upsert(current, updates, self.key_cols, self.order_cols)
+            name = self._stage_snapshot(merged)
+            if self._try_commit(base_version + 1, name):
+                return
+            # lost the race: another writer committed base_version+1 first;
+            # drop our stale staging dir and re-merge against the new base
+            shutil.rmtree(
+                os.path.join(self.path, "_snapshots", name), ignore_errors=True
+            )
+        raise RuntimeError(
+            f"merge on {self.path} lost {self.max_retries} consecutive "
+            f"commit races — raise max_retries or serialize the writers"
+        )
+
+    def write_snapshot(self, df: DataFrame) -> None:
+        """Full-replace commit through the same versioned protocol."""
+        for _ in range(self.max_retries):
+            base_version = self.current_version()
+            name = self._stage_snapshot(df)
+            if self._try_commit(base_version + 1, name):
+                return
+            shutil.rmtree(
+                os.path.join(self.path, "_snapshots", name), ignore_errors=True
+            )
+        raise RuntimeError(f"write_snapshot on {self.path} lost every commit race")
+
+    def vacuum(self, keep: int = 2) -> None:
+        """Drop snapshots (and markers) older than the newest ``keep``
+        committed versions, plus any unreferenced staging dirs."""
+        versions = sorted(
+            int(f) for f in os.listdir(self._commits_dir()) if f.isdigit()
+        )
+        live = versions[-keep:] if keep else []
+        referenced = set()
+        for v in versions:
+            d = self._snapshot_dir(v)
+            if v in live and d is not None:
+                referenced.add(os.path.basename(d))
+                continue
+            if d is not None:
+                shutil.rmtree(d, ignore_errors=True)
+            os.unlink(os.path.join(self._commits_dir(), str(v)))
+        snaps = os.path.join(self.path, "_snapshots")
+        for name in os.listdir(snaps):
+            if name not in referenced:
+                shutil.rmtree(os.path.join(snaps, name), ignore_errors=True)
+
+
+class DeltaMergeStore:
+    """Delta Lake ``MERGE INTO`` upsert store (requires delta-spark).
+
+    Mirrors reference enhanced_kpi_consumer.py:395-434 (``ON CONFLICT DO
+    UPDATE``): matched rows take the update batch's values, unmatched
+    rows insert — the same UPDATE-PRIORITY semantics as
+    :func:`operators.mutations.merge_upsert`, so the three backends are
+    drop-in interchangeable. (Seq-GUARDED maintenance lives a layer up:
+    session_state_foreach_batch pre-resolves with last_write_wins and
+    calls ``write_snapshot``.) Within the update batch itself, the newest
+    row per key on ``order_cols`` is applied. Delta gives the production
+    properties the parquet stores approximate: file-level MERGE (no full
+    rewrite) and its own OCC on the log.
+    """
+
+    def __init__(
+        self, spark: SparkSession, path: str, key_cols: list[str], order_cols: list[str]
+    ):
+        if not HAS_DELTA:
+            raise ImportError(
+                "delta-spark is not installed; use TransactionalParquetStore "
+                "(same interface, same merge semantics) instead"
+            )
+        self.spark = spark
+        self.path = path
+        self.key_cols = key_cols
+        self.order_cols = order_cols
+
+    def read(self) -> DataFrame | None:
+        if not DeltaTable.isDeltaTable(self.spark, self.path):
+            return None
+        return self.spark.read.format("delta").load(self.path)
+
+    def merge(self, updates: DataFrame) -> None:
+        # MERGE requires unique keys on the source side: pre-resolve the
+        # batch to its newest row per key (same as merge_upsert's window)
+        resolved = last_write_wins(updates, self.key_cols, self.order_cols)
+        if self.read() is None:
+            resolved.write.format("delta").save(self.path)
+            return
+        tbl = DeltaTable.forPath(self.spark, self.path)
+        on = " AND ".join(f"t.`{k}` = u.`{k}`" for k in self.key_cols)
+        (
+            tbl.alias("t")
+            .merge(resolved.alias("u"), on)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+
+    def write_snapshot(self, df: DataFrame) -> None:
+        df.write.format("delta").mode("overwrite").save(self.path)
+
+
+def make_upsert_store(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    fmt: str = "parquet",
+):
+    """Factory over the three upsert backends: ``parquet`` (single-writer
+    snapshot rewrite), ``parquet_txn`` (OCC-versioned parquet), ``delta``
+    (real MERGE; raises ImportError where delta-spark is absent)."""
+    if fmt == "parquet":
+        from iheardai_data_pipeline_spark.streaming.sinks import ParquetUpsertStore
+
+        return ParquetUpsertStore(spark, path, key_cols, order_cols)
+    if fmt == "parquet_txn":
+        return TransactionalParquetStore(spark, path, key_cols, order_cols)
+    if fmt == "delta":
+        return DeltaMergeStore(spark, path, key_cols, order_cols)
+    raise ValueError(f"unknown store format {fmt!r}")

@@ -1,0 +1,124 @@
+"""TransactionalParquetStore: OCC commit protocol, snapshot isolation,
+retry-on-conflict, vacuum. The foreachBatch contract itself is covered
+backend-parametrized in test_streaming.py."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from iheardai_data_pipeline_spark.streaming.stores import (
+    HAS_DELTA,
+    DeltaMergeStore,
+    TransactionalParquetStore,
+)
+
+SCHEMA = "k string, seq int, v string"
+
+
+def _store(spark, tmp_path, name="s"):
+    return TransactionalParquetStore(spark, str(tmp_path / name), ["k"], ["seq"])
+
+
+def test_merge_last_writer_wins_and_versions(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    assert st.read() is None and st.current_version() == 0
+    st.merge(spark.createDataFrame([("a", 1, "a1"), ("b", 1, "b1")], SCHEMA))
+    st.merge(spark.createDataFrame([("a", 2, "a2"), ("c", 1, "c1")], SCHEMA))
+    got = {r["k"]: (r["seq"], r["v"]) for r in st.read().collect()}
+    assert got == {"a": (2, "a2"), "b": (1, "b1"), "c": (1, "c1")}
+    assert st.current_version() == 2
+    # merge() is UPDATE-PRIORITY (M3 semantics, same as merge_upsert /
+    # ParquetUpsertStore): the updates batch beats the target even on a
+    # lower seq. Seq-GUARDED state maintenance instead goes through
+    # last_write_wins + write_snapshot (session_state_foreach_batch).
+    st.merge(spark.createDataFrame([("a", 1, "LATEST-BATCH")], SCHEMA))
+    assert {r["k"]: r["v"] for r in st.read().collect()}["a"] == "LATEST-BATCH"
+
+
+def test_first_commit_dedups_within_batch(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    st.merge(spark.createDataFrame([("a", 1, "old"), ("a", 5, "new")], SCHEMA))
+    rows = st.read().collect()
+    assert len(rows) == 1 and rows[0]["v"] == "new"
+
+
+def test_commit_claim_is_exclusive(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    assert st._try_commit(1, "snap-a")
+    assert not st._try_commit(1, "snap-b")  # version already owned
+    assert st._try_commit(2, "snap-c")
+
+
+def test_lost_race_retries_against_new_base(spark, tmp_path):
+    """A writer that loses the commit race must re-merge on the winner's
+    data, not overwrite it (the reference's transactional guarantee)."""
+    path = str(tmp_path / "s")
+    a = TransactionalParquetStore(spark, path, ["k"], ["seq"])
+    b = TransactionalParquetStore(spark, path, ["k"], ["seq"])
+    a.merge(spark.createDataFrame([("a", 1, "base")], SCHEMA))
+
+    # interleave: while A is mid-merge (after reading its base, before
+    # committing), B commits — A's first claim must fail and retry
+    real_stage = a._stage_snapshot
+    fired = []
+
+    def stage_with_interleaved_writer(df):
+        name = real_stage(df)  # A's snapshot of the OLD base is staged
+        if not fired:
+            fired.append(True)
+            b.merge(spark.createDataFrame([("b", 1, "from-b")], SCHEMA))
+        return name
+
+    a._stage_snapshot = stage_with_interleaved_writer
+    a.merge(spark.createDataFrame([("a", 2, "from-a")], SCHEMA))
+    got = {r["k"]: r["v"] for r in a.read().collect()}
+    assert got == {"a": "from-a", "b": "from-b"}  # neither write lost
+    assert a.current_version() == 3  # base + B's commit + A's retry
+
+
+def test_concurrent_writers_no_lost_update(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    st.merge(spark.createDataFrame([("seed", 0, "x")], SCHEMA))
+    errs = []
+
+    def write(key):
+        try:
+            other = TransactionalParquetStore(
+                spark, st.path, ["k"], ["seq"]
+            )
+            other.merge(spark.createDataFrame([(key, 1, key)], SCHEMA))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=write, args=(f"k{i}",)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    keys = {r["k"] for r in st.read().collect()}
+    assert keys == {"seed", "k0", "k1", "k2", "k3"}  # no lost updates
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    st.merge(spark.createDataFrame([("a", 1, "v1")], SCHEMA))
+    st.merge(spark.createDataFrame([("a", 2, "v2")], SCHEMA))
+    assert st.read_version(1).collect()[0]["v"] == "v1"  # snapshot isolation
+    assert st.read_version(2).collect()[0]["v"] == "v2"
+    st.vacuum(keep=1)
+    assert st.read_version(1) is None  # vacuumed
+    assert st.read().collect()[0]["v"] == "v2"  # latest intact
+
+
+@pytest.mark.skipif(not HAS_DELTA, reason="delta-spark not installed in this rig")
+def test_delta_merge_backend(spark, tmp_path):  # pragma: no cover
+    st = DeltaMergeStore(spark, str(tmp_path / "d"), ["k", "seq"], ["seq"])
+    st.merge(spark.createDataFrame([("a", 1, "a1")], SCHEMA))
+    st.merge(spark.createDataFrame([("a", 2, "a2"), ("b", 1, "b1")], SCHEMA))
+    # update-priority: the newest batch's row replaces the match
+    st.merge(spark.createDataFrame([("a", 2, "a2x")], SCHEMA))
+    got = {(r["k"], r["seq"]): r["v"] for r in st.read().collect()}
+    assert got == {("a", 1): "a1", ("a", 2): "a2x", ("b", 1): "b1"}

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from iheardai_data_pipeline_spark.sources.batch import load_table
@@ -14,7 +15,15 @@ from iheardai_data_pipeline_spark.streaming.sinks import (
     session_kpis_foreach_batch,
     session_state_foreach_batch,
 )
+from iheardai_data_pipeline_spark.streaming.stores import (
+    HAS_DELTA,
+    TransactionalParquetStore,
+    make_upsert_store,
+)
 from iheardai_data_pipeline_spark.streaming.windows import dedup_within_watermark
+
+# every upsert backend must satisfy the same foreachBatch contract
+STORE_BACKENDS = ["parquet", "parquet_txn"] + (["delta"] if HAS_DELTA else [])
 
 
 def test_t5_watermark_dedup(spark, sf_dir, tmp_path):
@@ -53,12 +62,16 @@ def test_t7_archive_sink_partitioning(spark, sf_dir, tmp_path):
     assert n_out == n_src
 
 
-def test_foreachbatch_session_kpis_incremental(spark, sf_dir, tmp_path):
-    """Two micro-batches merged == one-shot batch aggregate (§3.2)."""
+@pytest.mark.parametrize("fmt", STORE_BACKENDS)
+def test_foreachbatch_session_kpis_incremental(spark, sf_dir, tmp_path, fmt):
+    """Two micro-batches merged == one-shot batch aggregate (§3.2),
+    identical across every upsert-store backend."""
     events = load_table(spark, sf_dir, "events")
     b1 = events.filter(F.col("event_id") % 2 == 0)
     b2 = events.filter(F.col("event_id") % 2 == 1)
-    store = ParquetUpsertStore(spark, str(tmp_path / "kpis"), ["user_id"], ["ended_at_s"])
+    store = make_upsert_store(
+        spark, str(tmp_path / "kpis"), ["user_id"], ["ended_at_s"], fmt=fmt
+    )
     fb = session_kpis_foreach_batch(store)
     fb(b1, 0)
     fb(b2, 1)
@@ -72,9 +85,12 @@ def test_foreachbatch_session_kpis_incremental(spark, sf_dir, tmp_path):
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
-def test_foreachbatch_session_state_seq_guard(spark, tmp_path):
+@pytest.mark.parametrize("fmt", STORE_BACKENDS)
+def test_foreachbatch_session_state_seq_guard(spark, tmp_path, fmt):
     """Stale updates (lower seq) never overwrite newer state (J4/W3)."""
-    store = ParquetUpsertStore(spark, str(tmp_path / "state"), ["session_id"], ["seq"])
+    store = make_upsert_store(
+        spark, str(tmp_path / "state"), ["session_id"], ["seq"], fmt=fmt
+    )
     fb = session_state_foreach_batch(store)
     b1 = spark.createDataFrame(
         [("s1", 3, "engaged"), ("s2", 1, "new")], "session_id string, seq int, stage string"
