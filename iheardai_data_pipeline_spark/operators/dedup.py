@@ -219,12 +219,25 @@ def minhash_lsh_pairs(
     k: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    verify: str = "array",
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified.
 
     Pipeline: shingle -> k minhashes -> band into ``bands`` groups of
     k/bands rows -> candidates collide on (band, band_signature) ->
     verify candidates with exact Jaccard >= threshold.
+
+    ``verify`` picks the exact-Jaccard strategy (identical results):
+    - "array": attach both docs' hashed shingle sets to each candidate
+      pair and array_intersect row-locally. Fastest for ordinary
+      documents (one narrow join, no shingle-level shuffle), but holds
+      two whole shingle sets in one row — memory scales with doc length.
+    - "streaming": count shared shingles with a per-shingle equi-join +
+      streaming aggregate; no row ever holds a whole set, so memory is
+      bounded regardless of document size (book-length texts). Costs one
+      extra shuffle keyed on (doc, shingle-hash), restricted to
+      candidate docs only. Zero-overlap candidates drop out of the
+      inner join, so results equal "array" mode for any threshold > 0.
 
     With r = k/bands rows per band the collision probability at
     similarity s is 1-(1-s^r)^bands (~0.9998 at s=0.7 with 16x4), so
@@ -276,25 +289,64 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # exact-Jaccard verification of candidates only: attach each side's
-    # collected shingle set and intersect per pair — candidate count is
-    # ~#near-dups, so the per-pair array_intersect work is tiny, and no
-    # second shingle-level shuffle cascade is needed.
-    sets = profile.select(id_col, "sh_set")
-    return (
+    if verify == "array":
+        # exact-Jaccard verification of candidates only: attach each side's
+        # collected shingle set and intersect per pair — candidate count is
+        # ~#near-dups, so the per-pair array_intersect work is tiny, and no
+        # second shingle-level shuffle cascade is needed.
+        sets = profile.select(id_col, "sh_set")
+        return (
+            candidates.join(
+                sets.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("set_a")),
+                "doc_a",
+            )
+            .join(
+                sets.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("set_b")),
+                "doc_b",
+            )
+            .withColumn("shared", F.size(F.array_intersect("set_a", "set_b")))
+            .withColumn(
+                "jaccard",
+                ratio_half_up(
+                    F.col("shared"), F.size("set_a") + F.size("set_b") - F.col("shared"), 4
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+    if verify != "streaming":
+        raise ValueError(f"unknown verify mode {verify!r}")
+    # memory-bounded verification: |A ∩ B| as a per-shingle equi-join.
+    # Every operator here streams — explode emits one (doc, hash) row at
+    # a time and the count aggregates map-side — so no task ever
+    # materializes a whole shingle set, whatever the document length.
+    # The explode is pruned to candidate docs first (left_semi on the
+    # usually-small candidate id set).
+    sizes = profile.select(F.col(id_col), F.size("sh_set").alias("n"))
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .union(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        profile.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), F.explode("sh_set").alias("h"))
+    )
+    shared = (
         candidates.join(
-            sets.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("set_a")),
-            "doc_a",
+            sh.select(F.col(id_col).alias("doc_a"), "h"), "doc_a"
         )
-        .join(
-            sets.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("set_b")),
-            "doc_b",
-        )
-        .withColumn("shared", F.size(F.array_intersect("set_a", "set_b")))
+        .join(sh.select(F.col(id_col).alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
         .withColumn(
             "jaccard",
             ratio_half_up(
-                F.col("shared"), F.size("set_a") + F.size("set_b") - F.col("shared"), 4
+                F.col("shared"), F.col("n_a") + F.col("n_b") - F.col("shared"), 4
             ),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -36,3 +36,35 @@ def test_jaccard_identical_docs(spark):
     pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
              ngram_jaccard_pairs(docs, threshold=0.5).collect()}
     assert pairs == {(1, 2): 1.0}
+
+
+def test_lsh_streaming_verify_equals_array_verify_on_long_docs(spark):
+    """The memory-bounded per-shingle verify must return EXACTLY the
+    array-intersect verify's pairs and jaccards, including on book-length
+    texts (the case the streaming mode exists for)."""
+    from iheardai_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    # synthetic "books": thousands of words, with near-dup structure —
+    # base text, light edits (insertions / substitutions), and unrelated
+    # controls; deterministic construction, no RNG state
+    base = " ".join(f"w{i % 977} t{i % 389} s{(i * 7) % 613}" for i in range(2000))
+    edited = base.replace("w5 ", "w5 EXTRA ", 20)  # ~1% insertions
+    subbed = " ".join(
+        (w if i % 29 else "SUB") for i, w in enumerate(base.split())
+    )
+    control = " ".join(f"c{i}" for i in range(5000))
+    docs = _docs(
+        spark,
+        [(1, base), (2, edited), (3, subbed), (4, control), (5, base + " tail words here")],
+    )
+    kwargs = dict(n=5, k=64, bands=16, threshold=0.5)
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, verify="array", **kwargs).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, verify="streaming", **kwargs).collect()
+    }
+    assert want, "fixture produced no near-dup pairs — test is vacuous"
+    assert got == want
