@@ -70,9 +70,11 @@ def _ensure_loaded() -> None:
         "iheardai_data_pipeline_spark.plans.transform_queries",
         "iheardai_data_pipeline_spark.plans.aggregate_queries",
         "iheardai_data_pipeline_spark.plans.benchmark_queries",
+        "iheardai_data_pipeline_spark.plans.benchmark_queries_ext",
         "iheardai_data_pipeline_spark.plans.streaming_queries",
         "iheardai_data_pipeline_spark.plans.extension_queries",
         "iheardai_data_pipeline_spark.plans.transform_queries_wide",
+        "iheardai_data_pipeline_spark.plans.corpus_queries",
     ):
         importlib.import_module(mod)
     _LOADED = True
