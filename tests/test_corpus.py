@@ -1,0 +1,135 @@
+"""Unit tests for operators/corpus.py on crafted documents.
+
+The catalog-oracle test (`test_catalog_oracle.py`) already hash-compares
+the four corpus queries against DuckDB on the fixture tables; these
+tests pin the SEMANTICS on hand-built edge cases (single-word docs,
+fully-repeated docs, deterministic sampling invariants).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iheardai_data_pipeline_spark.operators import corpus
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+class TestRepetitionMetrics:
+    def test_all_distinct_words(self, spark):
+        df = _docs(spark, [(1, "a b c d", "s")])
+        row = corpus.repetition_metrics(df).collect()[0]
+        assert row.n_words == 4
+        assert row.n_distinct_words == 4
+        assert row.dup_word_frac == 0.0
+        assert row.top_word_frac == 0.25
+        assert row.top_bigram_frac == pytest.approx(1 / 3, abs=1e-6)
+
+    def test_fully_repeated_doc_dropped(self, spark):
+        df = _docs(spark, [(1, "x x x x x x x x x x", "s")])
+        row = corpus.repetition_metrics(df).collect()[0]
+        assert row.dup_word_frac == 0.9
+        assert row.top_word_frac == 1.0
+        assert row.top_bigram_frac == 1.0
+        assert not row.keep
+
+    def test_single_word_doc_has_zero_bigram_frac(self, spark):
+        df = _docs(spark, [(1, "solo", "s")])
+        row = corpus.repetition_metrics(df).collect()[0]
+        assert row.n_words == 1
+        assert row.top_bigram_frac == 0.0
+
+    def test_top_bigram_counts_adjacent_pairs(self, spark):
+        # "a b" occurs twice among 4 bigrams
+        df = _docs(spark, [(1, "a b a b c", "s")])
+        row = corpus.repetition_metrics(df).collect()[0]
+        assert row.top_bigram_frac == 0.5
+
+
+class TestCorpusLmScores:
+    def test_common_vs_rare_tokens(self, spark):
+        # 'the' appears 8x corpus-wide, 'zq' once; doc 2 is rare-heavy
+        df = _docs(
+            spark,
+            [
+                (1, "the the the the the the the the", "s"),
+                (2, "zq the", "s"),
+            ],
+        )
+        rows = {r.doc_id: r for r in corpus.corpus_lm_scores(df).collect()}
+        # doc1: mean freq = 9/10 corpus tokens -> 900000 fpm
+        assert rows[1].mean_tok_fpm == 900000.0
+        # doc2: (1*1 + 1*9)/(2*10) = 0.5 -> 500000 fpm
+        assert rows[2].mean_tok_fpm == 500000.0
+        assert rows[1].rare_token_frac == 0.0
+        assert rows[2].rare_token_frac == 0.5  # 'zq' (count 1 < 5)
+
+    def test_n_tokens_matches_whitespace_count(self, spark):
+        df = _docs(spark, [(1, "  a  b\tc ", "s")])
+        row = corpus.corpus_lm_scores(df).collect()[0]
+        assert row.n_tokens == 3
+
+
+class TestTemperatureSample:
+    def test_summary_shape_and_bounds(self, spark, sf_dir):
+        from iheardai_data_pipeline_spark.sources.batch import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = corpus.temperature_sample(docs).collect()
+        n_sources = docs.select("source").distinct().count()
+        assert len(out) == n_sources
+        for r in out:
+            assert 0 <= r.n_sampled <= r.n_docs
+
+    def test_deterministic_across_runs(self, spark):
+        df = _docs(
+            spark, [(i, f"w{i} text body", f"src{i % 3}") for i in range(60)]
+        )
+        a = sorted(map(tuple, corpus.temperature_sample(df).collect()))
+        b = sorted(map(tuple, corpus.temperature_sample(df).collect()))
+        assert a == b
+
+    def test_equal_sources_get_equal_rates(self, spark):
+        # two sources with identical sizes -> identical p_s -> sampled
+        # counts depend only on the hash population, but rates match:
+        df = _docs(spark, [(i, f"w{i}", f"s{i % 2}") for i in range(100)])
+        out = {r.source: r for r in corpus.temperature_sample(df).collect()}
+        assert out["s0"].n_docs == out["s1"].n_docs == 50
+
+
+class TestDupShingleStats:
+    def test_disjoint_docs_share_nothing(self, spark):
+        df = _docs(
+            spark,
+            [
+                (1, "a b c d e f g", "s"),
+                (2, "q r s t u v w", "s"),
+            ],
+        )
+        for r in corpus.dup_shingle_stats(df).collect():
+            assert r.n_shared == 0
+            assert r.dup_shingle_frac == 0.0
+
+    def test_copied_doc_fully_shared(self, spark):
+        text = "one two three four five six seven eight"
+        df = _docs(spark, [(1, text, "s"), (2, text, "s")])
+        for r in corpus.dup_shingle_stats(df).collect():
+            assert r.n_shingles == 4  # 8 words -> 4 distinct 5-grams
+            assert r.n_shared == 4
+            assert r.dup_shingle_frac == 1.0
+
+    def test_partial_overlap(self, spark):
+        # doc2 embeds doc1's text plus unique tail: doc1 fully shared,
+        # doc2 partially
+        df = _docs(
+            spark,
+            [
+                (1, "one two three four five", "s"),
+                (2, "one two three four five zz yy xx ww vv", "s"),
+            ],
+        )
+        rows = {r.doc_id: r for r in corpus.dup_shingle_stats(df).collect()}
+        assert rows[1].dup_shingle_frac == 1.0
+        assert 0.0 < rows[2].dup_shingle_frac < 1.0
