@@ -76,3 +76,66 @@ def test_ivf_assignment_is_narrow(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+# --- round-3 additions: extended TPC-H + corpus operators --------------------------
+
+
+def test_q16_not_in_planes_as_left_anti(spark, sf_dir):
+    """NOT IN with a non-nullable key must plane as a plain LEFT ANTI
+    (no null-aware BroadcastNestedLoopJoin blowup)."""
+    plan = _formatted(CATALOG["q16_supplier_counts"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_semi_and_anti_pair(spark, sf_dir):
+    """EXISTS + NOT EXISTS decorrelation: both a LeftSemi and a LeftAnti
+    on the self-joined fact must appear."""
+    plan = _formatted(CATALOG["q21_sole_returner"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q19_common_bounds_push_to_scan(spark, sf_dir):
+    """The disjunction's common l_quantity bounds should be extracted as
+    a pushable conjunct on the lineitem scan."""
+    plan = _formatted(CATALOG["q19_disjunctive_revenue"].fn(spark, sf_dir))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "l_quantity" in pushed
+
+
+def test_q11_threshold_is_broadcast_one_row(spark, sf_dir):
+    """The scalar-subquery threshold joins back as a broadcast, and the
+    per-part aggregate is computed once (ReusedExchange or a single
+    pair of aggregates), never re-scanned per comparison row."""
+    plan = _executed(CATALOG["q11_important_values"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q7_nation_broadcasts_twice(spark, sf_dir):
+    plan = _executed(CATALOG["q7_volume_shipping"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_corpus_lm_partial_aggregates(spark, sf_dir):
+    """Word counts must map-side combine: HashAggregate appears in
+    partial+final pairs, and the explode feeds a partial aggregate
+    BEFORE any exchange."""
+    from iheardai_data_pipeline_spark.operators.corpus import corpus_lm_scores
+    from iheardai_data_pipeline_spark.sources.batch import load_table
+
+    plan = _formatted(corpus_lm_scores(load_table(spark, sf_dir, "documents")))
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_temperature_sample_rates_broadcast(spark, sf_dir):
+    """The per-source rate table must reach the doc scan as a broadcast
+    — a shuffle join on source would move the whole corpus for a
+    20-row dimension."""
+    from iheardai_data_pipeline_spark.operators.corpus import temperature_sample
+    from iheardai_data_pipeline_spark.sources.batch import load_table
+
+    plan = _executed(temperature_sample(load_table(spark, sf_dir, "documents")))
+    assert "BroadcastHashJoin" in plan
