@@ -296,3 +296,64 @@ def dup_shingle_stats(
             ),
         )
     )
+
+
+# --- end-to-end curation funnel ----------------------------------------------------
+
+
+def curation_funnel(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Compose the round-3 corpus operators into one curation funnel:
+
+    1. quality gate — Gopher-style repetition ``keep`` flag
+       (:func:`repetition_metrics` thresholds);
+    2. exact dedup — min-doc_id keeper per md5 fingerprint of the
+       normalized text (the x_dedup_exact policy);
+    3. domain mix — :func:`temperature_sample` over the survivors.
+
+    Returns one row per source with the funnel counts:
+    ``(source, n_input, n_quality, n_unique, n_sampled)``.
+
+    Every stage reduces before the next: the keep flag joins back on
+    doc_id (already-reduced metrics), the fingerprint keeper is a
+    groupBy-min + semi-join, and the sampler sees only survivors. The
+    final rollup is four per-source aggregates left-joined on the
+    ~|sources|-row dimension — driver-light, shuffle-bounded.
+    """
+    from iheardai_data_pipeline_spark.operators.text import fingerprint_md5
+
+    base = docs.select(id_col, text_col, source_col)
+    keep_flags = repetition_metrics(docs, id_col=id_col, text_col=text_col).select(
+        id_col, "keep"
+    )
+    quality = base.join(keep_flags, id_col).filter(F.col("keep"))
+    fp = quality.select(
+        id_col, source_col, fingerprint_md5(F.col(text_col)).alias("fingerprint")
+    )
+    keepers = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col)).select(id_col)
+    survivors = fp.join(keepers, id_col, "left_semi")
+    sampled = temperature_sample(
+        survivors, source_col=source_col, id_col=id_col
+    ).select(
+        F.col("source").alias(source_col),
+        F.col("n_docs").alias("n_unique"),
+        "n_sampled",
+    )
+    n_input = base.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_input"))
+    n_quality = quality.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_quality"))
+    return (
+        n_input.join(n_quality, source_col, "left")
+        .join(sampled, source_col, "left")
+        .select(
+            F.col(source_col).alias("source"),
+            "n_input",
+            F.coalesce("n_quality", F.lit(0).cast("long")).alias("n_quality"),
+            F.coalesce("n_unique", F.lit(0).cast("long")).alias("n_unique"),
+            F.coalesce("n_sampled", F.lit(0).cast("long")).alias("n_sampled"),
+        )
+        .orderBy("source")
+    )

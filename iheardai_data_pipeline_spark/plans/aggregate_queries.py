@@ -805,3 +805,105 @@ def s_intersect_buyers_clickers(spark: SparkSession, sf_dir: str) -> DataFrame:
     buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
     clickers = events.filter(F.col("event_type") == "click").select("user_id")
     return buyers.intersect(clickers).orderBy("user_id")
+
+
+# --- ranking distribution functions: NTILE / PERCENT_RANK / CUME_DIST --------------
+
+_NTILE_ORACLE = """
+WITH rev AS (
+    SELECT c.c_custkey, c.c_nationkey,
+           CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS rev_c
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_nationkey
+)
+SELECT c_custkey, c_nationkey,
+       CAST(CAST(rev_c AS DOUBLE) / 100.0 AS DOUBLE) AS revenue,
+       CAST(NTILE(10) OVER w AS INT) AS decile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume_dist
+FROM rev
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY rev_c, c_custkey)
+ORDER BY c_nationkey, rev_c, c_custkey
+"""
+
+
+@register(
+    "w_ntile_revenue_deciles",
+    oracle=_NTILE_ORACLE,
+    tags=("window", "ranking"),
+    doc="Distribution window functions (NTILE + PERCENT_RANK + CUME_DIST "
+    "in one pass): per-nation customer revenue deciles. PARTITION BY "
+    "nation keeps every window partition bounded — the scale-correct "
+    "form of global ranking (a no-partition NTILE would serialize the "
+    "corpus on one reducer; see docs/SCALE.md on the packing prefix "
+    "sum). The ORDER BY carries a custkey tiebreak so rank-based "
+    "functions see no peer ties and both engines agree exactly; "
+    "revenue is exact cents so the ordering itself cannot drift.",
+)
+def w_ntile_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+    rev = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum(cents).alias("rev_c"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("rev_c", "c_custkey")
+    return (
+        rev.select(
+            "c_custkey",
+            "c_nationkey",
+            (F.col("rev_c").cast("double") / F.lit(100.0)).cast("double").alias("revenue"),
+            F.ntile(10).over(w).cast("int").alias("decile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume_dist"),
+        )
+        .orderBy("c_nationkey", "revenue", "c_custkey")
+    )
+
+
+# --- weekly cohort retention -------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH ev AS (
+    SELECT user_id,
+           datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS week_num
+    FROM events
+),
+cohort AS (SELECT user_id, MIN(week_num) AS cohort_week FROM ev GROUP BY user_id)
+SELECT c.cohort_week, e.week_num - c.cohort_week AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM ev e JOIN cohort c ON e.user_id = c.user_id
+GROUP BY c.cohort_week, week_offset
+ORDER BY c.cohort_week, week_offset
+"""
+
+
+@register(
+    "a_cohort_retention",
+    oracle=_COHORT_ORACLE,
+    tags=("aggregate", "analytics"),
+    doc="Weekly cohort retention: users bucketed by first-seen week, "
+    "distinct-user counts per (cohort, week offset) — the product-"
+    "analytics rollup the reference's journey/funnel queries stop "
+    "short of. Week numbers are exact integer day-arithmetic (epoch "
+    "days DIV 7 — no timezone or truncation semantics to disagree "
+    "on). The cohort relation is one row per user (reduced before "
+    "the join); both aggregates map-side combine.",
+)
+def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_date(CAST(ts AS DATE)) DIV 7").alias("week_num"),
+    )
+    cohort = events.groupBy("user_id").agg(F.min("week_num").alias("cohort_week"))
+    return (
+        events.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week_num") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

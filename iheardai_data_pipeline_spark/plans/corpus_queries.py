@@ -21,8 +21,9 @@ _WS_SPLIT = "string_split_regex(trim(text), '\\s+')"
 
 # --- Gopher-style repetition filter ------------------------------------------------
 
-_REPETITION_ORACLE = f"""
-WITH base AS (SELECT doc_id, {_WS_SPLIT} AS a FROM documents),
+# CTE chain ending in `m` (per-doc repetition metrics + implied keep
+# inputs) — shared by the standalone query and the curation-v2 funnel.
+_REPETITION_CTE = f"""base AS (SELECT doc_id, {_WS_SPLIT} AS a FROM documents),
 w AS (SELECT doc_id, unnest(a) AS word FROM base),
 wc AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word),
 wstats AS (
@@ -47,7 +48,10 @@ m AS (
          {sql_ratio_half_up("ws.top_c", "ws.n_words", 6)} AS top_word_frac,
          COALESCE({sql_ratio_half_up("bs.top_bc", "bs.n_bigrams", 6)}, 0.0) AS top_bigram_frac
   FROM wstats ws LEFT JOIN bstats bs ON ws.doc_id = bs.doc_id
-)
+)"""
+
+_REPETITION_ORACLE = f"""
+WITH {_REPETITION_CTE}
 SELECT doc_id, n_words, n_distinct_words, dup_word_frac, top_word_frac,
        top_bigram_frac,
        (dup_word_frac <= 0.95 AND top_word_frac <= 0.1
@@ -193,3 +197,79 @@ def x_text_dupshingle_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.dup_shingle_stats(load_table(spark, sf_dir, "documents")).orderBy(
         "doc_id"
     )
+
+
+# --- curation funnel v2 (compose repetition gate -> exact dedup -> mix) ------------
+
+_CURATION2_ORACLE = f"""
+WITH {_REPETITION_CTE},
+flags AS (
+  SELECT doc_id,
+         (dup_word_frac <= 0.95 AND top_word_frac <= 0.1
+          AND top_bigram_frac <= 0.18) AS keep
+  FROM m
+),
+quality AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d JOIN flags f ON d.doc_id = f.doc_id
+  WHERE f.keep
+),
+fp AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM quality
+),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fingerprint),
+survivors AS (
+  SELECT fp.doc_id, fp.source FROM fp JOIN keepers k ON fp.doc_id = k.doc_id
+),
+counts AS (
+  SELECT source, COUNT(*) AS n_unique,
+         CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w_s
+  FROM survivors GROUP BY source
+),
+consts AS (
+  SELECT CAST(SUM(w_s) AS BIGINT) AS w_total,
+         CAST(SUM(n_unique) AS BIGINT) * 1 // 2 AS t_target
+  FROM counts
+),
+rates AS (
+  SELECT c.source, c.n_unique,
+         LEAST(1.0, CAST(t.t_target * c.w_s AS DOUBLE)
+                    / CAST(t.w_total * c.n_unique AS DOUBLE)) AS p_s
+  FROM counts c, consts t
+),
+kept AS (
+  SELECT s.source, COUNT(*) AS n_sampled
+  FROM survivors s JOIN rates r ON s.source = r.source
+  WHERE CAST(CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             AS DOUBLE) / 1152921504606846976.0 < r.p_s
+  GROUP BY s.source
+),
+n_input AS (SELECT source, COUNT(*) AS n_input FROM documents GROUP BY source),
+n_quality AS (SELECT source, COUNT(*) AS n_quality FROM quality GROUP BY source)
+SELECT i.source, i.n_input,
+       COALESCE(q.n_quality, 0) AS n_quality,
+       COALESCE(r.n_unique, 0) AS n_unique,
+       COALESCE(k.n_sampled, 0) AS n_sampled
+FROM n_input i
+LEFT JOIN n_quality q ON i.source = q.source
+LEFT JOIN rates r     ON i.source = r.source
+LEFT JOIN kept k      ON i.source = k.source
+ORDER BY i.source
+"""
+
+
+@register(
+    "x_curation_funnel_v2",
+    oracle=_CURATION2_ORACLE,
+    tags=("extension", "pipeline", "dedup", "sampling"),
+    doc="End-to-end curation funnel composing the round-3 operators: "
+    "Gopher repetition gate -> exact-fingerprint dedup (min-doc_id "
+    "keeper) -> domain-temperature resampling, reported as per-source "
+    "funnel counts (n_input/n_quality/n_unique/n_sampled). Every stage "
+    "reduces before the next; the whole funnel is one oracle-checked "
+    "plan (operators/corpus.py:curation_funnel).",
+)
+def x_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.curation_funnel(load_table(spark, sf_dir, "documents"))
