@@ -190,3 +190,84 @@ def t8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = stream.filter(F.col("event_type") == "purchase")
     joined = stream_stream_attribution_join(clicks, purchases, horizon="30 minutes")
     return run_to_memory(joined, f"t8_out_{uuid.uuid4().hex[:8]}", output_mode="append")
+
+
+# --- T9 (extension): streaming-ingest dedup against a fingerprint index ------------
+
+_T9_ORACLE = """
+WITH fp AS (
+    SELECT doc_id, source,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+),
+seed AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 5 = 0),
+fresh AS (
+    SELECT * FROM fp
+    WHERE fingerprint NOT IN (SELECT fingerprint FROM seed)
+),
+acc AS (SELECT fingerprint, MIN(doc_id) AS doc_id FROM fresh GROUP BY fingerprint)
+SELECT f.source, COUNT(*) AS n_accepted
+FROM acc a JOIN fp f ON a.doc_id = f.doc_id
+GROUP BY f.source
+ORDER BY f.source
+"""
+
+
+@register(
+    "t9_stream_ingest_dedup",
+    oracle=_T9_ORACLE,
+    tags=("streaming", "dedup"),
+    doc="Streaming-ingest dedup (extension): the documents table streams "
+    "through the file source and each micro-batch passes "
+    "operators/dedup.py:incremental_dedup against a pre-seeded "
+    "fingerprint index (docs with doc_id%5==0 simulate the existing "
+    "corpus) inside foreachBatch — the production loop a growing "
+    "training corpus runs on ingest. Accepted docs land in a parquet "
+    "store (K3 append pattern); the oracle is the batch-equivalent "
+    "anti-join + min-id answer, proving stream == batch.",
+)
+def t9_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from iheardai_data_pipeline_spark.operators.dedup import incremental_dedup
+    from iheardai_data_pipeline_spark.operators.text import fingerprint_md5
+    from iheardai_data_pipeline_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    seed_fps = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(fingerprint_md5(F.col("text")).alias("fingerprint"))
+        .distinct()
+    )
+    # pin the (tiny) seed index once so every micro-batch probes the same
+    # in-memory build side instead of re-reading the corpus
+    seed_fps.cache().count()
+
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="t9_"), "accepted")
+
+    def ingest_batch(batch: DataFrame, batch_id: int) -> None:
+        accepted = incremental_dedup(batch, seed_fps)
+        accepted.select("doc_id", "source", "fingerprint").write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    schema = docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(ingest_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t9_ckpt_"))
+        .start()
+        .awaitTermination()
+    )
+    seed_fps.unpersist()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_accepted"))
+        .orderBy("source")
+    )
