@@ -49,6 +49,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # runtime row-level filtering: inject a bloom filter built from a
+        # selective join side into the other side's scan — at 100 TB this
+        # prunes shuffle input for the q3/q5/q10-style selective-dim joins
+        # where static partition pruning can't apply
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
