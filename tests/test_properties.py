@@ -164,3 +164,92 @@ def test_incremental_dedup_invariants(spark, rows):
     ).distinct()
     again = incremental_dedup(incoming, new_corpus).count()
     assert again == 0
+
+
+_WORDS = st.sampled_from(["alpha", "beta", "gamma", "delta", "x", "yy"])
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10**4),
+            st.lists(_WORDS, min_size=1, max_size=12).map(" ".join),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_repetition_metrics_invariants(spark, rows):
+    """All fractions bounded in [0,1]; distinct <= total; the dup
+    fraction and the distinct count are two views of the same number;
+    a doc of one repeated word maxes every metric."""
+    from iheardai_data_pipeline_spark.operators.corpus import repetition_metrics
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repetition_metrics(df).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        assert 0 <= r.dup_word_frac <= 1
+        assert 0 < r.top_word_frac <= 1
+        assert 0 <= r.top_bigram_frac <= 1
+        assert r.n_distinct_words <= r.n_words
+        # dup_word_frac is HALF_UP((n - distinct)/n, 6)
+        exact = (r.n_words - r.n_distinct_words) / r.n_words
+        assert abs(r.dup_word_frac - exact) <= 5e-7
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10**4),
+            st.lists(_WORDS, min_size=1, max_size=10).map(" ".join),
+            st.sampled_from(["s0", "s1", "s2"]),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_temperature_sample_invariants(spark, rows):
+    """Per-source sampled counts never exceed source sizes; sources sum
+    to the input count; rerun is identical (no RNG state)."""
+    from iheardai_data_pipeline_spark.operators.corpus import temperature_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = temperature_sample(df).collect()
+    assert sum(r.n_docs for r in out) == len(rows)
+    for r in out:
+        assert 0 <= r.n_sampled <= r.n_docs
+    again = temperature_sample(df).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10**4),
+            st.lists(_WORDS, min_size=1, max_size=10).map(" ".join),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_corpus_lm_rare_frac_bounds(spark, rows):
+    """rare_token_frac in [0,1]; n_tokens matches the whitespace count;
+    every doc appears exactly once."""
+    from iheardai_data_pipeline_spark.operators.corpus import corpus_lm_scores
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus_lm_scores(df).collect()
+    assert len(out) == len(rows)
+    by_id = {r.doc_id: r for r in out}
+    for doc_id, text in rows:
+        r = by_id[doc_id]
+        assert r.n_tokens == len(text.split())
+        assert 0 <= r.rare_token_frac <= 1
+        assert r.mean_tok_fpm > 0
