@@ -907,3 +907,93 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --- explicit GROUPING SETS with grouping_id ---------------------------------------
+
+_GSETS_ORACLE = """
+SELECT CAST(GROUPING(event_type, weekday) AS INT) AS gid,
+       event_type,
+       weekday,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM (
+    SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS weekday, value
+    FROM events
+)
+GROUP BY GROUPING SETS ((event_type), (weekday), ())
+ORDER BY gid, event_type, weekday
+"""
+
+
+@register(
+    "a_grouping_sets",
+    oracle=_GSETS_ORACLE,
+    tags=("aggregate", "grouping-sets"),
+    doc="Explicit GROUPING SETS — the shape ROLLUP/CUBE can't express "
+    "(two independent marginals + grand total, NO (type, weekday) "
+    "cells): per-type totals, per-weekday totals, and the grand total "
+    "in ONE pass via Expand (3 output rows per input row feeding one "
+    "partial-agg shuffle, vs three separate scans). grouping_id "
+    "disambiguates the NULL-keyed rows exactly as the standard "
+    "bitmask both engines implement.",
+)
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").alias("weekday"), "value"
+    )
+    return (
+        events.groupingSets(
+            [["event_type"], ["weekday"], []], "event_type", "weekday"
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select("gid", "event_type", "weekday", "n_events", "sum_value")
+        .orderBy("gid", "event_type", "weekday")
+    )
+
+
+# --- UNPIVOT (wide metrics -> long) -------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH daily AS (
+    SELECT CAST(FLOOR(epoch(CAST(o_orderdate AS DATE))) AS BIGINT) AS day_s,
+           CAST(COUNT(*) AS DOUBLE) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1
+)
+SELECT day_s, 'n_orders' AS metric, n_orders AS value FROM daily
+UNION ALL
+SELECT day_s, 'revenue' AS metric, revenue AS value FROM daily
+ORDER BY day_s, metric
+"""
+
+
+@register(
+    "a_unpivot_daily_metrics",
+    oracle=_UNPIVOT_ORACLE,
+    tags=("aggregate", "unpivot"),
+    doc="UNPIVOT / melt: the per-day wide rollup (n_orders, revenue) "
+    "reshaped to long (day, metric, value) rows via the native "
+    "DataFrame unpivot (plans as Expand over the already-aggregated "
+    "relation — one output row per metric per input row, no re-scan "
+    "of the fact). The oracle states the same semantics as UNION ALL; "
+    "counts are cast to double up front because unpivot requires one "
+    "common value type.",
+)
+def a_unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.unix_seconds(
+            F.col("o_orderdate").cast("date").cast("timestamp")
+        ).alias("day_s")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )
+    return daily.unpivot(
+        ["day_s"], ["n_orders", "revenue"], "metric", "value"
+    ).orderBy("day_s", "metric")
