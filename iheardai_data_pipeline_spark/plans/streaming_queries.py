@@ -271,3 +271,92 @@ def t9_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_accepted"))
         .orderBy("source")
     )
+
+
+# --- T10 (extension): sliding windows ----------------------------------------------
+
+_T10_ORACLE = """
+WITH offsets AS (SELECT 0 AS k UNION ALL SELECT 1),
+ev AS (
+    SELECT event_type, value,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+    FROM events
+),
+assigned AS (
+    -- each event belongs to the two 10-min windows sliding by 5 min
+    -- whose start = floor((ts - k*300)/600)*600 + k*300
+    SELECT event_type, value,
+           (ts_s - ((ts_s - k * 300) % 600)) AS win_start_s
+    FROM ev, offsets
+)
+SELECT win_start_s, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM assigned
+GROUP BY win_start_s, event_type
+ORDER BY win_start_s, event_type
+"""
+
+
+@register(
+    "t10_stream_sliding_windows",
+    oracle=_T10_ORACLE,
+    tags=("streaming",),
+    doc="T10 (extension): 10-minute windows sliding every 5 minutes per "
+    "event type — each event contributes to exactly two windows (the "
+    "moving-average shape tumbling can't express). Executed as a "
+    "Structured Streaming query; the oracle assigns each event to its "
+    "two windows with integer epoch arithmetic and must match exactly.",
+)
+def t10_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.streaming.windows import sliding_usage
+
+    stream = read_events_stream(spark, sf_dir)
+    result = sliding_usage(stream, duration="10 minutes", slide="5 minutes")
+    out = run_to_memory(result, f"t10_out_{uuid.uuid4().hex[:8]}")
+    return out.orderBy("win_start_s", "event_type")
+
+
+# --- T11 (extension): stream-static dimension join ---------------------------------
+
+_T11_ORACLE = """
+WITH cohort AS (
+    SELECT user_id,
+           MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) // 86400 AS first_day_num
+    FROM events GROUP BY user_id
+)
+SELECT CAST(c.first_day_num AS BIGINT) AS cohort_day,
+       e.event_type,
+       COUNT(*) AS n_events
+FROM events e JOIN cohort c ON e.user_id = c.user_id
+GROUP BY cohort_day, e.event_type
+ORDER BY cohort_day, e.event_type
+"""
+
+
+@register(
+    "t11_stream_static_join",
+    oracle=_T11_ORACLE,
+    tags=("streaming", "join"),
+    doc="T11 (extension): stream enriched with a STATIC dimension — the "
+    "events stream joins a batch-computed user->cohort-day table "
+    "(broadcast; re-resolved per micro-batch, the standard slowly-"
+    "changing-dim streaming pattern) and rolls up counts per "
+    "(cohort, type). Streaming aggregate equals the batch join answer.",
+)
+def t11_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.sources.batch import load_table
+
+    # static dim: computed batch-side once (in production: a dim table)
+    events_batch = load_table(spark, sf_dir, "events")
+    cohort = (
+        events_batch.groupBy("user_id")
+        .agg(F.expr("MIN(unix_seconds(ts)) DIV 86400").alias("cohort_day"))
+    )
+    stream = read_events_stream(spark, sf_dir)
+    joined = stream.join(F.broadcast(cohort), "user_id")
+    result = joined.groupBy("cohort_day", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = run_to_memory(result, f"t11_out_{uuid.uuid4().hex[:8]}")
+    return out.orderBy("cohort_day", "event_type")

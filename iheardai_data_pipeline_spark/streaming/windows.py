@@ -129,3 +129,36 @@ def stream_stream_attribution_join(
         .cast("double")
         .alias("purchase_value"),
     )
+
+
+def sliding_usage(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    duration: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T10 (extension): per-key SLIDING windows — each event lands in
+    duration/slide overlapping windows (2 here), the moving-average
+    shape tumbling windows can't express. State is bounded by
+    watermark + window end exactly as for tumbling; the only cost
+    delta is the x(duration/slide) row fan-out into the window
+    aggregate, which partial-aggs before the shuffle."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), duration, slide).alias("w"), F.col(key_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("win_start_s"),
+            F.col(key_col),
+            "n_events",
+            "sum_value",
+        )
+    )
