@@ -859,3 +859,60 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("min_price", "partkey", "suppkey")
     )
+
+
+# --- FULL OUTER reconciliation ------------------------------------------------------
+
+_FULL_OUTER_ORACLE = """
+WITH order_days AS (
+    SELECT CAST(FLOOR(epoch(CAST(o_orderdate AS DATE))) AS BIGINT) / 86400 AS day_num,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+),
+event_days AS (
+    SELECT CAST(FLOOR(epoch(CAST(ts AS DATE))) AS BIGINT) / 86400 AS day_num,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+)
+SELECT CAST(COALESCE(o.day_num, e.day_num) AS BIGINT) AS day_num,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(e.n_events, 0) AS n_events,
+       (o.day_num IS NULL OR e.day_num IS NULL) AS one_sided
+FROM order_days o FULL OUTER JOIN event_days e ON o.day_num = e.day_num
+ORDER BY day_num
+"""
+
+
+@register(
+    "j_full_outer_reconcile",
+    oracle=_FULL_OUTER_ORACLE,
+    tags=("benchmark", "join", "outer"),
+    doc="FULL OUTER reconciliation — the ETL audit shape: per-day order "
+    "counts vs per-day event counts, keeping days present on EITHER "
+    "side with zeros filled and a one-sided flag. Completes the join-"
+    "type family (inner/left/semi/anti/cross covered elsewhere). Both "
+    "inputs are pre-aggregated to day grain, so the full-outer "
+    "sort-merge joins two already-reduced relations.",
+)
+def j_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    day_of = lambda c: F.expr(f"unix_seconds(CAST(CAST({c} AS DATE) AS TIMESTAMP)) DIV 86400")
+    order_days = orders.groupBy(day_of("o_orderdate").alias("o_day")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    event_days = events.groupBy(day_of("ts").alias("e_day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        order_days.join(
+            event_days, F.col("o_day") == F.col("e_day"), "full_outer"
+        )
+        .select(
+            F.coalesce("o_day", "e_day").alias("day_num"),
+            F.coalesce("n_orders", F.lit(0).cast("long")).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+            (F.col("o_day").isNull() | F.col("e_day").isNull()).alias("one_sided"),
+        )
+        .orderBy("day_num")
+    )
