@@ -10,8 +10,9 @@ makes it interesting:
 - q8/q14: conditional-share ratios computed in exact integer cents via
   ``ratio_half_up`` so the Spark and DuckDB doubles are bit-identical.
 - q11/q15/q22: scalar-subquery thresholds decorrelated into a broadcast
-  one-row join; q11 compares in EXACT integer space (value*1000 > total)
-  instead of multiplying by a float fraction.
+  one-row join; q11 compares in EXACT integer space
+  (value_c * n_parts > total_c) instead of multiplying by a float
+  fraction.
 - q16/q22: NOT IN / anti-join with a non-nullable key (safe left_anti).
 - q19: three OR'd predicate branches — Catalyst pushes the disjunction
   to the scan and prunes with min/max stats.
