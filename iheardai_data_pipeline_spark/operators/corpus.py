@@ -323,6 +323,14 @@ def curation_funnel(
     groupBy-min + semi-join, and the sampler sees only survivors. The
     final rollup is four per-source aggregates left-joined on the
     ~|sources|-row dimension — driver-light, shuffle-bounded.
+
+    The fingerprint relation is ``localCheckpoint``-ed: four downstream
+    branches reference it (keeper agg, semi-join probe, sampler counts,
+    sampler keep test), and without the barrier each re-evaluates the
+    whole repetition-gate subtree — the static plan carried 80
+    exchanges vs ~20 with it (the graph.py lineage-truncation pattern;
+    a production multi-stage run would write survivors to a table
+    between stages instead).
     """
     from iheardai_data_pipeline_spark.operators.text import fingerprint_md5
 
@@ -333,7 +341,7 @@ def curation_funnel(
     quality = base.join(keep_flags, id_col).filter(F.col("keep"))
     fp = quality.select(
         id_col, source_col, fingerprint_md5(F.col(text_col)).alias("fingerprint")
-    )
+    ).localCheckpoint()
     keepers = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col)).select(id_col)
     survivors = fp.join(keepers, id_col, "left_semi")
     sampled = temperature_sample(
@@ -344,7 +352,9 @@ def curation_funnel(
         "n_sampled",
     )
     n_input = base.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_input"))
-    n_quality = quality.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_quality"))
+    # counted from the checkpointed fp (one row per quality doc), not
+    # from `quality`, so the repetition subtree is never re-evaluated
+    n_quality = fp.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_quality"))
     return (
         n_input.join(n_quality, source_col, "left")
         .join(sampled, source_col, "left")
