@@ -166,8 +166,16 @@ def corpus_lm_scores(
     base = ensure_parallelism(docs).select(
         F.col(id_col), F.explode(_ws_words(text_col)).alias("word")
     )
-    dwc = base.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("c"))
-    vocab = dwc.groupBy("word").agg(F.sum("c").alias("cc"))
+    # barrier: dwc feeds BOTH the vocab aggregate and the join probe —
+    # without it the text explode re-runs per reference (ReuseExchange
+    # only recovered 2 of the duplicated subtrees); the checkpointed
+    # relation is counts, far smaller than the text it derives from
+    dwc = (
+        base.groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    vocab = dwc.groupBy("word").agg(F.sum("c").alias("cc")).localCheckpoint()
     n_corpus = vocab.agg(F.sum("cc").alias("n_corpus"))
     joined = dwc.join(vocab, "word").crossJoin(F.broadcast(n_corpus))
     return (
@@ -222,9 +230,16 @@ def temperature_sample(
     Int64 headroom: T * w_s is exact below 9.2*10^18 (n_total ~ 10^12
     docs with sqrt weights ~ 10^6 — comfortably past 100 TB).
     """
-    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
-    counts = counts.withColumn(
-        "w_s", F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long")
+    # barrier: counts is referenced by the consts aggregate AND the rate
+    # table — without it each reference re-scans the corpus for the
+    # same per-source count; the checkpointed relation is |sources| rows
+    counts = (
+        docs.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "w_s", F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long")
+        )
+        .localCheckpoint()
     )
     consts = counts.agg(
         F.sum("w_s").alias("w_total"), F.sum("n_docs").alias("n_total")
