@@ -287,16 +287,24 @@ def dup_shingle_stats(
     give: a doc made of other docs' text scores near 1.0 even when no
     single pair clears a Jaccard threshold. Shingle sets are row-local
     (operators/dedup.py:word_shingles — array_distinct before explode);
-    the document-frequency aggregate partial-aggs on the shingle string
-    and joins back on the same key. At 100 TB the production path keys
-    this join on xxhash64(shingle) (8-byte keys, ~n^2/2^64 collision
-    bound, same trade-off documented for decontaminate); the string key
-    here keeps the DuckDB oracle exactly equal.
+    the document frequency is a COUNT window over the shingle partition
+    — the same shuffle a groupBy would take, but the per-row df needs
+    no join-back, so the shingle explode evaluates exactly once (the
+    groupBy+join form re-ran it: no ReusedExchange, 4 exchanges vs 2
+    here). At 100 TB the production path keys the shuffle on
+    xxhash64(shingle) (8-byte keys, ~n^2/2^64 collision bound, same
+    trade-off documented for decontaminate); the string key here keeps
+    the DuckDB oracle exactly equal. Hot-shingle skew lands on single
+    window partitions — AQE's skew handling does not apply to windows,
+    so a skewed corpus should pre-filter stop-shingles (the df cap
+    ngram_jaccard_pairs uses).
     """
+    from pyspark.sql import Window
+
     sh = word_shingles(docs, id_col=id_col, text_col=text_col, n=n)
-    sh_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("shingle")
     return (
-        sh.join(sh_df, "shingle")
+        sh.withColumn("df", F.count(F.lit(1)).over(w))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
