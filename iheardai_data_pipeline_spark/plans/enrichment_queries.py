@@ -91,3 +91,56 @@ def x_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("distance", F.col("distance").cast("int"))
         .orderBy("id_a", "id_b")
     )
+
+
+_JSON_STRUCT_ORACLE = """
+WITH p AS (
+    SELECT event_type,
+           CASE WHEN event_id % 10 = 0
+                THEN 'x' || props  -- leading garbage: corrupt for any parser
+                ELSE props END AS pr
+    FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN NOT json_valid(pr) THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       CAST(SUM(CASE WHEN json_valid(pr)
+                     THEN CAST(json_extract(pr, '$.k') AS INT) END) AS BIGINT) AS sum_k
+FROM p
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "p_json_struct_parse",
+    oracle=_JSON_STRUCT_ORACLE,
+    tags=("transform", "json"),
+    doc="Schema-declared JSON struct parsing with corrupt-record "
+    "accounting: from_json against a declared schema returns NULL for "
+    "malformed payloads (10% of rows get a deterministic leading-byte "
+    "corruption — the reference's corrupt-message "
+    "handling, S7's value-decode error path), counted per type "
+    "alongside the parsed-field aggregate. Complements "
+    "p_json_extract's path-extraction with typed struct parsing.",
+)
+def p_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    pr = F.when(
+        F.col("event_id") % 10 == 0, F.concat(F.lit("x"), F.col("props"))
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(pr, "k int")
+    return (
+        events.select("event_type", parsed.alias("j"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # PERMISSIVE from_json yields a struct of NULL FIELDS for a
+            # malformed record (not a NULL struct) — detect on the field
+            F.sum(F.when(F.col("j.k").isNull(), 1).otherwise(0)).alias("n_corrupt"),
+            F.sum(F.col("j.k")).alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
