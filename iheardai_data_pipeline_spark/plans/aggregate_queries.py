@@ -997,3 +997,59 @@ def a_unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.unpivot(
         ["day_s"], ["n_orders", "revenue"], "metric", "value"
     ).orderBy("day_s", "metric")
+
+
+# --- funnel time-to-convert --------------------------------------------------------
+
+_TTC_ORACLE = """
+WITH firsts AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view'
+                    THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS t_view,
+           MIN(CASE WHEN event_type = 'purchase'
+                    THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS t_buy
+    FROM events GROUP BY user_id
+),
+conv AS (
+    SELECT user_id, t_buy - t_view AS delta_s FROM firsts
+    WHERE t_view IS NOT NULL AND t_buy IS NOT NULL AND t_buy >= t_view
+)
+SELECT COUNT(*) AS n_converted,
+       CAST(MIN(delta_s) AS BIGINT) AS min_s,
+       quantile_cont(delta_s, 0.5) AS median_s,
+       quantile_cont(delta_s, 0.9) AS p90_s,
+       CAST(MAX(delta_s) AS BIGINT) AS max_s
+FROM conv
+"""
+
+
+@register(
+    "a_time_to_convert",
+    oracle=_TTC_ORACLE,
+    tags=("aggregate", "analytics"),
+    doc="Funnel time-to-convert: per-user first view -> first purchase "
+    "latency distribution (count, min, exact interpolated median/p90, "
+    "max) — the duration companion to the A7 step-count funnel. Both "
+    "firsts come from ONE conditional-MIN pass over events (no "
+    "self-join); percentile interpolation matches quantile_cont, the "
+    "a_pctl_latency-proven pairing, and runs on exact integer seconds.",
+)
+def a_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ts_s = F.unix_seconds("ts")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", ts_s)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", ts_s)).alias("t_buy"),
+    )
+    conv = firsts.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") >= F.col("t_view"))
+    ).select((F.col("t_buy") - F.col("t_view")).alias("delta_s"))
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("delta_s").alias("min_s"),
+        F.expr("percentile(delta_s, 0.5)").alias("median_s"),
+        F.expr("percentile(delta_s, 0.9)").alias("p90_s"),
+        F.max("delta_s").alias("max_s"),
+    )
