@@ -1053,3 +1053,78 @@ def a_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(delta_s, 0.9)").alias("p90_s"),
         F.max("delta_s").alias("max_s"),
     )
+
+
+# --- gaps-and-islands: SCD2-style event-type history -------------------------------
+
+_ISLANDS_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+isl AS (
+    SELECT *, CAST(SUM(chg) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island_id
+    FROM seq
+),
+grp AS (
+    SELECT user_id, island_id, ANY_VALUE(event_type) AS event_type,
+           COUNT(*) AS n_events,
+           CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS valid_from_s
+    FROM isl GROUP BY user_id, island_id
+)
+SELECT user_id, island_id, event_type, n_events, valid_from_s,
+       LEAD(valid_from_s) OVER (
+           PARTITION BY user_id ORDER BY island_id) AS valid_to_s,
+       (LEAD(valid_from_s) OVER (
+           PARTITION BY user_id ORDER BY island_id) IS NULL) AS is_current
+FROM grp
+ORDER BY user_id, island_id
+"""
+
+
+@register(
+    "m_scd2_type_history",
+    oracle=_ISLANDS_ORACLE,
+    tags=("mutation", "window", "scd2"),
+    doc="Gaps-and-islands -> SCD2 type-2 history: consecutive same-type "
+    "events per user collapse into validity intervals "
+    "(valid_from/valid_to via LEAD, open-ended current row) — the "
+    "dimension-history build every warehouse runs, and the island "
+    "pattern (change-flag LAG + running SUM) no other catalog query "
+    "exercises. All three windows share the per-user partition, so "
+    "one shuffle serves the whole plan.",
+)
+def m_scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    isl = events.select(
+        "user_id", "event_type", "ts", "event_id", chg.alias("chg")
+    ).withColumn(
+        "island_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    grp = isl.groupBy("user_id", "island_id").agg(
+        F.any_value("event_type").alias("event_type"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_seconds("ts")).alias("valid_from_s"),
+    )
+    wi = Window.partitionBy("user_id").orderBy("island_id")
+    return (
+        grp.withColumn("valid_to_s", F.lead("valid_from_s").over(wi))
+        .withColumn("is_current", F.col("valid_to_s").isNull())
+        .select(
+            "user_id", "island_id", "event_type", "n_events",
+            "valid_from_s", "valid_to_s", "is_current",
+        )
+        .orderBy("user_id", "island_id")
+    )
