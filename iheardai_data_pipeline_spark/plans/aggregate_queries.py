@@ -1128,3 +1128,59 @@ def m_scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "island_id")
     )
+
+
+# --- event-type transition matrix (Markov counts) ----------------------------------
+
+_MARKOV_ORACLE = f"""
+WITH pairs AS (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+    FROM events
+),
+cnt AS (
+    SELECT from_type, to_type, COUNT(*) AS n
+    FROM pairs WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+),
+tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total FROM cnt GROUP BY from_type)
+SELECT c.from_type, c.to_type, c.n,
+       {sql_ratio_half_up("c.n", "t.row_total", 6)} AS p
+FROM cnt c JOIN tot t ON c.from_type = t.from_type
+ORDER BY c.from_type, c.to_type
+"""
+
+
+@register(
+    "a_markov_transitions",
+    oracle=_MARKOV_ORACLE,
+    tags=("aggregate", "window", "analytics"),
+    doc="Event-type transition matrix: per-user next-event pairing via "
+    "LEAD, transition counts, and the conditional probability "
+    "P(next | current) as an exact HALF_UP ratio against the row "
+    "total — the first-order Markov view of user behavior (the "
+    "journey-path A6 rollup's statistical summary). One per-user "
+    "window shuffle + two count-carrying aggregates.",
+)
+def a_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        cnt.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            ratio_half_up(F.col("n"), F.col("row_total"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
