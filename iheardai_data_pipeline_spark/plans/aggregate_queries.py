@@ -1172,7 +1172,14 @@ def a_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("from_type"),
         F.lead("event_type").over(w).alias("to_type"),
     ).filter(F.col("to_type").isNotNull())
-    cnt = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    # barrier: cnt feeds both the row-total aggregate and the join —
+    # without it each reference re-runs the per-user window over events;
+    # the checkpointed relation is |types|^2 rows
+    cnt = (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
     tot = cnt.groupBy("from_type").agg(F.sum("n").alias("row_total"))
     return (
         cnt.join(F.broadcast(tot), "from_type")
