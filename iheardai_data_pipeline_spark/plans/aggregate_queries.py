@@ -892,17 +892,20 @@ ORDER BY c.cohort_week, week_offset
     "analytics rollup the reference's journey/funnel queries stop "
     "short of. Week numbers are exact integer day-arithmetic (epoch "
     "days DIV 7 — no timezone or truncation semantics to disagree "
-    "on). The cohort relation is one row per user (reduced before "
-    "the join); both aggregates map-side combine.",
+    "on). The first-seen week is a MIN window over the user "
+    "partition — one shuffle and one scan of events, where the "
+    "aggregate-then-join form scanned twice.",
 )
 def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     events = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.expr("unix_date(CAST(ts AS DATE)) DIV 7").alias("week_num"),
     )
-    cohort = events.groupBy("user_id").agg(F.min("week_num").alias("cohort_week"))
+    wu = Window.partitionBy("user_id")
     return (
-        events.join(cohort, "user_id")
+        events.withColumn("cohort_week", F.min("week_num").over(wu))
         .groupBy("cohort_week", (F.col("week_num") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
