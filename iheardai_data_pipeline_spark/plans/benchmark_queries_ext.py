@@ -356,6 +356,10 @@ def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(_vol_c()).alias("value_c"))
+        # barrier: val feeds both the total and the threshold filter —
+        # without it the fact join re-runs per reference (the CTE
+        # materialization a warehouse would do); per-part rows are small
+        .localCheckpoint()
     )
     tot = val.agg(
         F.sum("value_c").alias("total_c"), F.count(F.lit(1)).alias("n_parts")
@@ -448,7 +452,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    revenue = li.groupBy("l_suppkey").agg(F.sum(_vol_c()).alias("total_c"))
+    # barrier: revenue feeds both the MAX scalar and the tie-set join
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_vol_c()).alias("total_c"))
+        .localCheckpoint()
+    )
     mx = revenue.agg(F.max("total_c").alias("max_c"))
     return (
         supp.join(revenue, F.col("s_suppkey") == F.col("l_suppkey"))
