@@ -103,6 +103,11 @@ def blocked_fuzzy_pairs(
     return (
         a.join(b, "__block")
         .filter(F.col("id_a") < F.col("id_b"))
+        # |len(a)-len(b)| is a lower bound on edit distance: prune the
+        # O(m*n) Levenshtein evaluation with an O(1) check first
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= max_distance
+        )
         .withColumn("distance", F.levenshtein("name_a", "name_b"))
         .filter(F.col("distance") <= max_distance)
         .select("id_a", "id_b", "name_a", "name_b", "distance")
