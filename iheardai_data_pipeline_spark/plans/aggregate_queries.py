@@ -1194,3 +1194,65 @@ def a_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# --- exact sliding-window distinct (7-day rolling active users) --------------------
+
+_SLIDING_DISTINCT_ORACLE = """
+WITH du AS (
+    SELECT DISTINCT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+           user_id
+    FROM events
+),
+bounds AS (SELECT MIN(day_num) AS d0, MAX(day_num) AS d1 FROM du),
+cover AS (
+    SELECT u.user_id, c.cd AS day_num
+    FROM du u, bounds b,
+         unnest(generate_series(u.day_num, u.day_num + 6)) AS c(cd)
+    WHERE c.cd BETWEEN b.d0 AND b.d1
+)
+SELECT day_num, COUNT(DISTINCT user_id) AS n_active_7d
+FROM cover
+GROUP BY day_num
+ORDER BY day_num
+"""
+
+
+@register(
+    "a_sliding_distinct_users",
+    oracle=_SLIDING_DISTINCT_ORACLE,
+    tags=("aggregate", "window", "analytics"),
+    doc="EXACT sliding-window distinct — 7-day rolling active users, the "
+    "aggregate a RANGE frame cannot compute (COUNT(DISTINCT) isn't "
+    "frame-able) and most engines approximate. Banded-expansion form: "
+    "each (day,user) row (already deduped, so at most one row per "
+    "user-day) fans out to the <=7 window-end days it covers, then one "
+    "distinct-count per day — expansion factor = window length, a "
+    "constant, vs the unbounded state of a naive self-join. unix_date "
+    "integer day arithmetic keeps both engines exactly aligned.",
+)
+def a_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    du = events.select(
+        F.unix_date(F.col("ts").cast("date")).alias("day_num"), "user_id"
+    ).distinct()
+    bounds = du.agg(
+        F.min("day_num").alias("d0"), F.max("day_num").alias("d1")
+    )
+    cover = (
+        du.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day_num"), F.col("day_num") + 6)
+            ).alias("day_num"),
+            "d0",
+            "d1",
+        )
+        .filter(F.col("day_num").between(F.col("d0"), F.col("d1")))
+    )
+    return (
+        cover.groupBy("day_num")
+        .agg(F.count_distinct("user_id").alias("n_active_7d"))
+        .orderBy("day_num")
+    )
