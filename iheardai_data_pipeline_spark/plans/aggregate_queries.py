@@ -1256,3 +1256,82 @@ def a_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_active_7d"))
         .orderBy("day_num")
     )
+
+
+# --- linear multi-touch attribution ------------------------------------------------
+
+_ATTRIB_ORACLE = f"""
+WITH purch AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+    SELECT event_id, user_id, ts, event_type FROM events
+    WHERE event_type IN ('view', 'click')
+),
+pairs AS (
+    SELECT p.event_id AS p_id, t.event_type AS touch_type
+    FROM purch p JOIN touch t
+      ON p.user_id = t.user_id
+     AND t.ts >= p.ts - INTERVAL 1 HOUR
+     AND t.ts <  p.ts
+),
+per_pt AS (
+    SELECT p_id, touch_type, COUNT(*) AS c FROM pairs GROUP BY p_id, touch_type
+),
+with_n AS (
+    SELECT p_id, touch_type, c,
+           CAST(SUM(c) OVER (PARTITION BY p_id) AS BIGINT) AS n
+    FROM per_pt
+)
+SELECT touch_type,
+       CAST(SUM(c) AS BIGINT) AS n_touches,
+       CAST(SUM(CAST({sql_ratio_half_up("c * 1000", "n", 0)} AS BIGINT)) AS BIGINT)
+           AS credit_millis
+FROM with_n
+GROUP BY touch_type
+ORDER BY touch_type
+"""
+
+
+@register(
+    "a_attribution_linear",
+    oracle=_ATTRIB_ORACLE,
+    tags=("aggregate", "analytics", "join"),
+    doc="Linear multi-touch attribution: each purchase splits one unit "
+    "of credit equally across its preceding-hour view/click touches "
+    "(time-bucketed interval join, operators/rangejoin.py — never "
+    "per-key quadratic). Per-purchase credit is exact-integer HALF_UP "
+    "millicredits so the cross-purchase SUM is an integer — a float "
+    "1/n sum would be aggregation-order-dependent and break the "
+    "cross-engine hash.",
+)
+def a_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from iheardai_data_pipeline_spark.operators.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts", "event_type"
+    )
+    joined = interval_join(
+        purch, touch, on=["user_id"], left_ts="ts", right_ts="ts",
+        lower_s=-3600.0, upper_s=0.0,
+    ).filter(F.col("ts_r") < F.col("ts"))
+    per_pt = joined.groupBy(
+        F.col("event_id").alias("p_id"), F.col("event_type_r").alias("touch_type")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c").over(Window.partitionBy("p_id"))
+    with_n = per_pt.withColumn("n", n)
+    credit_m = ratio_half_up(F.col("c") * 1000, F.col("n"), 0).cast("long")
+    return (
+        with_n.groupBy("touch_type")
+        .agg(
+            F.sum("c").alias("n_touches"),
+            F.sum(credit_m).alias("credit_millis"),
+        )
+        .orderBy("touch_type")
+    )
