@@ -298,3 +298,64 @@ def transform_frontend_events(df: DataFrame) -> DataFrame:
             ).alias("ip_address"),
         ).alias("geographic_info"),
     )
+
+
+# --- URL canonicalization (web-corpus curation extension) --------------------------
+
+# Tracking params dropped during canonicalization (the industry-standard
+# strip list; utm_* covers source/medium/campaign/term/content).
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid)="
+
+_URL_HOST_RE = r"^[a-zA-Z]+://([^/?#]+)"
+_URL_PATH_RE = r"^[a-zA-Z]+://[^/?#]+([^?#]*)"
+_URL_QUERY_RE = r"\?([^#]*)"
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical form of a URL for corpus-level dedup/grouping.
+
+    Rules (each a deliberate many-to-one collapse): force https, lowercase
+    host, strip a leading ``www.``, drop default ports, strip the
+    fragment, drop tracking query params, sort surviving params
+    lexicographically, and strip one trailing ``/`` from the path.
+
+    Parsing is regexp-based (not ``parse_url``) so the exact same
+    expressions run in any ANSI engine — the DuckDB oracle uses these
+    regexes verbatim. Entirely row-local whole-stage-codegen; at 100 TB
+    this canonicalization runs at scan speed ahead of the URL-dedup
+    shuffle, which then keys on the (shorter) canonical string.
+    Null/scheme-less input canonicalizes to NULL.
+    """
+    u = _col(url)
+    host_port = F.regexp_extract(u, _URL_HOST_RE, 1)
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(host_port), r":(443|80)$", ""), r"^www\.", ""
+    )
+    path = F.regexp_replace(F.regexp_extract(u, _URL_PATH_RE, 1), r"/$", "")
+    query = F.regexp_extract(u, _URL_QUERY_RE, 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (F.length(p) > 0) & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.array_join(kept, "&")
+    return F.when(
+        host != "",
+        F.concat(
+            F.lit("https://"),
+            host,
+            path,
+            F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+        ),
+    )
+
+
+def url_domain(url: Column | str) -> Column:
+    """Canonical host of a URL (lowercase, no ``www.`` prefix, no default
+    port) — the blocklist / per-site-rollup key. Same regex family as
+    :func:`canonical_url`; '' when the input has no scheme."""
+    host_port = F.regexp_extract(_col(url), _URL_HOST_RE, 1)
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(host_port), r":(443|80)$", ""), r"^www\.", ""
+    )

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from iheardai_data_pipeline_spark.functions import frontend as fe
 from iheardai_data_pipeline_spark.functions.exact import sql_ratio_half_up
 from iheardai_data_pipeline_spark.operators import dedup, multimodal, similarity, text
 from iheardai_data_pipeline_spark.plans.catalog import register
@@ -593,14 +594,50 @@ def x_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hyperplane_oracle(n_bits: int = 16, bands: int = 4, dim: int = 64) -> str:
+    """Exact DuckDB replica of the hyperplane-LSH pair query.
+
+    The sketch is *deterministic* (planes are sha256-derived ±1 constants,
+    banding is exhaustive over all band keys), so the naive all-pairs SQL
+    version of the same algorithm — literal plane matrix dot products for
+    the sign bits, any-band-key-match join, exact-cosine verify — is
+    provably equal to the banded Spark plan, pair for pair. ``dim`` is
+    pinned to the test tables' embedding width (64); the Spark side
+    probes it from data and lands on the same value.
+    """
+    planes = similarity._hyperplanes(n_bits, dim)
+    r = n_bits // bands
+    mask = (1 << r) - 1
+    sigbits = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ",".join(str(v) for v in planes[b])
+        + f"]::DOUBLE[]) >= 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(n_bits)
+    )
+    band_match = " OR ".join(
+        f"((a.sig >> {r * i}) & {mask}) = ((b.sig >> {r * i}) & {mask})"
+        for i in range(bands)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {sigbits} AS sig FROM e)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS sim
+FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({band_match})
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+"""
+
+
 @register(
     "x_sim_hyperplane_lsh",
-    oracle=None,  # sketch recall is probabilistic (1-(1-p^r)^bands < 1)
+    oracle=_hyperplane_oracle(),
     tags=("extension", "similarity", "sketch"),
     doc="Cosine-LSH near-dup pairs via random-hyperplane signatures: "
     "banded equi-join candidates + exact-cosine verification — the "
-    "no-blocking-key scale path beside IVF (rows-only check; recall is "
-    "probabilistic, tested against the exact answer in unit tests).",
+    "no-blocking-key scale path beside IVF. Oracle = all-pairs SQL over "
+    "the identically-computed deterministic sketch (banding is "
+    "exhaustive, so the two are provably equal; recall vs the exact "
+    "cosine answer is additionally pinned in unit tests).",
 )
 def x_sim_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hyperplane_lsh_pairs(
@@ -1070,4 +1107,159 @@ def x_dedup_keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("__rn") == 1, F.col("doc_id"))).alias("keeper_doc_id"),
             F.max("quality").alias("keeper_quality"),
         )
+    )
+
+
+# --- web-corpus curation: line dedup, URL canonicalization, domain blocklist -------
+
+_LINE_DEDUP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+seg AS (
+  SELECT doc_id, i AS line_idx,
+         array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS line
+  FROM toks, unnest(generate_series(0, CAST(ceil(len(ws)/10.0) AS INT) - 1)) AS g(i)
+),
+freq AS (SELECT line, count(*) AS line_freq FROM seg GROUP BY line),
+flagged AS (
+  SELECT s.doc_id, s.line_idx, s.line, f.line_freq < 2 AS kept
+  FROM seg s JOIN freq f USING (line)
+)
+SELECT doc_id,
+  count(*) AS n_lines,
+  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  coalesce(string_agg(CASE WHEN kept THEN line END, ' ' ORDER BY line_idx), '')
+    AS kept_text
+FROM flagged GROUP BY doc_id
+"""
+
+
+@register(
+    "x_dedup_lines",
+    oracle=_LINE_DEDUP_ORACLE,
+    tags=("extension", "dedup", "curation"),
+    doc="C4/RefinedWeb-style line-level dedup: drop every line whose "
+    "corpus-wide frequency >= 2, reassemble docs from kept lines in "
+    "order. Frequency via groupBy (map-side combine kills boilerplate "
+    "hot lines), never a per-line window.",
+)
+def x_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.line_dedup(
+        load_table(spark, sf_dir, "documents"), words_per_line=10, min_freq=2
+    )
+
+
+# Deliberately messy URL synthesis shared VERBATIM by the Spark query
+# (via F.expr) and the DuckDB oracle — http/https, WWW/case, default
+# ports, tracking params, unsorted params, fragments, trailing slashes.
+_MESSY_URL_CASE = """CASE event_id % 8
+  WHEN 0 THEN 'https://www.Example.com/products/?utm_source=google&b=2&a=1#top'
+  WHEN 1 THEN 'http://example.com:80/products?a=1&b=2'
+  WHEN 2 THEN 'https://shop.example.com/item/' || CAST(user_id AS STRING) || '?gclid=abc123'
+  WHEN 3 THEN 'https://SHOP.example.com:443/item/' || CAST(user_id AS STRING)
+  WHEN 4 THEN 'https://blog.example.com/post/' || CAST(user_id AS STRING) || '/'
+  WHEN 5 THEN 'http://www.blog.example.com/post/' || CAST(user_id AS STRING)
+  WHEN 6 THEN 'https://ads.tracker.io/click?fbclid=xyz&id=' || CAST(event_id AS STRING)
+  ELSE 'https://spam.example.net/lp#frag'
+END"""
+
+_URL_CANON_SQL_BODY = """
+parsed AS (
+  SELECT event_id, user_id,
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+      ':(443|80)$', ''), '^www\\.', '') AS host,
+    regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+                   '/$', '') AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM raw
+),
+canon AS (
+  SELECT event_id, user_id,
+    'https://' || host || path ||
+      CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
+  FROM (
+    SELECT *, array_to_string(list_sort(list_filter(string_split(query, '&'),
+      p -> len(p) > 0 AND NOT regexp_matches(p,
+        '^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid)='))), '&') AS qs
+    FROM parsed)
+  WHERE host <> ''
+)
+"""
+
+_URL_CANON_ORACLE = f"""
+WITH raw AS (SELECT event_id, user_id, {_MESSY_URL_CASE} AS url FROM events),
+{_URL_CANON_SQL_BODY.strip().rstrip()}
+SELECT canonical_url, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM canon GROUP BY canonical_url
+"""
+
+
+@register(
+    "x_url_canonicalize",
+    oracle=_URL_CANON_ORACLE,
+    tags=("extension", "curation", "web"),
+    doc="URL canonicalization for corpus dedup: force https, lowercase "
+    "host, strip www/default port/fragment/tracking params, sort "
+    "surviving params, strip trailing slash — then rollup per canonical "
+    "URL. Canonicalization is row-local regex (scan speed); the only "
+    "shuffle keys on the collapsed canonical string.",
+)
+def x_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    canon = events.select(
+        "event_id",
+        "user_id",
+        fe.canonical_url(F.expr(_MESSY_URL_CASE)).alias("canonical_url"),
+    ).where(F.col("canonical_url").isNotNull())
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_BLOCKLIST_DOMAINS = ["spam.example.net", "ads.tracker.io"]
+
+_BLOCKLIST_ORACLE = f"""
+WITH raw AS (SELECT event_id, {_MESSY_URL_CASE} AS url FROM events),
+dom AS (
+  SELECT event_id,
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+      ':(443|80)$', ''), '^www\\.', '') AS domain
+  FROM raw
+)
+SELECT domain, count(*) AS n_events
+FROM dom
+WHERE domain NOT IN ('spam.example.net', 'ads.tracker.io')
+GROUP BY domain
+"""
+
+
+@register(
+    "x_domain_blocklist",
+    oracle=_BLOCKLIST_ORACLE,
+    tags=("extension", "curation", "web"),
+    doc="Domain-blocklist filter: canonical host per event, broadcast "
+    "LEFT ANTI join against the blocklist table (the scale shape for a "
+    "curated-denylist of any size — never an IN-list literal), then a "
+    "per-domain rollup of what survives.",
+)
+def x_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    blocklist = F.broadcast(
+        spark.createDataFrame(
+            [(d,) for d in _BLOCKLIST_DOMAINS], ["domain"]
+        )
+    )
+    dom = events.select(
+        "event_id", fe.url_domain(F.expr(_MESSY_URL_CASE)).alias("domain")
+    )
+    return (
+        dom.join(blocklist, "domain", "left_anti")
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_events"))
     )

@@ -68,3 +68,33 @@ def test_lsh_streaming_verify_equals_array_verify_on_long_docs(spark):
     }
     assert want, "fixture produced no near-dup pairs — test is vacuous"
     assert got == want
+
+
+def test_line_dedup_drops_corpus_repeated_lines(spark):
+    # two docs share an identical 10-word span; each also has a unique span
+    boiler = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " one two three four five six seven eight nine ten"),
+            (2, boiler + " u v w x y z aa bb cc dd"),
+            (3, "solo line that appears only once in the whole corpus"),
+        ],
+        "doc_id long, text string",
+    )
+    from iheardai_data_pipeline_spark.operators.dedup import line_dedup
+
+    out = {r["doc_id"]: r for r in line_dedup(docs, words_per_line=10).collect()}
+    assert out[1]["n_lines"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["kept_text"] == "one two three four five six seven eight nine ten"
+    assert out[2]["n_kept"] == 1 and not out[2]["kept_text"].startswith("a b")
+    assert out[3]["n_kept"] == 1  # unique lines survive untouched
+
+
+def test_line_dedup_reassembles_in_original_order(spark):
+    text = " ".join(f"w{i}" for i in range(25))  # 3 lines: 10+10+5 words
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    from iheardai_data_pipeline_spark.operators.dedup import line_dedup
+
+    row = line_dedup(docs, words_per_line=10).collect()[0]
+    assert row["n_lines"] == 3 and row["n_kept"] == 3
+    assert row["kept_text"] == text  # order preserved through reassembly

@@ -163,3 +163,30 @@ def test_transform_frontend_events_pipeline(spark):
     assert out["conversion_stage"] == "consideration"
     assert out["quality_score"] == 100
     assert out["timestamp"] == 1705315800000
+
+
+def test_canonical_url_collapses_equivalent_forms(spark):
+    c = frontend.canonical_url("x")
+    cases = [
+        # scheme/www/port/tracking/fragment/param-order/trailing-slash noise
+        ("https://www.Example.com/products/?utm_source=g&b=2&a=1#top", "https://example.com/products?a=1&b=2"),
+        ("http://example.com:80/products?a=1&b=2", "https://example.com/products?a=1&b=2"),
+        ("https://SHOP.example.com:443/item/7", "https://shop.example.com/item/7"),
+        ("https://shop.example.com/item/7?gclid=abc", "https://shop.example.com/item/7"),
+        ("not a url", None),
+        (None, None),
+    ]
+    got = col_of(spark, c, [(u,) for u, _ in cases], "x string")
+    assert got == [e for _, e in cases]
+
+
+def test_url_domain_strips_www_and_default_port(spark):
+    c = frontend.url_domain("x")
+    cases = [
+        ("https://www.Example.com/a", "example.com"),
+        ("http://sub.site.org:80/x?q=1", "sub.site.org"),
+        ("https://api.host.io:8443/v1", "api.host.io:8443"),  # non-default port kept
+        ("garbage", ""),
+    ]
+    got = col_of(spark, c, [(u,) for u, _ in cases], "x string")
+    assert got == [e for _, e in cases]
