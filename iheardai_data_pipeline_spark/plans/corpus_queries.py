@@ -272,4 +272,11 @@ ORDER BY i.source
     "plan (operators/corpus.py:curation_funnel).",
 )
 def x_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return corpus.curation_funnel(load_table(spark, sf_dir, "documents"))
+    from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism
+
+    # fan the single-split scan out once at the funnel mouth: the base
+    # relation feeds the quality join + n_input rollup directly (the
+    # stages that don't go through repetition_metrics' own fan-out)
+    return corpus.curation_funnel(
+        ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    )

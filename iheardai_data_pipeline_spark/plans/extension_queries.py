@@ -1209,11 +1209,16 @@ FROM canon GROUP BY canonical_url
     "shuffle keys on the collapsed canonical string.",
 )
 def x_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    canon = events.select(
-        "event_id",
-        "user_id",
-        fe.canonical_url(F.expr(_MESSY_URL_CASE)).alias("canonical_url"),
+    from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism, eval_once
+
+    # fan the single-split scan out (the regex chain is the per-row-heavy
+    # step) and compute the canonicalization ONCE behind an eval-once
+    # barrier — CollapseProject would otherwise inline the ~10-regex
+    # expression into both the null filter and the aggregate key (2x).
+    events = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    canon = eval_once(
+        events.select("event_id", "user_id"),
+        canonical_url=fe.canonical_url(F.expr(_MESSY_URL_CASE)),
     ).where(F.col("canonical_url").isNotNull())
     return canon.groupBy("canonical_url").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -1249,7 +1254,9 @@ GROUP BY domain
     "per-domain rollup of what survives.",
 )
 def x_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+    from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism
+
+    events = ensure_parallelism(load_table(spark, sf_dir, "events"))
     blocklist = F.broadcast(
         spark.createDataFrame(
             [(d,) for d in _BLOCKLIST_DOMAINS], ["domain"]
