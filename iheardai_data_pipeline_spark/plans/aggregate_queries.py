@@ -1335,3 +1335,54 @@ def a_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+# --- winsorization bounds: exact percentile fences + outlier counts ----------------
+
+_WINSORIZE_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS lo,
+         quantile_cont(value, 0.99) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n,
+       CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+       round(any_value(b.lo), 6) AS p01,
+       round(any_value(b.hi), 6) AS p99
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+@register(
+    "a_winsorize_bounds",
+    oracle=_WINSORIZE_ORACLE,
+    tags=("aggregate", "percentile"),
+    doc="Winsorization fences: exact p01/p99 per event type (Spark "
+    "percentile() and DuckDB quantile_cont share the p*(n-1) linear "
+    "interpolation, verified bit-identical) plus how many rows each "
+    "fence would clamp. Two aggregates: the 5-row bounds relation "
+    "broadcasts back onto the fact scan — the clamp pass a real "
+    "winsorizing writer would run.",
+)
+def a_winsorize_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.01, 0.99))").alias("p")
+    ).select(
+        "event_type", F.col("p")[0].alias("lo"), F.col("p")[1].alias("hi")
+    )
+    return (
+        events.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") < F.col("lo")).cast("long")).alias("n_below"),
+            F.sum((F.col("value") > F.col("hi")).cast("long")).alias("n_above"),
+            F.round(F.first("lo"), 6).alias("p01"),
+            F.round(F.first("hi"), 6).alias("p99"),
+        )
+    )

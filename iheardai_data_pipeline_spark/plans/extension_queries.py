@@ -1270,3 +1270,35 @@ def x_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("domain")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+_CAP_PER_SOURCE_ORACLE = """
+SELECT source, doc_id, rk FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+) WHERE rk <= 40
+"""
+
+
+@register(
+    "x_cap_per_source",
+    oracle=_CAP_PER_SOURCE_ORACLE,
+    tags=("extension", "curation", "sampling"),
+    doc="Per-domain document cap (the anti-boilerplate mixing guard: no "
+    "source may contribute more than K docs): keep the top-40 by size "
+    "per source via one ranking window — a single shuffle on the "
+    "source key, rank predicate applied before anything downstream.",
+)
+def x_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    )
+    return (
+        docs.select("source", "doc_id", rk.alias("rk"))
+        .where(F.col("rk") <= 40)
+    )
