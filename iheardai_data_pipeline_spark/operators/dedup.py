@@ -241,7 +241,13 @@ def minhash_lsh_pairs(
       streaming aggregate; no row ever holds a whole set, so memory is
       bounded regardless of document size (book-length texts). Costs one
       extra shuffle keyed on (doc, shingle-hash), restricted to
-      candidate docs only. Zero-overlap candidates drop out of the
+      candidate docs only. It is ALSO the faster mode when candidate
+      density is high — "array" shuffles both full shingle sets per
+      pair, so its shuffle volume is pairs x set-size (measured: array
+      1.0s vs streaming 2.4s on the ordinary sf0.1 corpus, but 25s vs
+      10s on a 10x-duplication stress corpus with 250k true pairs).
+      Rule of thumb: expect >= ~10 true near-dups per doc, pick
+      streaming. Zero-overlap candidates drop out of the
       inner join, so results equal "array" mode for any threshold > 0.
 
     With r = k/bands rows per band the collision probability at

@@ -208,3 +208,49 @@ def tfidf_top_terms(
             F.col("rnk"),
         )
     )
+
+
+def chunk_documents(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 50,
+    stride: int = 25,
+):
+    """Overlapping fixed-size token chunks per document — the
+    context-window prep step of a training pipeline (chunk size =
+    model window, stride < size for overlap).
+
+    Row-local: token split, chunk index sequence, and slicing are one
+    narrow projection + posexplode — no shuffle at any corpus size, and
+    the per-chunk md5 gives downstream chunk-level dedup a ready key.
+    Chunk count is 1 for docs at or under ``chunk_tokens`` tokens, else
+    ``ceil((n - chunk_tokens)/stride) + 1`` (last chunk may be short;
+    every token lands in at least one chunk).
+
+    Output: (id, chunk_idx, n_tokens, chunk_md5, chunk_text).
+    """
+    from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(toks)
+    n_chunks = (
+        F.when(n <= chunk_tokens, F.lit(1))
+        .otherwise(
+            F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int") + 1
+        )
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * stride + 1, chunk_tokens), " "),
+    )
+    exploded = ensure_parallelism(
+        docs.where(F.col(text_col).isNotNull())
+    ).select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+    return exploded.select(
+        F.col(id_col),
+        "chunk_idx",
+        F.size(F.split(F.col("chunk_text"), " ")).alias("n_tokens"),
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+        "chunk_text",
+    )

@@ -1302,3 +1302,41 @@ def x_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", "doc_id", rk.alias("rk"))
         .where(F.col("rk") <= 40)
     )
+
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+nc AS (
+  SELECT doc_id, ws,
+         CASE WHEN len(ws) <= 50 THEN 1
+              ELSE CAST(ceil((len(ws) - 50)/25.0) AS INT) + 1 END AS n_chunks
+  FROM toks
+),
+ch AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(ws[(i*25+1):(i*25+50)], ' ') AS chunk_text
+  FROM nc, unnest(generate_series(0, n_chunks - 1)) AS g(i)
+)
+SELECT doc_id, chunk_idx,
+       len(string_split(chunk_text, ' ')) AS n_tokens,
+       md5(chunk_text) AS chunk_md5,
+       chunk_text
+FROM ch
+"""
+
+
+@register(
+    "x_chunk_documents",
+    oracle=_CHUNK_ORACLE,
+    tags=("extension", "curation", "text"),
+    doc="Context-window chunking: 50-token chunks, stride 25 (overlap "
+    "50%), per-chunk md5 for chunk-level dedup. Entirely row-local "
+    "(split + slice + posexplode) — no shuffle at any corpus size.",
+)
+def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=50, stride=25
+    )

@@ -133,3 +133,27 @@ class TestDupShingleStats:
         rows = {r.doc_id: r for r in corpus.dup_shingle_stats(df).collect()}
         assert rows[1].dup_shingle_frac == 1.0
         assert 0.0 < rows[2].dup_shingle_frac < 1.0
+
+
+def test_chunk_documents_stride_overlap(spark):
+    from iheardai_data_pipeline_spark.operators.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(76))  # 76 tokens -> 3 chunks
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=50, stride=25).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2]
+    assert [r["n_tokens"] for r in rows] == [50, 50, 26]
+    # stride-25 overlap: chunk 1 starts at token 25
+    assert rows[1]["chunk_text"].split(" ")[0] == "t25"
+    assert rows[2]["chunk_text"].split(" ")[-1] == "t75"
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from iheardai_data_pipeline_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "only four tokens here")], "doc_id long, text string")
+    rows = chunk_documents(docs, chunk_tokens=50, stride=25).collect()
+    assert len(rows) == 1 and rows[0]["n_tokens"] == 4
