@@ -253,3 +253,37 @@ def test_corpus_lm_rare_frac_bounds(spark, rows):
         assert r.n_tokens == len(text.split())
         assert 0 <= r.rare_token_frac <= 1
         assert r.mean_tok_fpm > 0
+
+
+_url_strategy = st.builds(
+    lambda scheme, www, host, port, path, slash, params, frag: (
+        f"{scheme}://{'www.' if www else ''}{host}{port}{path}{'/' if slash else ''}"
+        + ("?" + "&".join(params) if params else "")
+        + ("#" + frag if frag else "")
+    ),
+    scheme=st.sampled_from(["http", "https", "HTTP"]),
+    www=st.booleans(),
+    host=st.sampled_from(["Example.com", "shop.site.org", "a.b.io"]),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.sampled_from(["", "/x", "/x/Y", "/deep/path"]),
+    slash=st.booleans(),
+    params=st.lists(
+        st.sampled_from(["a=1", "b=2", "utm_source=g", "gclid=z", "q=w"]),
+        max_size=4,
+    ),
+    frag=st.sampled_from(["", "top", "sec2"]),
+)
+
+
+@given(urls=st.lists(_url_strategy, min_size=1, max_size=20))
+@settings(max_examples=15, deadline=None)
+def test_canonical_url_idempotent(spark, urls):
+    """canonical(canonical(u)) == canonical(u): a canonical form must be
+    a fixed point, else corpus URL-dedup keys drift across passes."""
+    from iheardai_data_pipeline_spark.functions.frontend import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select(canonical_url("u").alias("c1"))
+    twice = once.select(F.col("c1"), canonical_url("c1").alias("c2"))
+    for r in twice.collect():
+        assert r["c2"] == r["c1"], (r["c1"], r["c2"])
