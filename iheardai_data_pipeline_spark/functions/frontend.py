@@ -304,11 +304,15 @@ def transform_frontend_events(df: DataFrame) -> DataFrame:
 
 # Tracking params dropped during canonicalization (the industry-standard
 # strip list; utm_* covers source/medium/campaign/term/content).
-TRACKING_PARAM_RE = r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid)="
+# Case-insensitive: hand-built campaign links carry UTM_SOURCE= etc.
+TRACKING_PARAM_RE = r"(?i)^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid)="
 
 _URL_HOST_RE = r"^[a-zA-Z]+://([^/?#]+)"
 _URL_PATH_RE = r"^[a-zA-Z]+://[^/?#]+([^?#]*)"
-_URL_QUERY_RE = r"\?([^#]*)"
+# query = text between the first '?' BEFORE any '#' and the fragment; a
+# bare '\?([^#]*)' would match a '?' inside the fragment and resurrect
+# fragment content as a query string
+_URL_QUERY_RE = r"^[^#]*?\?([^#]*)"
 
 
 def canonical_url(url: Column | str) -> Column:
@@ -327,11 +331,8 @@ def canonical_url(url: Column | str) -> Column:
     Null/scheme-less input canonicalizes to NULL.
     """
     u = _col(url)
-    host_port = F.regexp_extract(u, _URL_HOST_RE, 1)
-    host = F.regexp_replace(
-        F.regexp_replace(F.lower(host_port), r":(443|80)$", ""), r"^www\.", ""
-    )
-    path = F.regexp_replace(F.regexp_extract(u, _URL_PATH_RE, 1), r"/$", "")
+    host = url_domain(u)
+    path = F.regexp_replace(F.regexp_extract(u, _URL_PATH_RE, 1), r"/+$", "")
     query = F.regexp_extract(u, _URL_QUERY_RE, 1)
     kept = F.array_sort(
         F.filter(

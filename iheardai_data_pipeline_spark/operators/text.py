@@ -240,17 +240,25 @@ def chunk_documents(
             F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int") + 1
         )
     )
+    # n_tokens is arithmetic on the slice bounds (min(chunk_tokens,
+    # n - i*stride)) — re-splitting chunk_text to count it would double
+    # the string-scan work of this row-local hot path
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(toks, i * stride + 1, chunk_tokens), " "),
+        lambda i: F.struct(
+            F.least(F.lit(chunk_tokens), n - i * stride).alias("n_tokens"),
+            F.array_join(F.slice(toks, i * stride + 1, chunk_tokens), " ").alias(
+                "chunk_text"
+            ),
+        ),
     )
     exploded = ensure_parallelism(
         docs.where(F.col(text_col).isNotNull())
-    ).select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+    ).select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "c"))
     return exploded.select(
         F.col(id_col),
         "chunk_idx",
-        F.size(F.split(F.col("chunk_text"), " ")).alias("n_tokens"),
-        F.md5(F.col("chunk_text")).alias("chunk_md5"),
-        "chunk_text",
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.md5(F.col("c.chunk_text")).alias("chunk_md5"),
+        F.col("c.chunk_text").alias("chunk_text"),
     )

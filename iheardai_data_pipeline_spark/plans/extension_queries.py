@@ -1172,8 +1172,8 @@ parsed AS (
       lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
       ':(443|80)$', ''), '^www\\.', '') AS host,
     regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
-                   '/$', '') AS path,
-    regexp_extract(url, '\\?([^#]*)', 1) AS query
+                   '/+$', '') AS path,
+    regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query
   FROM raw
 ),
 canon AS (
@@ -1183,7 +1183,7 @@ canon AS (
   FROM (
     SELECT *, array_to_string(list_sort(list_filter(string_split(query, '&'),
       p -> len(p) > 0 AND NOT regexp_matches(p,
-        '^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid)='))), '&') AS qs
+        '(?i)^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid)='))), '&') AS qs
     FROM parsed)
   WHERE host <> ''
 )
@@ -1191,7 +1191,7 @@ canon AS (
 
 _URL_CANON_ORACLE = f"""
 WITH raw AS (SELECT event_id, user_id, {_MESSY_URL_CASE} AS url FROM events),
-{_URL_CANON_SQL_BODY.strip().rstrip()}
+{_URL_CANON_SQL_BODY.strip()}
 SELECT canonical_url, count(*) AS n_events,
        count(DISTINCT user_id) AS n_users
 FROM canon GROUP BY canonical_url

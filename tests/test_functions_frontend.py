@@ -173,6 +173,12 @@ def test_canonical_url_collapses_equivalent_forms(spark):
         ("http://example.com:80/products?a=1&b=2", "https://example.com/products?a=1&b=2"),
         ("https://SHOP.example.com:443/item/7", "https://shop.example.com/item/7"),
         ("https://shop.example.com/item/7?gclid=abc", "https://shop.example.com/item/7"),
+        # multiple trailing slashes collapse in ONE pass (idempotence)
+        ("https://example.com/a//", "https://example.com/a"),
+        # a '?' inside the fragment is NOT a query string
+        ("https://example.com/p#sec?x=1", "https://example.com/p"),
+        # tracking params strip case-insensitively
+        ("https://example.com/p?UTM_SOURCE=g&A=1", "https://example.com/p?A=1"),
         ("not a url", None),
         (None, None),
     ]

@@ -257,7 +257,7 @@ def test_corpus_lm_rare_frac_bounds(spark, rows):
 
 _url_strategy = st.builds(
     lambda scheme, www, host, port, path, slash, params, frag: (
-        f"{scheme}://{'www.' if www else ''}{host}{port}{path}{'/' if slash else ''}"
+        f"{scheme}://{'www.' if www else ''}{host}{port}{path}{slash}"
         + ("?" + "&".join(params) if params else "")
         + ("#" + frag if frag else "")
     ),
@@ -266,12 +266,12 @@ _url_strategy = st.builds(
     host=st.sampled_from(["Example.com", "shop.site.org", "a.b.io"]),
     port=st.sampled_from(["", ":80", ":443", ":8080"]),
     path=st.sampled_from(["", "/x", "/x/Y", "/deep/path"]),
-    slash=st.booleans(),
+    slash=st.sampled_from(["", "/", "//", "///"]),
     params=st.lists(
-        st.sampled_from(["a=1", "b=2", "utm_source=g", "gclid=z", "q=w"]),
+        st.sampled_from(["a=1", "b=2", "utm_source=g", "UTM_SOURCE=G", "gclid=z", "q=w"]),
         max_size=4,
     ),
-    frag=st.sampled_from(["", "top", "sec2"]),
+    frag=st.sampled_from(["", "top", "sec2", "sec?x=1"]),
 )
 
 
