@@ -47,10 +47,17 @@ def _label_key(labels: Mapping[str, str]) -> tuple[tuple[str, str], ...]:
     return tuple(sorted(labels.items()))
 
 
+def _escape_label_value(v: str) -> str:
+    """Prometheus text-exposition escaping for label values: backslash,
+    double quote, and newline must be escaped or the whole scrape is
+    rejected by the parser."""
+    return str(v).replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
 def _render_labels(key: tuple[tuple[str, str], ...]) -> str:
     if not key:
         return ""
-    inner = ",".join(f'{k}="{v}"' for k, v in key)
+    inner = ",".join(f'{k}="{_escape_label_value(v)}"' for k, v in key)
     return "{" + inner + "}"
 
 
@@ -354,7 +361,7 @@ class AlertManager:
             metric = self.registry._metrics.get(rule.metric)
             if metric is None:
                 continue
-            value = metric.value(**rule.labels) if hasattr(metric, "value") else None
+            value = self._rule_value(metric, rule)
             if value is None:
                 continue
             breach = value > rule.threshold if rule.above else value < rule.threshold
@@ -372,3 +379,22 @@ class AlertManager:
                 if self.transport is not None:
                     self.transport(alert)
         return fired
+
+    @staticmethod
+    def _rule_value(metric, rule: "AlertRule") -> float | None:
+        """Observed value a rule evaluates against, or None to skip.
+
+        Never-recorded label sets return None instead of a 0.0 default —
+        a `below`-threshold rule must not fire for a series that has no
+        observations. Histogram rules evaluate the MEAN observation
+        (sum/count) — the latency-alert shape; count==0 skips.
+        """
+        if isinstance(metric, Histogram):
+            n = metric.count(**rule.labels)
+            if n == 0:
+                return None
+            return metric.sum(**rule.labels) / n
+        key = _label_key(rule.labels)
+        if key not in metric._values:
+            return None
+        return metric.value(**rule.labels)

@@ -327,6 +327,11 @@ def minhash_lsh_pairs(
         )
     if verify != "streaming":
         raise ValueError(f"unknown verify mode {verify!r}")
+    # the streaming branch references candidates TWICE (the semi-join
+    # probe ids and the shared-count join); profile is cached, but the
+    # band self-join above would still re-run per reference — pin the
+    # (tiny: pair ids only) candidate relation once
+    candidates = candidates.localCheckpoint(eager=False)
     # memory-bounded verification: |A ∩ B| as a per-shingle equi-join.
     # Every operator here streams — explode emits one (doc, hash) row at
     # a time and the count aggregates map-side — so no task ever

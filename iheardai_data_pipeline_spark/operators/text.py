@@ -89,8 +89,12 @@ def with_text_quality_metrics(df, text_col: str = "text"):
     mean_word_len helper and the DuckDB oracle; only the stopword
     membership test lowercases, per word inside the filter lambda.
     """
-    from iheardai_data_pipeline_spark.sources.batch import eval_once
+    from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism, eval_once
 
+    # fan a single-split scan out first: every metric below is per-row
+    # regex/array work, the classic case where one input split would
+    # serialize the whole corpus onto one core (no-op on real inputs)
+    df = ensure_parallelism(df)
     t = _col(text_col)
     base = eval_once(
         df,

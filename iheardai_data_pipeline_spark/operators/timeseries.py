@@ -1,4 +1,8 @@
-"""Time-series regularization: resample to a fixed grid + forward fill.
+"""Time-series regularization (resample to a fixed grid + forward fill)
+and blocked fuzzy string matching (:func:`blocked_fuzzy_pairs` — prefix
+blocking + Levenshtein, the entity-resolution primitive; it lives here
+with the other enrichment operators rather than in dedup.py, whose
+operators all key on document text).
 
 The gap-filling shape every metrics/feature pipeline needs and plain
 GROUP BY can't produce: aggregate to a time bucket, LEFT JOIN a dense

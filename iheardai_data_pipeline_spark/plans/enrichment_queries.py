@@ -131,15 +131,22 @@ def p_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = F.when(
         F.col("event_id") % 10 == 0, F.concat(F.lit("x"), F.col("props"))
     ).otherwise(F.col("props"))
-    parsed = F.from_json(pr, "k int")
+    # STRUCTURAL corruption detection: PERMISSIVE from_json routes the raw
+    # text of a malformed record into the declared corrupt-record column.
+    # Testing `j.k IS NULL` instead would mislabel valid JSON that merely
+    # lacks k (or carries k:null) and NULL inputs — diverging from the
+    # oracle's json_valid().
+    parsed = F.from_json(
+        pr, "k int, _corrupt string", {"columnNameOfCorruptRecord": "_corrupt"}
+    )
     return (
         events.select("event_type", parsed.alias("j"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            # PERMISSIVE from_json yields a struct of NULL FIELDS for a
-            # malformed record (not a NULL struct) — detect on the field
-            F.sum(F.when(F.col("j.k").isNull(), 1).otherwise(0)).alias("n_corrupt"),
+            F.sum(
+                F.when(F.col("j._corrupt").isNotNull(), 1).otherwise(0)
+            ).alias("n_corrupt"),
             F.sum(F.col("j.k")).alias("sum_k"),
         )
         .orderBy("event_type")

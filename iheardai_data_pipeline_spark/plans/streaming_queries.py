@@ -246,7 +246,16 @@ def t9_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(tempfile.mkdtemp(prefix="t9_"), "accepted")
 
     def ingest_batch(batch: DataFrame, batch_id: int) -> None:
-        accepted = incremental_dedup(batch, seed_fps)
+        # probe = seed index ∪ fingerprints ACCEPTED BY EARLIER BATCHES —
+        # without the second leg, a duplicate spanning two micro-batches
+        # would be accepted twice and the stream != batch. (The fixture
+        # happens to arrive as one batch; the probe must not rely on it.)
+        probe = seed_fps
+        if os.path.exists(out_dir):
+            probe = seed_fps.unionByName(
+                spark.read.parquet(out_dir).select("fingerprint")
+            )
+        accepted = incremental_dedup(batch, probe)
         accepted.select("doc_id", "source", "fingerprint").write.mode(
             "append"
         ).parquet(out_dir)

@@ -94,6 +94,18 @@ def infer_epoch_unit(max_value: int | None) -> int:
             f"every unit hypothesis — magnitude inference cannot pick a unit "
             f"for wholly-pre-2001 data; convert this column explicitly"
         )
+    # upper fence: a pre-2001 millis column (max < 1e12) magnitude-classifies
+    # as seconds and lands far in the future (year ~30970); same for pre-2001
+    # micros-as-millis and nanos-as-micros. A legitimate column in its TRUE
+    # unit stays below year 2100, so an implied instant beyond that is a
+    # misclassified sub-second unit — raise rather than silently shift.
+    if implied_us > 4_102_444_800_000_000:  # 2100-01-01 in µs
+        raise ValueError(
+            f"epoch column max {max_value} implies a post-2100 instant under "
+            f"the {unit}-µs/unit hypothesis — likely a pre-2001 column in a "
+            f"finer unit (magnitude inference cannot distinguish these); "
+            f"convert this column explicitly"
+        )
     return unit
 
 

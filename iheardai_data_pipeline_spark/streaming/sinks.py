@@ -97,6 +97,20 @@ def session_kpis_foreach_batch(
     equivalent of recompute-touched-keys without rereading the base table.
     """
 
+    def merge_fn(current: DataFrame | None, partial: DataFrame) -> DataFrame:
+        if current is None:
+            return partial
+        return (
+            current.unionByName(partial)
+            .groupBy(user_col)
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value_dec").alias("sum_value_dec"),
+                F.min("started_at_s").alias("started_at_s"),
+                F.max("ended_at_s").alias("ended_at_s"),
+            )
+        )
+
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         partial = batch_df.groupBy(user_col).agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -104,21 +118,14 @@ def session_kpis_foreach_batch(
             F.min(F.unix_seconds(F.col(ts_col))).alias("started_at_s"),
             F.max(F.unix_seconds(F.col(ts_col))).alias("ended_at_s"),
         )
-        current = store.read()
-        if current is not None:
-            merged = (
-                current.unionByName(partial)
-                .groupBy(user_col)
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.sum("sum_value_dec").alias("sum_value_dec"),
-                    F.min("started_at_s").alias("started_at_s"),
-                    F.max("ended_at_s").alias("ended_at_s"),
-                )
-            )
+        # concurrent-writer-safe stores expose an OCC read-modify-write
+        # `apply`; route the merge through it so a lost commit race
+        # re-reads and re-merges instead of clobbering the winner. The
+        # plain single-writer store keeps the read+replace path.
+        if hasattr(store, "apply"):
+            store.apply(lambda current: merge_fn(current, partial))
         else:
-            merged = partial
-        store.write_snapshot(merged)
+            store.write_snapshot(merge_fn(store.read(), partial))
 
     return apply
 
@@ -136,14 +143,20 @@ def session_state_foreach_batch(store: ParquetUpsertStore, seq_col: str = "seq")
         from iheardai_data_pipeline_spark.operators.mutations import last_write_wins
 
         newest = last_write_wins(batch_df, store.key_cols, [seq_col])
-        current = store.read()
-        if current is None:
-            merged = newest
-        else:
-            merged = last_write_wins(
+
+        def merge_fn(current: DataFrame | None) -> DataFrame:
+            if current is None:
+                return newest
+            return last_write_wins(
                 current.unionByName(newest), store.key_cols, [seq_col]
             )
-        store.write_snapshot(merged)
+
+        # OCC stores re-read + re-merge on a lost commit race (see
+        # session_kpis_foreach_batch); plain store keeps read+replace
+        if hasattr(store, "apply"):
+            store.apply(merge_fn)
+        else:
+            store.write_snapshot(merge_fn(store.read()))
 
     return apply
 

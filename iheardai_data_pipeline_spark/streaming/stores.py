@@ -140,44 +140,68 @@ class TransactionalParquetStore:
         d = self._snapshot_dir(version)
         return None if d is None else self.spark.read.parquet(d)
 
-    def merge(self, updates: DataFrame) -> None:
-        """Transactional last-writer-wins merge with OCC retry."""
+    def apply(self, fn) -> None:
+        """OCC read-modify-write: ``fn(current_df_or_None) -> merged_df``.
+
+        The ONLY safe way to compose a merge from the latest state: the
+        loop re-reads the newest committed snapshot and RE-APPLIES ``fn``
+        on every retry, so a writer that loses a commit race folds the
+        winner's changes into its next attempt instead of clobbering
+        them. (A bare read → compute → :meth:`write_snapshot` sequence
+        would retry with its stale result and silently lose the
+        concurrent update.)
+        """
         for _ in range(self.max_retries):
             base_version = self.current_version()
-            current = self.read_version(base_version)
-            if current is None:
-                # first commit: still LWW-dedup within the batch itself
-                merged = last_write_wins(updates, self.key_cols, self.order_cols)
-            else:
-                merged = merge_upsert(current, updates, self.key_cols, self.order_cols)
+            merged = fn(self.read_version(base_version))
             name = self._stage_snapshot(merged)
             if self._try_commit(base_version + 1, name):
                 return
             # lost the race: another writer committed base_version+1 first;
-            # drop our stale staging dir and re-merge against the new base
+            # drop our stale staging dir, re-read, re-apply
             shutil.rmtree(
                 os.path.join(self.path, "_snapshots", name), ignore_errors=True
             )
         raise RuntimeError(
-            f"merge on {self.path} lost {self.max_retries} consecutive "
+            f"apply on {self.path} lost {self.max_retries} consecutive "
             f"commit races — raise max_retries or serialize the writers"
         )
 
-    def write_snapshot(self, df: DataFrame) -> None:
-        """Full-replace commit through the same versioned protocol."""
-        for _ in range(self.max_retries):
-            base_version = self.current_version()
-            name = self._stage_snapshot(df)
-            if self._try_commit(base_version + 1, name):
-                return
-            shutil.rmtree(
-                os.path.join(self.path, "_snapshots", name), ignore_errors=True
-            )
-        raise RuntimeError(f"write_snapshot on {self.path} lost every commit race")
+    def merge(self, updates: DataFrame) -> None:
+        """Transactional last-writer-wins merge with OCC retry."""
 
-    def vacuum(self, keep: int = 2) -> None:
+        def fn(current: DataFrame | None) -> DataFrame:
+            if current is None:
+                # first commit: still LWW-dedup within the batch itself
+                return last_write_wins(updates, self.key_cols, self.order_cols)
+            return merge_upsert(current, updates, self.key_cols, self.order_cols)
+
+        self.apply(fn)
+
+    def write_snapshot(self, df: DataFrame) -> None:
+        """Full-REPLACE commit through the versioned protocol.
+
+        Replace semantics ignore concurrent state by design (the retry
+        re-claims with the same df — last replace wins). For
+        read-modify-write, use :meth:`apply`, never read +
+        ``write_snapshot``.
+        """
+        self.apply(lambda _current: df)
+
+    def vacuum(self, keep: int = 2, grace_seconds: float = 3600.0) -> None:
         """Drop snapshots (and markers) older than the newest ``keep``
-        committed versions, plus any unreferenced staging dirs."""
+        committed versions, plus unreferenced staging dirs older than
+        ``grace_seconds``.
+
+        The grace period exists because an unreferenced directory is not
+        necessarily garbage: a concurrent writer stages its snapshot
+        BEFORE claiming a version, so deleting young unreferenced dirs
+        would corrupt that writer's about-to-commit version. Only dirs
+        that have sat unclaimed longer than any plausible stage-to-commit
+        window are reclaimed (crash leftovers).
+        """
+        import time
+
         versions = sorted(
             int(f) for f in os.listdir(self._commits_dir()) if f.isdigit()
         )
@@ -192,9 +216,17 @@ class TransactionalParquetStore:
                 shutil.rmtree(d, ignore_errors=True)
             os.unlink(os.path.join(self._commits_dir(), str(v)))
         snaps = os.path.join(self.path, "_snapshots")
+        now = time.time()
         for name in os.listdir(snaps):
-            if name not in referenced:
-                shutil.rmtree(os.path.join(snaps, name), ignore_errors=True)
+            if name in referenced:
+                continue
+            p = os.path.join(snaps, name)
+            try:
+                age = now - os.path.getmtime(p)
+            except OSError:
+                continue
+            if age >= grace_seconds:
+                shutil.rmtree(p, ignore_errors=True)
 
 
 class DeltaMergeStore:

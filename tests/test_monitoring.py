@@ -169,3 +169,47 @@ class TestAlerts:
         am = AlertManager(MetricsRegistry())
         am.add_rule(AlertRule(name="x", metric="nope", threshold=1))
         assert am.evaluate() == []
+
+
+class TestAlertEdgeCases:
+    def test_below_rule_skips_never_recorded_labels(self):
+        r = MetricsRegistry()
+        am = AlertManager(r)
+        r.gauge("pipeline_service_healthy")  # metric exists, labels never set
+        am.add_rule(
+            AlertRule(
+                name="service_down",
+                metric="pipeline_service_healthy",
+                threshold=0.5,
+                above=False,
+                labels={"service": "never-seen"},
+            )
+        )
+        # a series with no observations must not read as 0.0 and fire
+        assert am.evaluate() == []
+
+    def test_histogram_rule_fires_on_mean(self):
+        r = MetricsRegistry()
+        am = AlertManager(r)
+        h = r.histogram("op_duration_seconds")
+        am.add_rule(
+            AlertRule(
+                name="slow_ops",
+                metric="op_duration_seconds",
+                threshold=1.0,
+                labels={"operation": "load"},
+            )
+        )
+        assert am.evaluate() == []  # no observations yet: skip, not fire
+        h.observe(3.0, operation="load")
+        h.observe(5.0, operation="load")
+        fired = am.evaluate()
+        assert len(fired) == 1 and fired[0]["value"] == 4.0  # mean(3,5)
+
+    def test_label_values_escaped_in_exposition(self):
+        r = MetricsRegistry()
+        c = r.counter("reqs")
+        c.inc(1.0, path='a"b\\c\nd')
+        line = [ln for ln in c.expose() if ln.startswith("reqs{")][0]
+        assert '\\"' in line and "\\\\" in line and "\\n" in line
+        assert "\n" not in line  # raw newline would split the sample line

@@ -59,3 +59,24 @@ def test_incremental_checkpoint_roundtrip(spark, tmp_path):
 
     newer = spark.createDataFrame([(4, "d@w.com", 400)], SCHEMA)
     assert incremental_filter(df.union(newer), "updated_at", ckpt.load()).count() == 1
+
+
+def test_infer_epoch_unit_rejects_pre2001_finer_units():
+    """A wholly-pre-2001 millis column magnitude-classifies as seconds and
+    would land ~year 30970 — the upper fence must reject it (and the
+    analogous micros/nanos misreads) instead of silently shifting."""
+    import pytest as _pytest
+
+    from iheardai_data_pipeline_spark.sources.batch import infer_epoch_unit
+
+    with _pytest.raises(ValueError):
+        infer_epoch_unit(978_307_200_000)  # 2000-12-31 in ms, reads as s
+    with _pytest.raises(ValueError):
+        infer_epoch_unit(978_307_200_000_000)  # 2000-12-31 in µs, reads as ms
+    with _pytest.raises(ValueError):
+        infer_epoch_unit(978_307_200_000_000_000)  # 2000-12-31 in ns, reads as µs
+    # legitimate post-2001 columns in every unit still infer cleanly
+    assert infer_epoch_unit(1_700_000_000) == 1_000_000  # 2023 seconds
+    assert infer_epoch_unit(1_700_000_000_000) == 1_000  # 2023 millis
+    assert infer_epoch_unit(1_700_000_000_000_000) == 1  # 2023 micros
+    assert infer_epoch_unit(1_700_000_000_000_000_000) == -1000  # 2023 nanos

@@ -122,3 +122,47 @@ def test_delta_merge_backend(spark, tmp_path):  # pragma: no cover
     st.merge(spark.createDataFrame([("a", 2, "a2x")], SCHEMA))
     got = {(r["k"], r["seq"]): r["v"] for r in st.read().collect()}
     assert got == {("a", 1): "a1", ("a", 2): "a2x", ("b", 1): "b1"}
+
+
+def test_apply_rereads_and_remerges_on_lost_race(spark, tmp_path):
+    """A read-modify-write that loses the commit race must fold the
+    winner's commit into its retry — the lost-update scenario a bare
+    read + write_snapshot sequence would hit."""
+    from iheardai_data_pipeline_spark.operators.mutations import merge_upsert
+
+    path = str(tmp_path / "s")
+    a = TransactionalParquetStore(spark, path, ["k"], ["seq"])
+    b = TransactionalParquetStore(spark, path, ["k"], ["seq"])
+    a.merge(spark.createDataFrame([("seed", 1, "v0")], SCHEMA))
+
+    fired = {"done": False}
+
+    def fn(current):
+        if not fired["done"]:
+            fired["done"] = True
+            # concurrent writer commits BETWEEN a's read and a's commit
+            b.merge(spark.createDataFrame([("bkey", 1, "bv")], SCHEMA))
+        updates = spark.createDataFrame([("akey", 1, "av")], SCHEMA)
+        if current is None:
+            return updates
+        return merge_upsert(current, updates, ["k"], ["seq"])
+
+    a.apply(fn)
+    keys = {r["k"] for r in a.read().collect()}
+    assert keys == {"seed", "bkey", "akey"}  # b's commit survived a's retry
+
+
+def test_vacuum_grace_spares_inflight_staging(spark, tmp_path):
+    """vacuum must not delete a young unreferenced staging dir — a
+    concurrent writer stages BEFORE it claims a version."""
+    import os
+
+    st = _store(spark, tmp_path)
+    st.merge(spark.createDataFrame([("a", 1, "v1")], SCHEMA))
+    # simulate another writer's staged-but-not-yet-committed snapshot
+    inflight = st._stage_snapshot(spark.createDataFrame([("b", 1, "bv")], SCHEMA))
+    st.vacuum(keep=1)  # default grace: the young dir must survive
+    snaps = os.path.join(st.path, "_snapshots")
+    assert inflight in os.listdir(snaps)
+    st.vacuum(keep=1, grace_seconds=0.0)  # explicit zero grace reclaims it
+    assert inflight not in os.listdir(snaps)
