@@ -353,10 +353,14 @@ def canonical_url(url: Column | str) -> Column:
 
 
 def url_domain(url: Column | str) -> Column:
-    """Canonical host of a URL (lowercase, no ``www.`` prefix, no default
-    port) — the blocklist / per-site-rollup key. Same regex family as
-    :func:`canonical_url`; '' when the input has no scheme."""
+    """Canonical host of a URL (lowercase, no userinfo, no ``www.``
+    prefix, no default port) — the blocklist / per-site-rollup key. Same
+    regex family as :func:`canonical_url`; '' when the input has no
+    scheme. Userinfo strips FIRST: the authority regex captures
+    ``user:pass@host`` whole, and a blocklist keyed on the bare domain
+    must not be evadable by prefixing credentials."""
     host_port = F.regexp_extract(_col(url), _URL_HOST_RE, 1)
+    no_user = F.regexp_replace(F.lower(host_port), r"^[^@]*@", "")
     return F.regexp_replace(
-        F.regexp_replace(F.lower(host_port), r":(443|80)$", ""), r"^www\.", ""
+        F.regexp_replace(no_user, r":(443|80)$", ""), r"^www\.", ""
     )

@@ -1169,7 +1169,8 @@ _URL_CANON_SQL_BODY = """
 parsed AS (
   SELECT event_id, user_id,
     regexp_replace(regexp_replace(
-      lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+      regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+                     '^[^@]*@', ''),
       ':(443|80)$', ''), '^www\\.', '') AS host,
     regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
                    '/+$', '') AS path,
@@ -1233,7 +1234,8 @@ WITH raw AS (SELECT event_id, {_MESSY_URL_CASE} AS url FROM events),
 dom AS (
   SELECT event_id,
     regexp_replace(regexp_replace(
-      lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+      regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+                     '^[^@]*@', ''),
       ':(443|80)$', ''), '^www\\.', '') AS domain
   FROM raw
 )
