@@ -111,6 +111,10 @@ def session_kpis_foreach_batch(
             )
         )
 
+    # key-local by construction (per-user fold) — eligible for the
+    # bucketed store's partial-rewrite apply_keyed
+    merge_fn_keyed = merge_fn
+
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         partial = batch_df.groupBy(user_col).agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -118,11 +122,15 @@ def session_kpis_foreach_batch(
             F.min(F.unix_seconds(F.col(ts_col))).alias("started_at_s"),
             F.max(F.unix_seconds(F.col(ts_col))).alias("ended_at_s"),
         )
-        # concurrent-writer-safe stores expose an OCC read-modify-write
-        # `apply`; route the merge through it so a lost commit race
-        # re-reads and re-merges instead of clobbering the winner. The
-        # plain single-writer store keeps the read+replace path.
-        if hasattr(store, "apply"):
+        # concurrent-writer-safe stores expose an OCC read-modify-write:
+        # `apply_keyed` (bucketed — the per-user fold is key-local, so
+        # only touched buckets rewrite) or `apply` (full snapshot).
+        # Either way a lost commit race re-reads and re-merges instead
+        # of clobbering the winner. The plain single-writer store keeps
+        # the read+replace path.
+        if hasattr(store, "apply_keyed"):
+            store.apply_keyed(partial, merge_fn_keyed)
+        elif hasattr(store, "apply"):
             store.apply(lambda current: merge_fn(current, partial))
         else:
             store.write_snapshot(merge_fn(store.read(), partial))
@@ -152,8 +160,11 @@ def session_state_foreach_batch(store: ParquetUpsertStore, seq_col: str = "seq")
             )
 
         # OCC stores re-read + re-merge on a lost commit race (see
-        # session_kpis_foreach_batch); plain store keeps read+replace
-        if hasattr(store, "apply"):
+        # session_kpis_foreach_batch); the seq-guard LWW is key-local,
+        # so the bucketed store's partial rewrite applies too
+        if hasattr(store, "apply_keyed"):
+            store.apply_keyed(newest, lambda current, upd: merge_fn(current))
+        elif hasattr(store, "apply"):
             store.apply(merge_fn)
         else:
             store.write_snapshot(merge_fn(store.read()))

@@ -5,7 +5,9 @@ inside a connection transaction, enhanced_kpi_consumer.py:395-434). The
 rig's original ``ParquetUpsertStore`` (sinks.py) is rewrite-on-merge
 WITHOUT concurrent-writer safety — fine for a single-writer test rig,
 wrong for production. This module closes that gap with two backends
-behind one interface (``read`` / ``merge`` / ``write_snapshot``):
+behind one interface (``read`` / ``merge`` / ``write_snapshot``), plus a
+partial-rewrite variant (:class:`BucketedTransactionalStore`) that
+removes the full-snapshot scale limitation:
 
 - :class:`TransactionalParquetStore` — optimistic concurrency control on
   a plain filesystem: every commit stages a complete snapshot under a
@@ -23,10 +25,13 @@ behind one interface (``read`` / ``merge`` / ``write_snapshot``):
   condition reproduces the same last-writer-wins ordering the parquet
   stores implement).
 
-At 100 TB the parquet stores' full-snapshot rewrite is the scale
-limitation (every merge rewrites the table); Delta's MERGE rewrites only
-touched files. The interface isolates that choice from the foreachBatch
-logic, which is identical across backends.
+At 100 TB a full-snapshot rewrite per merge is the scale limitation;
+:class:`BucketedTransactionalStore` closes it on plain parquet by
+hash-bucketing the key space and rewriting ONLY the buckets a merge
+touches (the commit manifest inherits untouched buckets by pointer —
+the same idea as Delta's file-level MERGE). The interface isolates the
+backend choice from the foreachBatch logic, which is identical across
+all of them.
 """
 
 from __future__ import annotations
@@ -290,15 +295,221 @@ def make_upsert_store(
     order_cols: list[str],
     fmt: str = "parquet",
 ):
-    """Factory over the three upsert backends: ``parquet`` (single-writer
-    snapshot rewrite), ``parquet_txn`` (OCC-versioned parquet), ``delta``
-    (real MERGE; raises ImportError where delta-spark is absent)."""
+    """Factory over the upsert backends: ``parquet`` (single-writer
+    snapshot rewrite), ``parquet_txn`` (OCC-versioned parquet),
+    ``parquet_bucketed`` (OCC + partial bucket rewrites — the scale
+    path on plain parquet), ``delta`` (real MERGE; raises ImportError
+    where delta-spark is absent)."""
     if fmt == "parquet":
         from iheardai_data_pipeline_spark.streaming.sinks import ParquetUpsertStore
 
         return ParquetUpsertStore(spark, path, key_cols, order_cols)
     if fmt == "parquet_txn":
         return TransactionalParquetStore(spark, path, key_cols, order_cols)
+    if fmt == "parquet_bucketed":
+        return BucketedTransactionalStore(spark, path, key_cols, order_cols)
     if fmt == "delta":
         return DeltaMergeStore(spark, path, key_cols, order_cols)
     raise ValueError(f"unknown store format {fmt!r}")
+
+
+class BucketedTransactionalStore:
+    """OCC upsert store with PARTIAL rewrites: Delta-style file-level
+    MERGE on plain parquet.
+
+    The plain :class:`TransactionalParquetStore` rewrites the whole
+    snapshot per merge — its documented 100 TB limitation. Here the key
+    space hash-partitions into ``n_buckets``; a merge rewrites ONLY the
+    buckets containing updated keys and the commit marker carries a
+    MANIFEST mapping bucket -> snapshot dir, so untouched buckets are
+    inherited by pointer, never copied. A 1-key update into a 10 TB
+    store rewrites ~1/n_buckets of it. Same exclusive-hard-link commit
+    claim and read-snapshot isolation as the full-snapshot store;
+    conflicts resolve by re-read + re-merge at version granularity.
+
+    Layout under ``path``::
+
+        _snapshots/<uuid>/bucket=NN/   parquet for the buckets that
+                                       version rewrote
+        _commits/<N>                   {"manifest": {"NN": "<uuid>", ...}}
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        order_cols: list[str],
+        n_buckets: int = 16,
+        max_retries: int = 10,
+    ):
+        self.spark = spark
+        self.path = path
+        self.key_cols = key_cols
+        self.order_cols = order_cols
+        self.n_buckets = n_buckets
+        self.max_retries = max_retries
+        os.makedirs(os.path.join(path, "_snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(path, "_commits"), exist_ok=True)
+
+    # -- commit-log primitives (shared protocol) ------------------------------
+
+    def _commits_dir(self) -> str:
+        return os.path.join(self.path, "_commits")
+
+    def current_version(self) -> int:
+        versions = [int(f) for f in os.listdir(self._commits_dir()) if f.isdigit()]
+        return max(versions, default=0)
+
+    def _manifest(self, version: int) -> dict[str, str] | None:
+        marker = os.path.join(self._commits_dir(), str(version))
+        if version <= 0 or not os.path.exists(marker):
+            return None
+        with open(marker) as fh:
+            return json.load(fh)["manifest"]
+
+    def _try_commit(self, version: int, manifest: dict[str, str]) -> bool:
+        tmp = os.path.join(self._commits_dir(), f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump({"manifest": manifest}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, os.path.join(self._commits_dir(), str(version)))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def _bucket_path(self, snapshot: str, bucket: str) -> str:
+        return os.path.join(self.path, "_snapshots", snapshot, f"bucket={bucket}")
+
+    def _bucket_expr(self):
+        from pyspark.sql import functions as F
+
+        return F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_buckets)).cast("int")
+
+    # -- store interface ------------------------------------------------------
+
+    def read(self) -> DataFrame | None:
+        return self.read_version(self.current_version())
+
+    def read_version(self, version: int) -> DataFrame | None:
+        manifest = self._manifest(version)
+        if not manifest:
+            return None
+        paths = [self._bucket_path(s, b) for b, s in manifest.items()]
+        return self.spark.read.parquet(*paths)
+
+    def apply_keyed(self, updates: DataFrame, fn) -> None:
+        """OCC partial-rewrite read-modify-write:
+        ``fn(current_touched_df_or_None, updates) -> merged_touched_df``.
+
+        ``fn`` MUST be key-local — a key's output rows derive only from
+        that key's current + update rows (upserts, per-key aggregate
+        folds). That property is what makes restricting ``current`` to
+        the touched buckets exact; a cross-key fn needs the
+        full-snapshot store's ``apply``. A lost commit race re-reads the
+        new base manifest and re-applies ``fn``, so concurrent commits
+        (including to the same bucket) are never lost.
+        """
+        upd = updates.withColumn("__bucket", self._bucket_expr())
+        # bounded collect: at most n_buckets rows
+        touched = sorted(
+            str(r["__bucket"]) for r in upd.select("__bucket").distinct().collect()
+        )
+        if not touched:
+            return
+        upd_data = upd.drop("__bucket")
+        for _ in range(self.max_retries):
+            base_version = self.current_version()
+            base = self._manifest(base_version) or {}
+            cur_paths = [
+                self._bucket_path(s, b) for b, s in base.items() if b in touched
+            ]
+            current = self.spark.read.parquet(*cur_paths) if cur_paths else None
+            merged = fn(current, upd_data)
+            name = uuid.uuid4().hex
+            (
+                merged.withColumn("bucket", self._bucket_expr())
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(os.path.join(self.path, "_snapshots", name))
+            )
+            manifest = dict(base)
+            for b in touched:
+                manifest[b] = name
+            if self._try_commit(base_version + 1, manifest):
+                return
+            shutil.rmtree(
+                os.path.join(self.path, "_snapshots", name), ignore_errors=True
+            )
+        raise RuntimeError(
+            f"apply_keyed on {self.path} lost {self.max_retries} consecutive commit races"
+        )
+
+    def merge(self, updates: DataFrame) -> None:
+        """Partial-rewrite last-writer-wins merge: stage only the touched
+        buckets, inherit the rest from the base manifest by pointer."""
+
+        def fn(current: DataFrame | None, upd: DataFrame) -> DataFrame:
+            if current is None:
+                return last_write_wins(upd, self.key_cols, self.order_cols)
+            return merge_upsert(current, upd, self.key_cols, self.order_cols)
+
+        self.apply_keyed(updates, fn)
+
+    def write_snapshot(self, df: DataFrame) -> None:
+        """Full replace: every bucket rewritten into one snapshot dir."""
+        for _ in range(self.max_retries):
+            base_version = self.current_version()
+            name = uuid.uuid4().hex
+            (
+                df.withColumn("bucket", self._bucket_expr())
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(os.path.join(self.path, "_snapshots", name))
+            )
+            manifest = {
+                d.split("=", 1)[1]: name
+                for d in os.listdir(os.path.join(self.path, "_snapshots", name))
+                if d.startswith("bucket=")
+            }
+            if self._try_commit(base_version + 1, manifest):
+                return
+            shutil.rmtree(
+                os.path.join(self.path, "_snapshots", name), ignore_errors=True
+            )
+        raise RuntimeError(f"write_snapshot on {self.path} lost every commit race")
+
+    def vacuum(self, keep: int = 2, grace_seconds: float = 3600.0) -> None:
+        """Reclaim snapshot dirs no LIVE manifest references (a dir stays
+        live while ANY retained version's manifest points at one of its
+        buckets — partial rewrites share dirs across versions), plus
+        stale unreferenced staging dirs past the grace period."""
+        import time
+
+        versions = sorted(
+            int(f) for f in os.listdir(self._commits_dir()) if f.isdigit()
+        )
+        live = set(versions[-keep:]) if keep else set()
+        referenced: set[str] = set()
+        for v in versions:
+            manifest = self._manifest(v) or {}
+            if v in live:
+                referenced.update(manifest.values())
+            else:
+                os.unlink(os.path.join(self._commits_dir(), str(v)))
+        snaps = os.path.join(self.path, "_snapshots")
+        now = time.time()
+        for name in os.listdir(snaps):
+            if name in referenced:
+                continue
+            p = os.path.join(snaps, name)
+            try:
+                age = now - os.path.getmtime(p)
+            except OSError:
+                continue
+            if age >= grace_seconds:
+                shutil.rmtree(p, ignore_errors=True)

@@ -166,3 +166,91 @@ def test_vacuum_grace_spares_inflight_staging(spark, tmp_path):
     assert inflight in os.listdir(snaps)
     st.vacuum(keep=1, grace_seconds=0.0)  # explicit zero grace reclaims it
     assert inflight not in os.listdir(snaps)
+
+
+# --- BucketedTransactionalStore: partial rewrites ---------------------------------
+
+
+def _bstore(spark, tmp_path, name="b", n_buckets=8):
+    from iheardai_data_pipeline_spark.streaming.stores import (
+        BucketedTransactionalStore,
+    )
+
+    return BucketedTransactionalStore(
+        spark, str(tmp_path / name), ["k"], ["seq"], n_buckets=n_buckets
+    )
+
+
+def test_bucketed_merge_matches_full_store_semantics(spark, tmp_path):
+    full = _store(spark, tmp_path, "full")
+    bkt = _bstore(spark, tmp_path)
+    batches = [
+        [("a", 1, "a1"), ("b", 1, "b1"), ("c", 1, "c1")],
+        [("a", 2, "a2"), ("d", 1, "d1")],
+        [("a", 1, "stale"), ("b", 3, "b3")],  # stale seq must lose
+    ]
+    for rows in batches:
+        df = spark.createDataFrame(rows, SCHEMA)
+        full.merge(df)
+        bkt.merge(df)
+    as_map = lambda st: {(r["k"], ): (r["seq"], r["v"]) for r in st.read().collect()}
+    assert as_map(bkt) == as_map(full)
+
+
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    bkt = _bstore(spark, tmp_path, n_buckets=8)
+    rows = [(f"k{i}", 1, f"v{i}") for i in range(40)]  # spread over buckets
+    bkt.merge(spark.createDataFrame(rows, SCHEMA))
+    m1 = bkt._manifest(bkt.current_version())
+    # single-key update: only that key's bucket may change snapshot dirs
+    bkt.merge(spark.createDataFrame([("k0", 2, "v0x")], SCHEMA))
+    m2 = bkt._manifest(bkt.current_version())
+    changed = {b for b in m2 if m1.get(b) != m2[b]}
+    assert len(changed) == 1  # exactly the touched bucket
+    untouched = set(m1) - changed
+    assert untouched and all(m1[b] == m2[b] for b in untouched)  # inherited by pointer
+    # and the data is correct
+    got = {r["k"]: (r["seq"], r["v"]) for r in bkt.read().collect()}
+    assert got["k0"] == (2, "v0x") and got["k1"] == (1, "v1") and len(got) == 40
+
+
+def test_bucketed_concurrent_writers_no_lost_update(spark, tmp_path):
+    from iheardai_data_pipeline_spark.streaming.stores import (
+        BucketedTransactionalStore,
+    )
+
+    path = str(tmp_path / "bc")
+    a = BucketedTransactionalStore(spark, path, ["k"], ["seq"], n_buckets=4)
+    a.merge(spark.createDataFrame([("seed", 1, "s")], SCHEMA))
+    errs = []
+
+    def writer(i):
+        try:
+            st = BucketedTransactionalStore(spark, path, ["k"], ["seq"], n_buckets=4)
+            st.merge(spark.createDataFrame([(f"k{i}", 1, f"v{i}")], SCHEMA))
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    keys = {r["k"] for r in a.read().collect()}
+    assert keys == {"seed", "k0", "k1", "k2", "k3"}
+
+
+def test_bucketed_vacuum_keeps_shared_dirs(spark, tmp_path):
+    import os
+
+    bkt = _bstore(spark, tmp_path, n_buckets=8)
+    bkt.merge(spark.createDataFrame([(f"k{i}", 1, f"v{i}") for i in range(40)], SCHEMA))
+    first_name = set(bkt._manifest(1).values()).pop()
+    bkt.merge(spark.createDataFrame([("k0", 2, "x")], SCHEMA))  # partial rewrite v2
+    bkt.vacuum(keep=1, grace_seconds=0.0)
+    # v2's manifest still points most buckets at v1's dir: it must survive
+    snaps = os.listdir(os.path.join(bkt.path, "_snapshots"))
+    assert first_name in snaps
+    got = {r["k"] for r in bkt.read().collect()}
+    assert len(got) == 40  # all data readable after vacuum

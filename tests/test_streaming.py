@@ -23,7 +23,9 @@ from iheardai_data_pipeline_spark.streaming.stores import (
 from iheardai_data_pipeline_spark.streaming.windows import dedup_within_watermark
 
 # every upsert backend must satisfy the same foreachBatch contract
-STORE_BACKENDS = ["parquet", "parquet_txn"] + (["delta"] if HAS_DELTA else [])
+STORE_BACKENDS = ["parquet", "parquet_txn", "parquet_bucketed"] + (
+    ["delta"] if HAS_DELTA else []
+)
 
 
 def test_t5_watermark_dedup(spark, sf_dir, tmp_path):
