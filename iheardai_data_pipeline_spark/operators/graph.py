@@ -195,3 +195,69 @@ def duplicate_groups_from_pairs(
         )
         .withColumn("is_keeper", F.col(id_col) == F.col("component"))
     )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank in exact integer micro-units.
+
+    Every quantity is a BIGINT count of ``1/scale`` units and every
+    division is ``div`` floor division, so the result is bit-identical
+    in any engine (the docs/DETERMINISM.md discipline — double
+    summation order would drift across engines/partitionings).
+    Damping is 17/20 (0.85): the per-edge contribution is
+    ``pr_src * 17 div (20 * outdeg)`` and the teleport term is
+    ``(scale * 15 div 100) div n`` per node. Dangling-node mass is
+    dropped (the standard simple-implementation choice), so totals
+    shrink slightly per round — identically in both engines.
+
+    Scale shape: per iteration ONE equi-join of the rank relation onto
+    the edge list (keyed on src) and ONE groupBy(dst) sum — both
+    partial-agg eligible; the rank relation is |nodes| rows, orders
+    smaller than the edges. The iteration count is fixed (not
+    data-dependent), so the driver loop is O(1) in data volume;
+    ``localCheckpoint`` truncates lineage per round.
+
+    Returns (node, pr_micro) for every node.
+    """
+    from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism
+
+    e = ensure_parallelism(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    ).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    teleport = (scale * 15 // 100) // n
+    pr = nodes.withColumn("pr", F.lit(scale // n).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            e.join(pr, e["src"] == pr["node"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("pr * 17 div (20 * outdeg)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(teleport) + F.coalesce(F.col("inflow"), F.lit(0))).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select("node", F.col("pr").alias("pr_micro"))

@@ -1342,3 +1342,65 @@ def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(
         load_table(spark, sf_dir, "documents"), chunk_tokens=50, stride=25
     )
+
+
+def _pagerank_oracle(iters: int = 3, scale: int = 1_000_000) -> str:
+    """Unrolled-SQL replica of the fixed-iteration integer PageRank: one
+    CTE per iteration, all arithmetic BIGINT floor division — provably
+    equal to the Spark loop because every operation is the same exact
+    integer op (no float summation anywhere)."""
+    it_prev = "pr0"
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f"""
+it{i} AS (
+  SELECT nodes.node,
+         CAST((({scale} * 15 // 100) // n) + coalesce(c.inflow, 0) AS BIGINT) AS pr
+  FROM nodes CROSS JOIN params
+  LEFT JOIN (
+    SELECT dst AS node, CAST(sum((pr * 17) // (20 * outdeg)) AS BIGINT) AS inflow
+    FROM e JOIN {it_prev} ON e.src = {it_prev}.node
+    JOIN outdeg USING (src)
+    GROUP BY dst
+  ) c ON nodes.node = c.node
+)""")
+        it_prev = f"it{i}"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+         CAST(o_custkey + 1000000 AS BIGINT) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+params AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+pr0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS pr FROM nodes CROSS JOIN params),
+{",".join(its)}
+SELECT node, pr AS pr_micro FROM {it_prev}
+ORDER BY pr_micro DESC, node LIMIT 50
+"""
+
+
+@register(
+    "x_graph_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("extension", "graph", "iterative"),
+    doc="Fixed-iteration PageRank (3 rounds, damping 17/20) over the "
+    "supplier->customer fulfillment graph, computed entirely in BIGINT "
+    "micro-units with floor division — the iterative-algorithm "
+    "determinism pattern: no float summation, so the Spark loop and the "
+    "unrolled-SQL oracle are bit-identical. Per round: one equi-join of "
+    "the |nodes|-row rank relation onto the edges + one partial-agg "
+    "groupBy; lineage truncated per round (operators/graph.py:pagerank_fixed).",
+)
+def x_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.graph import pagerank_fixed
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("o_custkey") + 1_000_000).cast("long").alias("dst"),
+    )
+    pr = pagerank_fixed(edges, iters=3)
+    return pr.orderBy(F.desc("pr_micro"), "node").limit(50)

@@ -97,3 +97,28 @@ def test_stratified_sample_rates_and_default(spark):
     flat = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 10).collect()}
     a_rows = {r["doc_id"] for r in out.filter("grp = 'a'").collect()}
     assert a_rows <= flat
+
+
+def test_pagerank_fixed_known_graph(spark):
+    """3-node chain a->b->c (+c->a cycle): hand-computable in micro-units."""
+    from iheardai_data_pipeline_spark.operators.graph import pagerank_fixed
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    pr = {r["node"]: r["pr_micro"] for r in pagerank_fixed(edges, iters=3).collect()}
+    # symmetric cycle: every node identical, mass ~scale (floor losses only)
+    assert len(set(pr.values())) == 1
+    total = sum(pr.values())
+    assert 990_000 <= total <= 1_000_000  # floor-division loss is bounded
+
+
+def test_pagerank_fixed_sink_attracts_mass(spark):
+    from iheardai_data_pipeline_spark.operators.graph import pagerank_fixed
+
+    # star: 1,2,3 all point at 4 (4 dangles — its mass drops per round)
+    edges = spark.createDataFrame(
+        [(1, 4), (2, 4), (3, 4)], "src long, dst long"
+    )
+    pr = {r["node"]: r["pr_micro"] for r in pagerank_fixed(edges, iters=3).collect()}
+    assert pr[4] > pr[1] == pr[2] == pr[3]  # hub outranks the leaves
