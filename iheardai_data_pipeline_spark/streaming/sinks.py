@@ -237,3 +237,49 @@ def kafka_message_frame(df: DataFrame, key_col: str, topic: str | None = None) -
     if topic is not None:
         out = out.withColumn("topic", F.lit(topic))
     return out
+
+
+def compact_archive_partition(
+    spark: SparkSession,
+    root: str,
+    dt: str,
+    topic: str,
+    target_files: int = 1,
+) -> int:
+    """Compact one dt/topic partition of the T7/K7 archive into
+    ``target_files`` parquet files.
+
+    Streaming archives accrete one small file per micro-batch per
+    partition — the classic small-files problem that degrades every
+    downstream scan (footer/open overhead dominates under ~100 MB
+    files). This is the maintenance companion: rewrite the partition at
+    the target file count, verify the row count, then swap directories.
+
+    Single-maintenance-writer assumption: the rename swap has a
+    non-atomic window, so run compaction from one scheduled job (and
+    never against the partition the stream is CURRENTLY appending to —
+    compact closed partitions, e.g. previous days, exactly like the
+    reference's hourly archive rotation). Returns the number of data
+    files after compaction.
+    """
+    import shutil
+
+    src = os.path.join(root, f"dt={dt}", f"topic={topic}")
+    df = spark.read.parquet(src)
+    before = df.count()
+    tmp = src + ".compact-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    after = spark.read.parquet(tmp).count()
+    if before != after:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction row-count mismatch for {src}: {before} -> {after}"
+        )
+    backup = src + ".pre-compact"
+    os.rename(src, backup)
+    os.rename(tmp, src)
+    shutil.rmtree(backup)
+    return sum(
+        1 for f in os.listdir(src) if f.endswith(".parquet")
+    )

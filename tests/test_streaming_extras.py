@@ -51,3 +51,31 @@ def test_progress_monitor_collects_and_alerts(spark, sf_dir):
     assert sum(p.num_input_rows for p in mon.progress) > 0
     # the sf0.001 events table exceeds the 10-row alert threshold in one trigger
     assert mon.alerts
+
+
+def test_compact_archive_partition(spark, tmp_path):
+    """Many per-batch files in one dt/topic partition compact to one,
+    value-identically."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iheardai_data_pipeline_spark.streaming.sinks import (
+        compact_archive_partition,
+    )
+
+    root = str(tmp_path / "archive")
+    part = os.path.join(root, "dt=2024-01-01", "topic=click")
+    # simulate micro-batch appends: 5 separate small writes
+    for i in range(5):
+        spark.range(i * 10, (i + 1) * 10).select(
+            F.col("id"), F.lit("click").alias("event_type")
+        ).write.mode("append").parquet(part)
+    n_before = sum(1 for f in os.listdir(part) if f.endswith(".parquet"))
+    assert n_before >= 5
+    rows_before = sorted(r["id"] for r in spark.read.parquet(part).collect())
+
+    n_after = compact_archive_partition(spark, root, "2024-01-01", "click")
+    assert n_after == 1
+    rows_after = sorted(r["id"] for r in spark.read.parquet(part).collect())
+    assert rows_after == rows_before == list(range(50))
