@@ -358,9 +358,11 @@ def url_domain(url: Column | str) -> Column:
     regex family as :func:`canonical_url`; '' when the input has no
     scheme. Userinfo strips FIRST: the authority regex captures
     ``user:pass@host`` whole, and a blocklist keyed on the bare domain
-    must not be evadable by prefixing credentials."""
+    must not be evadable by prefixing credentials. The strip is greedy
+    to the LAST ``@`` — WHATWG/urllib split authority there, so
+    ``a@b@host`` must resolve to ``host``, not ``b@host``."""
     host_port = F.regexp_extract(_col(url), _URL_HOST_RE, 1)
-    no_user = F.regexp_replace(F.lower(host_port), r"^[^@]*@", "")
+    no_user = F.regexp_replace(F.lower(host_port), r"^.*@", "")
     return F.regexp_replace(
         F.regexp_replace(no_user, r":(443|80)$", ""), r"^www\.", ""
     )

@@ -238,6 +238,11 @@ def pagerank_fixed(
         .localCheckpoint(eager=False)
     )
     n = nodes.count()
+    if n == 0:
+        # empty graph: an empty result, not a ZeroDivisionError
+        return nodes.select(
+            F.col("node"), F.lit(0).cast("long").alias("pr_micro")
+        )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     teleport = (scale * 15 // 100) // n
     pr = nodes.withColumn("pr", F.lit(scale // n).cast("long"))

@@ -1170,7 +1170,7 @@ parsed AS (
   SELECT event_id, user_id,
     regexp_replace(regexp_replace(
       regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
-                     '^[^@]*@', ''),
+                     '^.*@', ''),
       ':(443|80)$', ''), '^www\\.', '') AS host,
     regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
                    '/+$', '') AS path,
@@ -1235,7 +1235,7 @@ dom AS (
   SELECT event_id,
     regexp_replace(regexp_replace(
       regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
-                     '^[^@]*@', ''),
+                     '^.*@', ''),
       ':(443|80)$', ''), '^www\\.', '') AS domain
   FROM raw
 )

@@ -111,10 +111,6 @@ def session_kpis_foreach_batch(
             )
         )
 
-    # key-local by construction (per-user fold) — eligible for the
-    # bucketed store's partial-rewrite apply_keyed
-    merge_fn_keyed = merge_fn
-
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         partial = batch_df.groupBy(user_col).agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -129,7 +125,8 @@ def session_kpis_foreach_batch(
         # of clobbering the winner. The plain single-writer store keeps
         # the read+replace path.
         if hasattr(store, "apply_keyed"):
-            store.apply_keyed(partial, merge_fn_keyed)
+            # the per-user fold is key-local, so partial rewrites apply
+            store.apply_keyed(partial, merge_fn)
         elif hasattr(store, "apply"):
             store.apply(lambda current: merge_fn(current, partial))
         else:
@@ -259,15 +256,31 @@ def compact_archive_partition(
     non-atomic window, so run compaction from one scheduled job (and
     never against the partition the stream is CURRENTLY appending to —
     compact closed partitions, e.g. previous days, exactly like the
-    reference's hourly archive rotation). Returns the number of data
-    files after compaction.
+    reference's hourly archive rotation). Concurrent READERS are safe:
+    the work dirs are dot-prefixed, which Spark's partition discovery
+    ignores, so a job scanning the archive root mid-compaction never
+    double-counts. A crash between the two swap renames is repaired on
+    the next invocation (the dot-backup is restored before compacting).
+    Returns the number of data files after compaction.
     """
     import shutil
 
-    src = os.path.join(root, f"dt={dt}", f"topic={topic}")
+    part_dir = os.path.join(root, f"dt={dt}")
+    src = os.path.join(part_dir, f"topic={topic}")
+    # dot-prefixed siblings: invisible to partition discovery, so a
+    # concurrent scan of `root` sees exactly one copy of every row
+    tmp = os.path.join(part_dir, f".compact-tmp-{topic}")
+    backup = os.path.join(part_dir, f".pre-compact-{topic}")
+    # crash repair: a previous run that died between its two renames
+    # left the data only in the backup — restore it first; a backup
+    # left AFTER a completed swap is stale and simply dropped
+    if os.path.exists(backup):
+        if not os.path.exists(src):
+            os.rename(backup, src)
+        else:
+            shutil.rmtree(backup)
     df = spark.read.parquet(src)
     before = df.count()
-    tmp = src + ".compact-tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
     after = spark.read.parquet(tmp).count()
@@ -276,7 +289,6 @@ def compact_archive_partition(
         raise RuntimeError(
             f"compaction row-count mismatch for {src}: {before} -> {after}"
         )
-    backup = src + ".pre-compact"
     os.rename(src, backup)
     os.rename(tmp, src)
     shutil.rmtree(backup)

@@ -57,6 +57,37 @@ except ImportError:
     HAS_DELTA = False
 
 
+# -- shared OCC commit-log primitives ----------------------------------------------
+# One implementation of the claim protocol for both parquet stores: any
+# future fix (new OSError case, durability tweak) lands once.
+
+
+def _occ_current_version(commits_dir: str) -> int:
+    versions = [int(f) for f in os.listdir(commits_dir) if f.isdigit()]
+    return max(versions, default=0)
+
+
+def _occ_try_claim(commits_dir: str, version: int, payload: dict) -> bool:
+    """Atomically claim ``version`` with ``payload`` as the marker body.
+
+    The content is fully written and fsynced BEFORE the exclusive
+    ``os.link`` publishes it, so any reader that can see the marker sees
+    a complete pointer. Returns False when another writer already owns
+    the version (EEXIST)."""
+    tmp = os.path.join(commits_dir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, os.path.join(commits_dir, str(version)))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
 class TransactionalParquetStore:
     """Keyed upsert store with optimistic-concurrency commits on parquet.
 
@@ -95,8 +126,7 @@ class TransactionalParquetStore:
 
     def current_version(self) -> int:
         """Highest committed version, or 0 if the store is empty."""
-        versions = [int(f) for f in os.listdir(self._commits_dir()) if f.isdigit()]
-        return max(versions, default=0)
+        return _occ_current_version(self._commits_dir())
 
     def _snapshot_dir(self, version: int) -> str | None:
         marker = os.path.join(self._commits_dir(), str(version))
@@ -107,25 +137,9 @@ class TransactionalParquetStore:
         return os.path.join(self.path, "_snapshots", name)
 
     def _try_commit(self, version: int, snapshot_name: str) -> bool:
-        """Atomically claim ``version`` for ``snapshot_name``.
-
-        The marker's content is fully written BEFORE the exclusive
-        ``os.link`` publishes it, so any reader that can see the marker
-        sees a complete pointer to a complete snapshot. Returns False
-        when another writer already owns the version (EEXIST).
-        """
-        tmp = os.path.join(self._commits_dir(), f".tmp-{snapshot_name}")
-        with open(tmp, "w") as fh:
-            json.dump({"snapshot": snapshot_name}, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            os.link(tmp, os.path.join(self._commits_dir(), str(version)))
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(tmp)
+        return _occ_try_claim(
+            self._commits_dir(), version, {"snapshot": snapshot_name}
+        )
 
     def _stage_snapshot(self, df: DataFrame) -> str:
         name = uuid.uuid4().hex
@@ -329,9 +343,13 @@ class BucketedTransactionalStore:
 
     Layout under ``path``::
 
-        _snapshots/<uuid>/bucket=NN/   parquet for the buckets that
-                                       version rewrote
-        _commits/<N>                   {"manifest": {"NN": "<uuid>", ...}}
+        _meta.json                       {"n_buckets": N} — pinned at
+                                         creation; every writer MUST use
+                                         the same bucketing or merges
+                                         would read the wrong buckets
+        _snapshots/<uuid>/__bucket=NN/   parquet for the buckets that
+                                         version rewrote
+        _commits/<N>                     {"manifest": {"NN": "<uuid>", ...}}
     """
 
     def __init__(
@@ -340,26 +358,51 @@ class BucketedTransactionalStore:
         path: str,
         key_cols: list[str],
         order_cols: list[str],
-        n_buckets: int = 16,
+        n_buckets: int | None = None,
         max_retries: int = 10,
     ):
         self.spark = spark
         self.path = path
         self.key_cols = key_cols
         self.order_cols = order_cols
-        self.n_buckets = n_buckets
         self.max_retries = max_retries
         os.makedirs(os.path.join(path, "_snapshots"), exist_ok=True)
         os.makedirs(os.path.join(path, "_commits"), exist_ok=True)
+        # n_buckets is part of the on-disk layout: a writer opening an
+        # existing store with a different value would hash keys into the
+        # WRONG buckets and silently duplicate them. The first creator
+        # pins it in _meta.json; later opens inherit (n_buckets=None) or
+        # must match.
+        meta_path = os.path.join(path, "_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                persisted = json.load(fh)["n_buckets"]
+            if n_buckets is not None and n_buckets != persisted:
+                raise ValueError(
+                    f"store at {path} was created with n_buckets={persisted}; "
+                    f"got {n_buckets} — pass None to inherit"
+                )
+            self.n_buckets = persisted
+        else:
+            self.n_buckets = 16 if n_buckets is None else n_buckets
+            tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                json.dump({"n_buckets": self.n_buckets}, fh)
+            try:
+                os.link(tmp, meta_path)  # exclusive: first creator wins
+            except FileExistsError:
+                with open(meta_path) as fh:
+                    self.n_buckets = json.load(fh)["n_buckets"]
+            finally:
+                os.unlink(tmp)
 
-    # -- commit-log primitives (shared protocol) ------------------------------
+    # -- commit-log primitives (shared protocol, see _occ_* helpers) ----------
 
     def _commits_dir(self) -> str:
         return os.path.join(self.path, "_commits")
 
     def current_version(self) -> int:
-        versions = [int(f) for f in os.listdir(self._commits_dir()) if f.isdigit()]
-        return max(versions, default=0)
+        return _occ_current_version(self._commits_dir())
 
     def _manifest(self, version: int) -> dict[str, str] | None:
         marker = os.path.join(self._commits_dir(), str(version))
@@ -369,21 +412,19 @@ class BucketedTransactionalStore:
             return json.load(fh)["manifest"]
 
     def _try_commit(self, version: int, manifest: dict[str, str]) -> bool:
-        tmp = os.path.join(self._commits_dir(), f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            json.dump({"manifest": manifest}, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            os.link(tmp, os.path.join(self._commits_dir(), str(version)))
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(tmp)
+        return _occ_try_claim(self._commits_dir(), version, {"manifest": manifest})
 
+    # the partition column/dir uses a dunder name so a data column named
+    # "bucket" is never clobbered, and the underscore prefix hides the
+    # dirs from accidental recursive partition discovery
     def _bucket_path(self, snapshot: str, bucket: str) -> str:
-        return os.path.join(self.path, "_snapshots", snapshot, f"bucket={bucket}")
+        return os.path.join(self.path, "_snapshots", snapshot, f"__bucket={bucket}")
+
+    def _written_buckets(self, snapshot: str) -> set[str]:
+        d = os.path.join(self.path, "_snapshots", snapshot)
+        return {
+            e.split("=", 1)[1] for e in os.listdir(d) if e.startswith("__bucket=")
+        }
 
     def _bucket_expr(self):
         from pyspark.sql import functions as F
@@ -396,6 +437,10 @@ class BucketedTransactionalStore:
         return self.read_version(self.current_version())
 
     def read_version(self, version: int) -> DataFrame | None:
+        """None for an uncommitted version AND for a committed-empty
+        manifest (zero rows write zero bucket dirs, so there is no
+        parquet schema to surface — callers treat both as 'no rows',
+        and merge()'s first-commit path is semantically identical)."""
         manifest = self._manifest(version)
         if not manifest:
             return None
@@ -432,14 +477,22 @@ class BucketedTransactionalStore:
             merged = fn(current, upd_data)
             name = uuid.uuid4().hex
             (
-                merged.withColumn("bucket", self._bucket_expr())
-                .write.partitionBy("bucket")
+                merged.withColumn("__bucket", self._bucket_expr())
+                .write.partitionBy("__bucket")
                 .mode("overwrite")
                 .parquet(os.path.join(self.path, "_snapshots", name))
             )
+            # manifest entries come from the dirs the write ACTUALLY
+            # produced: a key-local fn may legitimately empty a touched
+            # bucket (deletion fold), and pointing the manifest at a
+            # nonexistent dir would make every subsequent read() throw
+            written = self._written_buckets(name)
             manifest = dict(base)
             for b in touched:
-                manifest[b] = name
+                if b in written:
+                    manifest[b] = name
+                else:
+                    manifest.pop(b, None)
             if self._try_commit(base_version + 1, manifest):
                 return
             shutil.rmtree(
@@ -466,16 +519,12 @@ class BucketedTransactionalStore:
             base_version = self.current_version()
             name = uuid.uuid4().hex
             (
-                df.withColumn("bucket", self._bucket_expr())
-                .write.partitionBy("bucket")
+                df.withColumn("__bucket", self._bucket_expr())
+                .write.partitionBy("__bucket")
                 .mode("overwrite")
                 .parquet(os.path.join(self.path, "_snapshots", name))
             )
-            manifest = {
-                d.split("=", 1)[1]: name
-                for d in os.listdir(os.path.join(self.path, "_snapshots", name))
-                if d.startswith("bucket=")
-            }
+            manifest = {b: name for b in self._written_buckets(name)}
             if self._try_commit(base_version + 1, manifest):
                 return
             shutil.rmtree(

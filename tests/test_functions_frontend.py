@@ -206,3 +206,10 @@ def test_url_domain_strips_userinfo(spark):
     ]
     got = col_of(spark, c, [(u,) for u, _ in cases], "x string")
     assert got == [e for _, e in cases]
+
+
+def test_url_domain_userinfo_splits_at_last_at(spark):
+    # WHATWG splits authority at the LAST '@': a@b@host resolves to host
+    c = frontend.url_domain("x")
+    got = col_of(spark, c, [("https://a@b@blocked.com/x",)], "x string")
+    assert got == ["blocked.com"]

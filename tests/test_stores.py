@@ -254,3 +254,55 @@ def test_bucketed_vacuum_keeps_shared_dirs(spark, tmp_path):
     assert first_name in snaps
     got = {r["k"] for r in bkt.read().collect()}
     assert len(got) == 40  # all data readable after vacuum
+
+
+def test_bucketed_n_buckets_pinned_in_meta(spark, tmp_path):
+    from iheardai_data_pipeline_spark.streaming.stores import (
+        BucketedTransactionalStore,
+    )
+
+    path = str(tmp_path / "meta")
+    a = BucketedTransactionalStore(spark, path, ["k"], ["seq"], n_buckets=8)
+    a.merge(spark.createDataFrame([("x", 1, "v")], SCHEMA))
+    # a second opener inherits the persisted bucketing
+    b = BucketedTransactionalStore(spark, path, ["k"], ["seq"])
+    assert b.n_buckets == 8
+    # an explicit mismatch is an error, not silent corruption
+    with pytest.raises(ValueError):
+        BucketedTransactionalStore(spark, path, ["k"], ["seq"], n_buckets=4)
+
+
+def test_bucketed_preserves_user_bucket_column(spark, tmp_path):
+    from iheardai_data_pipeline_spark.streaming.stores import (
+        BucketedTransactionalStore,
+    )
+
+    st = BucketedTransactionalStore(
+        spark, str(tmp_path / "ub"), ["k"], ["seq"], n_buckets=4
+    )
+    st.merge(
+        spark.createDataFrame(
+            [("a", 1, "va", "user-bucket-1")], "k string, seq int, v string, bucket string"
+        )
+    )
+    row = st.read().collect()[0]
+    assert row["bucket"] == "user-bucket-1"  # data column survives the write
+
+
+def test_bucketed_deletion_fold_empties_bucket_cleanly(spark, tmp_path):
+    from iheardai_data_pipeline_spark.streaming.stores import (
+        BucketedTransactionalStore,
+    )
+
+    st = BucketedTransactionalStore(
+        spark, str(tmp_path / "del"), ["k"], ["seq"], n_buckets=4
+    )
+    st.merge(spark.createDataFrame([("a", 1, "va"), ("b", 1, "vb")], SCHEMA))
+
+    def delete_key(current, upd):
+        # key-local deletion: drop the update's keys from the bucket
+        return current.join(upd.select("k"), "k", "left_anti")
+
+    st.apply_keyed(spark.createDataFrame([("a", 2, "ignored")], SCHEMA), delete_key)
+    remaining = {r["k"] for r in st.read().collect()} if st.read() is not None else set()
+    assert "a" not in remaining  # deleted; store stays readable

@@ -79,3 +79,44 @@ def test_compact_archive_partition(spark, tmp_path):
     assert n_after == 1
     rows_after = sorted(r["id"] for r in spark.read.parquet(part).collect())
     assert rows_after == rows_before == list(range(50))
+
+
+def test_compaction_workdirs_invisible_to_discovery(spark, tmp_path):
+    """Mid-compaction work dirs must not double-count rows for a
+    concurrent reader scanning the archive root."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "arch2")
+    part = os.path.join(root, "dt=2024-01-01", "topic=click")
+    spark.range(20).select(F.col("id"), F.lit("click").alias("event_type")).write.parquet(part)
+    # simulate an in-flight compaction work dir next to the partition
+    shutil.copytree(part, os.path.join(root, "dt=2024-01-01", ".compact-tmp-click"))
+    assert spark.read.parquet(root).count() == 20  # not 40
+
+
+def test_compaction_crash_repair(spark, tmp_path):
+    """A crash between the two swap renames leaves data only in the
+    backup; the next invocation must restore and proceed."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iheardai_data_pipeline_spark.streaming.sinks import (
+        compact_archive_partition,
+    )
+
+    root = str(tmp_path / "arch3")
+    dt_dir = os.path.join(root, "dt=2024-01-01")
+    part = os.path.join(dt_dir, "topic=click")
+    for i in range(3):
+        spark.range(i * 5, (i + 1) * 5).select(
+            F.col("id"), F.lit("click").alias("event_type")
+        ).write.mode("append").parquet(part)
+    # simulate the crash window: src renamed to backup, new dir never landed
+    os.rename(part, os.path.join(dt_dir, ".pre-compact-click"))
+    n = compact_archive_partition(spark, root, "2024-01-01", "click")
+    assert n == 1
+    assert sorted(r["id"] for r in spark.read.parquet(part).collect()) == list(range(15))
