@@ -203,6 +203,7 @@ def pagerank_fixed(
     dst_col: str = "dst",
     iters: int = 3,
     scale: int = 1_000_000,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in exact integer micro-units.
 
@@ -227,10 +228,18 @@ def pagerank_fixed(
     """
     from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism
 
-    e = ensure_parallelism(
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-    ).localCheckpoint(eager=False)
+    # weighted mode: integer edge weights (``weight_col``, BIGINT);
+    # contribution = pr * 17 * w div (20 * wsum_src) — still pure
+    # integer floor arithmetic, so the exact-oracle property holds.
+    if weight_col is None:
+        proj = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).distinct()
+    else:
+        proj = edges.groupBy(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).agg(F.sum(F.col(weight_col)).cast("long").alias("w"))
+    e = ensure_parallelism(proj).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -243,7 +252,12 @@ def pagerank_fixed(
         return nodes.select(
             F.col("node"), F.lit(0).cast("long").alias("pr_micro")
         )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    if weight_col is None:
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        contrib_expr = "pr * 17 div (20 * outdeg)"
+    else:
+        outdeg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
+        contrib_expr = "pr * 17 * w div (20 * outdeg)"
     teleport = (scale * 15 // 100) // n
     pr = nodes.withColumn("pr", F.lit(scale // n).cast("long"))
     for _ in range(iters):
@@ -252,7 +266,7 @@ def pagerank_fixed(
             .join(outdeg, "src")
             .select(
                 F.col("dst").alias("node"),
-                F.expr("pr * 17 div (20 * outdeg)").alias("c"),
+                F.expr(contrib_expr).alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))

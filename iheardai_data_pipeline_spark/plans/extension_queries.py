@@ -1404,3 +1404,68 @@ def x_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank_fixed(edges, iters=3)
     return pr.orderBy(F.desc("pr_micro"), "node").limit(50)
+
+
+def _pagerank_weighted_oracle(iters: int = 3, scale: int = 1_000_000) -> str:
+    """Weighted variant: edge weight = fulfillment count per
+    (supplier, customer) pair; contribution = pr*17*w // (20*wsum) —
+    same pure-integer unrolled CTE proof as the unweighted oracle."""
+    it_prev = "pr0"
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f"""
+it{i} AS (
+  SELECT nodes.node,
+         CAST((({scale} * 15 // 100) // n) + coalesce(c.inflow, 0) AS BIGINT) AS pr
+  FROM nodes CROSS JOIN params
+  LEFT JOIN (
+    SELECT dst AS node, CAST(sum((pr * 17 * w) // (20 * wsum)) AS BIGINT) AS inflow
+    FROM e JOIN {it_prev} ON e.src = {it_prev}.node
+    JOIN wsums USING (src)
+    GROUP BY dst
+  ) c ON nodes.node = c.node
+)""")
+        it_prev = f"it{i}"
+    return f"""
+WITH e AS (
+  SELECT CAST(l_suppkey AS BIGINT) AS src,
+         CAST(o_custkey + 1000000 AS BIGINT) AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+params AS (SELECT count(*) AS n FROM nodes),
+wsums AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM e GROUP BY src),
+pr0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS pr FROM nodes CROSS JOIN params),
+{",".join(its)}
+SELECT node, pr AS pr_micro FROM {it_prev}
+ORDER BY pr_micro DESC, node LIMIT 50
+"""
+
+
+@register(
+    "x_graph_pagerank_weighted",
+    oracle=_pagerank_weighted_oracle(),
+    tags=("extension", "graph", "iterative"),
+    doc="Weighted fixed-iteration PageRank: edge weight = per-pair "
+    "fulfillment count, contribution pr*17*w div (20*wsum) — the same "
+    "pure-integer determinism proof as the unweighted variant, now "
+    "with data-driven edge strengths (operators/graph.py:pagerank_fixed "
+    "weight_col).",
+)
+def x_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.graph import pagerank_fixed
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").cast("long").alias("src"),
+            (F.col("o_custkey") + 1_000_000).cast("long").alias("dst"),
+        )
+        .withColumn("w", F.lit(1).cast("long"))
+    )
+    pr = pagerank_fixed(edges, iters=3, weight_col="w")
+    return pr.orderBy(F.desc("pr_micro"), "node").limit(50)

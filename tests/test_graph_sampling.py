@@ -122,3 +122,17 @@ def test_pagerank_fixed_sink_attracts_mass(spark):
     )
     pr = {r["node"]: r["pr_micro"] for r in pagerank_fixed(edges, iters=3).collect()}
     assert pr[4] > pr[1] == pr[2] == pr[3]  # hub outranks the leaves
+
+
+def test_pagerank_weighted_favors_heavier_edge(spark):
+    from iheardai_data_pipeline_spark.operators.graph import pagerank_fixed
+
+    # 1 sends 9x the weight to node 2 vs node 3
+    edges = spark.createDataFrame(
+        [(1, 2, 9), (1, 3, 1)], "src long, dst long, w long"
+    )
+    pr = {
+        r["node"]: r["pr_micro"]
+        for r in pagerank_fixed(edges, iters=3, weight_col="w").collect()
+    }
+    assert pr[2] > pr[3]  # weighted inflow, not equal split
