@@ -307,8 +307,12 @@ def transform_frontend_events(df: DataFrame) -> DataFrame:
 # Case-insensitive: hand-built campaign links carry UTM_SOURCE= etc.
 TRACKING_PARAM_RE = r"(?i)^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid)="
 
-_URL_HOST_RE = r"^[a-zA-Z]+://([^/?#]+)"
-_URL_PATH_RE = r"^[a-zA-Z]+://[^/?#]+([^?#]*)"
+# '\\' terminates the authority too: WHATWG parsers treat a backslash as
+# '/' in special-scheme URLs, so 'https://evil.com\\@innocent.com/x'
+# resolves host evil.com in a browser — a host regex that runs to the
+# last '@' would key it as innocent.com and make the blocklist evadable.
+_URL_HOST_RE = r"^[a-zA-Z]+://([^/?#\\]+)"
+_URL_PATH_RE = r"^[a-zA-Z]+://[^/?#\\]+([^?#]*)"
 # query = text between the first '?' BEFORE any '#' and the fragment; a
 # bare '\?([^#]*)' would match a '?' inside the fragment and resurrect
 # fragment content as a query string

@@ -217,12 +217,20 @@ def pagerank_fixed(
     dropped (the standard simple-implementation choice), so totals
     shrink slightly per round — identically in both engines.
 
-    Scale shape: per iteration ONE equi-join of the rank relation onto
-    the edge list (keyed on src) and ONE groupBy(dst) sum — both
-    partial-agg eligible; the rank relation is |nodes| rows, orders
-    smaller than the edges. The iteration count is fixed (not
-    data-dependent), so the driver loop is O(1) in data volume;
-    ``localCheckpoint`` truncates lineage per round.
+    Scale shape: the out-degree (or weight-sum) is folded into the edge
+    relation ONCE before the loop, so each iteration is exactly ONE
+    equi-join of the rank relation onto the edges (keyed on src) and ONE
+    groupBy(dst) sum — both partial-agg eligible; the rank relation is
+    |nodes| rows, orders smaller than the edges. The iteration count is
+    fixed (not data-dependent), so the driver loop is O(1) in data
+    volume; EAGER ``localCheckpoint`` per round truncates lineage as it
+    goes — the final action computes only the last round, not a
+    re-derivation of the whole chain.
+
+    Weighted mode requires positive weights: edges whose summed weight
+    is <= 0 are dropped before the degree computation (a zero weight-sum
+    would floor-divide by zero — NULL in Spark, an error in strict
+    engines — silently diverging from the exact-oracle contract).
 
     Returns (node, pr_micro) for every node.
     """
@@ -236,15 +244,26 @@ def pagerank_fixed(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         ).distinct()
     else:
-        proj = edges.groupBy(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-        ).agg(F.sum(F.col(weight_col)).cast("long").alias("w"))
-    e = ensure_parallelism(proj).localCheckpoint(eager=False)
+        proj = (
+            edges.groupBy(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+            .agg(F.sum(F.col(weight_col)).cast("long").alias("w"))
+            .where(F.col("w") > 0)
+        )
+    e = ensure_parallelism(proj)
+    # fold the per-src divisor into the edge relation ONCE — one extra
+    # join here buys one FEWER join inside every iteration
+    if weight_col is None:
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        contrib_expr = "pr * 17 div (20 * outdeg)"
+    else:
+        deg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
+        contrib_expr = "pr * 17 * w div (20 * outdeg)"
+    e = e.join(deg, "src").localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     if n == 0:
@@ -252,18 +271,11 @@ def pagerank_fixed(
         return nodes.select(
             F.col("node"), F.lit(0).cast("long").alias("pr_micro")
         )
-    if weight_col is None:
-        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-        contrib_expr = "pr * 17 div (20 * outdeg)"
-    else:
-        outdeg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
-        contrib_expr = "pr * 17 * w div (20 * outdeg)"
     teleport = (scale * 15 // 100) // n
     pr = nodes.withColumn("pr", F.lit(scale // n).cast("long"))
     for _ in range(iters):
         contrib = (
             e.join(pr, e["src"] == pr["node"])
-            .join(outdeg, "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr(contrib_expr).alias("c"),
@@ -277,6 +289,6 @@ def pagerank_fixed(
                 "node",
                 (F.lit(teleport) + F.coalesce(F.col("inflow"), F.lit(0))).alias("pr"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     return pr.select("node", F.col("pr").alias("pr_micro"))

@@ -1169,10 +1169,10 @@ _URL_CANON_SQL_BODY = """
 parsed AS (
   SELECT event_id, user_id,
     regexp_replace(regexp_replace(
-      regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+      regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#\\\\]+)', 1)),
                      '^.*@', ''),
       ':(443|80)$', ''), '^www\\.', '') AS host,
-    regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+    regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#\\\\]+([^?#]*)', 1),
                    '/+$', '') AS path,
     regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query
   FROM raw
@@ -1234,7 +1234,7 @@ WITH raw AS (SELECT event_id, {_MESSY_URL_CASE} AS url FROM events),
 dom AS (
   SELECT event_id,
     regexp_replace(regexp_replace(
-      regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+      regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#\\\\]+)', 1)),
                      '^.*@', ''),
       ':(443|80)$', ''), '^www\\.', '') AS domain
   FROM raw
@@ -1433,6 +1433,7 @@ WITH e AS (
          CAST(count(*) AS BIGINT) AS w
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   GROUP BY 1, 2
+  HAVING count(*) > 0
 ),
 nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
 params AS (SELECT count(*) AS n FROM nodes),

@@ -256,11 +256,15 @@ def compact_archive_partition(
     non-atomic window, so run compaction from one scheduled job (and
     never against the partition the stream is CURRENTLY appending to —
     compact closed partitions, e.g. previous days, exactly like the
-    reference's hourly archive rotation). Concurrent READERS are safe:
-    the work dirs are dot-prefixed, which Spark's partition discovery
-    ignores, so a job scanning the archive root mid-compaction never
-    double-counts. A crash between the two swap renames is repaired on
-    the next invocation (the dot-backup is restored before compacting).
+    reference's hourly archive rotation). Concurrent READERS never
+    double-count: the work dirs are dot-prefixed, which Spark's
+    partition discovery ignores, so at no point do two copies of a row
+    appear under the root. There IS a brief window between the two swap
+    renames where the partition directory is absent — a scan racing that
+    window undercounts the partition (or fails listing); schedule reads
+    of a partition away from its compaction slot if that matters.
+    A crash between the two swap renames is repaired on the next
+    invocation (the dot-backup is restored before compacting).
     Returns the number of data files after compaction.
     """
     import shutil

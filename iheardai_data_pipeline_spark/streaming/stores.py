@@ -221,10 +221,15 @@ class TransactionalParquetStore:
         """
         import time
 
+        if keep < 1:
+            # keep=0 would unlink every commit marker — silently emptying
+            # the store and restarting the version counter. Vacuum is a
+            # retention tool, not a drop-table; refuse.
+            raise ValueError(f"vacuum keep must be >= 1, got {keep}")
         versions = sorted(
             int(f) for f in os.listdir(self._commits_dir()) if f.isdigit()
         )
-        live = versions[-keep:] if keep else []
+        live = versions[-keep:]
         referenced = set()
         for v in versions:
             d = self._snapshot_dir(v)
@@ -539,10 +544,14 @@ class BucketedTransactionalStore:
         stale unreferenced staging dirs past the grace period."""
         import time
 
+        if keep < 1:
+            # see TransactionalParquetStore.vacuum — keep=0 would reset
+            # the store to empty; refuse rather than destroy.
+            raise ValueError(f"vacuum keep must be >= 1, got {keep}")
         versions = sorted(
             int(f) for f in os.listdir(self._commits_dir()) if f.isdigit()
         )
-        live = set(versions[-keep:]) if keep else set()
+        live = set(versions[-keep:])
         referenced: set[str] = set()
         for v in versions:
             manifest = self._manifest(v) or {}

@@ -213,3 +213,28 @@ def test_url_domain_userinfo_splits_at_last_at(spark):
     c = frontend.url_domain("x")
     got = col_of(spark, c, [("https://a@b@blocked.com/x",)], "x string")
     assert got == ["blocked.com"]
+
+
+def test_url_domain_backslash_ends_authority(spark):
+    # WHATWG treats '\' as '/' in special-scheme URLs: the authority of
+    # 'https://blocked.com\@innocent.com/x' is blocked.com, and a
+    # blocklist keyed on url_domain must NOT be evadable by a
+    # backslash-smuggled fake userinfo.
+    c = frontend.url_domain("x")
+    got = col_of(
+        spark,
+        c,
+        [
+            ("https://blocked.com\\@innocent.com/x",),
+            ("https://blocked.com\\x/path",),
+        ],
+        "x string",
+    )
+    assert got == ["blocked.com", "blocked.com"]
+
+
+def test_canonical_url_backslash_ends_authority(spark):
+    c = frontend.canonical_url("x")
+    got = col_of(spark, c, [("https://Blocked.com\\@innocent.com/x?a=1",)], "x string")
+    # path capture starts after the backslash-terminated authority
+    assert got[0].startswith("https://blocked.com")

@@ -136,3 +136,23 @@ def test_pagerank_weighted_favors_heavier_edge(spark):
         for r in pagerank_fixed(edges, iters=3, weight_col="w").collect()
     }
     assert pr[2] > pr[3]  # weighted inflow, not equal split
+
+
+def test_pagerank_weighted_drops_nonpositive_weights(spark):
+    """A source whose weight sum is 0 must not divide-by-zero (NULL in
+    Spark 'div', an error in strict engines): non-positive edges are
+    dropped before the degree computation, so node 9's outgoing edge
+    vanishes and node 9 itself survives only if referenced elsewhere."""
+    from iheardai_data_pipeline_spark.operators.graph import pagerank_fixed
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (9, 2, 0), (9, 3, -4)], "src long, dst long, w long"
+    )
+    pr = {
+        r["node"]: r["pr_micro"]
+        for r in pagerank_fixed(edges, iters=2, weight_col="w").collect()
+    }
+    # only the positive edge survives: graph is 1->2
+    assert set(pr) == {1, 2}
+    assert pr[2] > pr[1]
+    assert all(v is not None for v in pr.values())

@@ -111,6 +111,10 @@ def test_time_travel_and_vacuum(spark, tmp_path):
     st.vacuum(keep=1)
     assert st.read_version(1) is None  # vacuumed
     assert st.read().collect()[0]["v"] == "v2"  # latest intact
+    # keep=0 would unlink every commit marker (silent drop-table) — refused
+    with pytest.raises(ValueError, match="keep"):
+        st.vacuum(keep=0)
+    assert st.read().collect()[0]["v"] == "v2"  # store untouched by refusal
 
 
 @pytest.mark.skipif(not HAS_DELTA, reason="delta-spark not installed in this rig")
@@ -254,6 +258,8 @@ def test_bucketed_vacuum_keeps_shared_dirs(spark, tmp_path):
     assert first_name in snaps
     got = {r["k"] for r in bkt.read().collect()}
     assert len(got) == 40  # all data readable after vacuum
+    with pytest.raises(ValueError, match="keep"):
+        bkt.vacuum(keep=0)  # destructive retention refused (same as flat store)
 
 
 def test_bucketed_n_buckets_pinned_in_meta(spark, tmp_path):
