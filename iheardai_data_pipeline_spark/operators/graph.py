@@ -204,6 +204,7 @@ def pagerank_fixed(
     iters: int = 3,
     scale: int = 1_000_000,
     weight_col: str | None = None,
+    broadcast_nodes_max: int = 10_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank in exact integer micro-units.
 
@@ -221,11 +222,18 @@ def pagerank_fixed(
     relation ONCE before the loop, so each iteration is exactly ONE
     equi-join of the rank relation onto the edges (keyed on src) and ONE
     groupBy(dst) sum — both partial-agg eligible; the rank relation is
-    |nodes| rows, orders smaller than the edges. The iteration count is
-    fixed (not data-dependent), so the driver loop is O(1) in data
-    volume; EAGER ``localCheckpoint`` per round truncates lineage as it
-    goes — the final action computes only the last round, not a
-    re-derivation of the whole chain.
+    |nodes| rows, orders smaller than the edges. When |nodes| is small
+    enough to broadcast (``<= broadcast_nodes_max``, default 10M ids ≈
+    160 MB), the per-round joins are hinted BROADCAST on the rank side —
+    the edge relation is then NEVER re-shuffled across rounds (the only
+    exchange per round is the partial-agg groupBy(dst), whose input is
+    already combiner-reduced map-side). Above the threshold the joins
+    fall back to shuffle joins — the correct posture for billion-node
+    graphs where the rank relation itself is cluster-scale. The
+    iteration count is fixed (not data-dependent), so the driver loop is
+    O(1) in data volume; EAGER ``localCheckpoint`` per round truncates
+    lineage as it goes — the final action computes only the last round,
+    not a re-derivation of the whole chain.
 
     Weighted mode requires positive weights: edges whose summed weight
     is <= 0 are dropped before the degree computation (a zero weight-sum
@@ -234,31 +242,37 @@ def pagerank_fixed(
 
     Returns (node, pr_micro) for every node.
     """
-    from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism
+    from pyspark.sql.window import Window
 
-    # weighted mode: integer edge weights (``weight_col``, BIGINT);
-    # contribution = pr * 17 * w div (20 * wsum_src) — still pure
-    # integer floor arithmetic, so the exact-oracle property holds.
+    # Single-shuffle edge build: ONE repartition on src, then the
+    # per-pair dedup/weight-sum AND the per-src divisor both reuse that
+    # partitioning (groupBy(src,dst) and Window.partitionBy(src) are
+    # satisfied by hash(src) clustering — no further exchange). The
+    # window buffers one src-group at a time and spills if a hub source
+    # has a pathological out-degree, so power-law graphs degrade to disk
+    # rather than fail; the src-hash layout also gives the per-round
+    # broadcast joins an already-fanned-out edge relation.
+    src_part = edges.repartition(F.col(src_col))
     if weight_col is None:
-        proj = edges.select(
+        # weighted mode below: integer edge weights, contribution
+        # pr * 17 * w div (20 * wsum_src) — still pure integer floor
+        # arithmetic, so the exact-oracle property holds.
+        proj = src_part.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-        ).distinct()
+        ).dropDuplicates(["src", "dst"])
+        deg_col = F.count(F.lit(1))
+        contrib_expr = "pr * 17 div (20 * outdeg)"
     else:
         proj = (
-            edges.groupBy(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+            src_part.groupBy(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
             .agg(F.sum(F.col(weight_col)).cast("long").alias("w"))
             .where(F.col("w") > 0)
         )
-    e = ensure_parallelism(proj)
-    # fold the per-src divisor into the edge relation ONCE — one extra
-    # join here buys one FEWER join inside every iteration
-    if weight_col is None:
-        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-        contrib_expr = "pr * 17 div (20 * outdeg)"
-    else:
-        deg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
+        deg_col = F.sum("w")
         contrib_expr = "pr * 17 * w div (20 * outdeg)"
-    e = e.join(deg, "src").localCheckpoint(eager=True)
+    e = proj.withColumn(
+        "outdeg", deg_col.over(Window.partitionBy("src"))
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -272,10 +286,13 @@ def pagerank_fixed(
             F.col("node"), F.lit(0).cast("long").alias("pr_micro")
         )
     teleport = (scale * 15 // 100) // n
+    # rank relation small → broadcast it into both per-round joins: the
+    # big edge relation is never re-shuffled, round after round
+    hint = F.broadcast if n <= broadcast_nodes_max else (lambda df: df)
     pr = nodes.withColumn("pr", F.lit(scale // n).cast("long"))
     for _ in range(iters):
         contrib = (
-            e.join(pr, e["src"] == pr["node"])
+            e.join(hint(pr), e["src"] == pr["node"])
             .select(
                 F.col("dst").alias("node"),
                 F.expr(contrib_expr).alias("c"),
@@ -284,7 +301,7 @@ def pagerank_fixed(
             .agg(F.sum("c").alias("inflow"))
         )
         pr = (
-            nodes.join(contrib, "node", "left")
+            nodes.join(hint(contrib), "node", "left")
             .select(
                 "node",
                 (F.lit(teleport) + F.coalesce(F.col("inflow"), F.lit(0))).alias("pr"),
