@@ -531,30 +531,42 @@ def decontaminate(
     n-gram with a held-out evaluation set (the standard 8-13-gram
     collision test used before LLM training runs).
 
-    Shape: both sides shingle row-locally, the test side's distinct
-    shingle set is typically tiny relative to the corpus — a
-    broadcast-able semi-join probe. The join KEY is the 8-byte xxhash64
-    (keeps shuffled rows narrow if the test side ever outgrows
-    broadcast), with a residual equality on the raw shingle so a 64-bit
+    Two-phase shape, collision-proof at narrow-row cost:
+
+    Phase 1 (find candidates): the corpus side shingles row-locally and
+    projects to ``(doc_id, xxhash64)`` — 8-byte keys, NO raw shingle
+    strings cross the exchange — then LEFT SEMI probes the test side's
+    distinct shingle hashes (typically tiny → broadcast). Output: the
+    candidate doc-id set, which for any sane corpus/test pair is a
+    vanishing fraction of the corpus.
+
+    Phase 2 (exact verify): only the candidate docs are re-shingled and
+    joined against the test side's RAW distinct shingles, so a 64-bit
     hash collision between distinct shingles can never inflate
     n_collisions — the result exactly matches a raw-string join (which
-    is what the DuckDB oracle computes). The corpus side aggregates
-    collision counts per doc in the same shuffle. Output: every corpus
-    doc with its collision count (docs with 0 collisions are clean and
-    absent; anti-join against this result to get the clean corpus).
+    is what the DuckDB oracle computes), and a doc whose every phase-1
+    hit was a pure hash collision drops out here. The wide raw-shingle
+    rows therefore exist only for the (tiny) contaminated set.
+
+    Output: every corpus doc with its collision count (docs with 0
+    collisions are clean and absent; anti-join against this result to
+    get the clean corpus).
     """
-    corpus_sh = word_shingles(corpus, id_col, text_col, n).withColumn(
-        "h", F.xxhash64("shingle")
-    )
     test_sh = (
-        word_shingles(testset, id_col, text_col, n)
-        .select("shingle")
-        .distinct()
-        .select(F.xxhash64("shingle").alias("h"), F.col("shingle").alias("__t_shingle"))
+        word_shingles(testset, id_col, text_col, n).select("shingle").distinct()
     )
+    test_h = test_sh.select(F.xxhash64("shingle").alias("h")).distinct()
+    corpus_h = word_shingles(corpus, id_col, text_col, n).select(
+        id_col, F.xxhash64("shingle").alias("h")
+    )
+    cand_ids = (
+        corpus_h.join(test_h, "h", "left_semi").select(id_col).distinct()
+    )
+    cand_docs = corpus.join(cand_ids, id_col, "left_semi")
     return (
-        corpus_sh.join(test_sh, "h")
-        .filter(F.col("shingle") == F.col("__t_shingle"))
+        word_shingles(cand_docs, id_col, text_col, n)
+        .join(test_sh.withColumnRenamed("shingle", "__t_shingle"),
+              F.col("shingle") == F.col("__t_shingle"))
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_collisions"))
     )
