@@ -572,6 +572,86 @@ def decontaminate(
     )
 
 
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level exact dedup: flag every overlapping
+    ``span_words``-word span that appears verbatim in >= ``min_docs``
+    DISTINCT documents, and report per document how many start positions
+    are duplicated and how many word positions those spans cover.
+
+    This is the Spark-able counterpart of suffix-array substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): any cross-document duplicated run of >= span_words tokens
+    shares ALL of its aligned spans with its twin because every
+    overlapping start position is emitted (stride 1), so detection is
+    exact at span granularity with no corpus-wide suffix sort and no
+    all-pairs comparison. Spans repeated only WITHIN one document are
+    deliberately not flagged (intra-doc repetition is the Gopher
+    repetition filter's job, ``operators/corpus.py``).
+
+    Scale shape: spans are emitted row-locally and hashed to md5 in the
+    same projection (16-byte engine-portable key — raw span strings
+    never cross an exchange); corpus-wide span document-frequency is one
+    groupBy on the hash (two-phase distinct-count, map-side partials
+    crush boilerplate); the flag-back join's build side is one row per
+    duplicated span hash (broadcastable, AQE-skew-split above that); the
+    covered-position explode touches ONLY duplicated spans — k x the
+    contaminated fraction, not k x the corpus.
+
+    Output: one row per doc — n_words, n_spans, n_dup_spans (distinct
+    duplicated start positions), dup_cover_words (distinct word
+    positions inside any duplicated span: the excision budget a
+    span-removal pass would cut).
+    """
+    k = span_words
+    base = ensure_parallelism(docs.where(F.col(text_col).isNotNull())).select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__ws")
+    )
+    idx = F.when(
+        F.size("__ws") >= k, F.sequence(F.lit(0), F.size("__ws") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    spans = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                idx, lambda i: F.md5(F.array_join(F.slice("__ws", i + 1, k), " "))
+            )
+        ).alias("pos", "span_hash"),
+    )
+    dup = (
+        spans.groupBy("span_hash")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("span_hash")
+    )
+    covered = spans.join(dup, "span_hash").select(
+        id_col,
+        "pos",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("wpos"),
+    )
+    per_doc = covered.groupBy(id_col).agg(
+        F.countDistinct("pos").alias("n_dup_spans"),
+        F.countDistinct("wpos").alias("dup_cover_words"),
+    )
+    doc_stats = base.select(
+        id_col,
+        F.size("__ws").cast("long").alias("n_words"),
+        F.greatest(F.size("__ws") - k + 1, F.lit(0)).cast("long").alias("n_spans"),
+    )
+    return doc_stats.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_words",
+        "n_spans",
+        F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias("n_dup_spans"),
+        F.coalesce("dup_cover_words", F.lit(0).cast("long")).alias("dup_cover_words"),
+    )
+
+
 def segment_lines(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1151,6 +1151,59 @@ def x_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBSTRING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+spans AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(ws[i:(i+9)], ' ')) AS span_hash
+  FROM toks, unnest(generate_series(1, greatest(len(ws) - 9, 0))) AS g(i)
+),
+dup AS (
+  SELECT span_hash FROM spans GROUP BY span_hash
+  HAVING count(DISTINCT doc_id) >= 2
+),
+covered AS (
+  SELECT s.doc_id, s.pos, wp
+  FROM spans s JOIN dup USING (span_hash),
+       unnest(generate_series(s.pos, s.pos + 9)) AS c(wp)
+),
+perdoc AS (
+  SELECT doc_id,
+         CAST(count(DISTINCT pos) AS BIGINT) AS n_dup_spans,
+         CAST(count(DISTINCT wp) AS BIGINT) AS dup_cover_words
+  FROM covered GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(greatest(len(ws) - 9, 0) AS BIGINT) AS n_spans,
+       coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(p.dup_cover_words, 0) AS dup_cover_words
+FROM toks t LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
+@register(
+    "x_dedup_substring",
+    oracle=_SUBSTRING_ORACLE,
+    tags=("extension", "dedup", "curation"),
+    doc="Substring-level exact dedup (suffix-array-style span detection "
+    "a la Lee et al. 2022): every overlapping 10-word span hashed "
+    "row-locally to md5, corpus-wide document frequency per span hash, "
+    "spans in >=2 distinct docs flagged; per doc, duplicated start "
+    "positions and the distinct word positions they cover (the excision "
+    "budget). Raw span strings never cross an exchange; the "
+    "covered-position explode touches only the duplicated fraction "
+    "(operators/dedup.py:duplicate_spans).",
+)
+def x_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.duplicate_spans(
+        load_table(spark, sf_dir, "documents"), span_words=10, min_docs=2
+    )
+
+
 # Deliberately messy URL synthesis shared VERBATIM by the Spark query
 # (via F.expr) and the DuckDB oracle — http/https, WWW/case, default
 # ports, tracking params, unsorted params, fragments, trailing slashes.

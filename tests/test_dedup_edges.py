@@ -98,3 +98,44 @@ def test_line_dedup_reassembles_in_original_order(spark):
     row = line_dedup(docs, words_per_line=10).collect()[0]
     assert row["n_lines"] == 3 and row["n_kept"] == 3
     assert row["kept_text"] == text  # order preserved through reassembly
+
+
+def test_duplicate_spans_flags_shared_run(spark):
+    """Two docs share a 12-word run at DIFFERENT offsets; with k=10 the
+    shared run contributes 3 aligned spans covering all 12 words."""
+    from iheardai_data_pipeline_spark.operators.dedup import duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2 tail3"),            # run at offset 0
+            (2, "head1 head2 " + shared),                  # run at offset 2
+            (3, "totally different words " + " ".join(f"u{i}" for i in range(10))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicate_spans(docs, span_words=10).collect()}
+    # 12-word run, k=10 -> 3 duplicated start positions, 12 covered words
+    assert out[1]["n_dup_spans"] == 3 and out[1]["dup_cover_words"] == 12
+    assert out[2]["n_dup_spans"] == 3 and out[2]["dup_cover_words"] == 12
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_cover_words"] == 0
+    # n_spans = n_words - k + 1
+    assert out[1]["n_words"] == 15 and out[1]["n_spans"] == 6
+
+
+def test_duplicate_spans_short_doc_and_intra_doc_repeat(spark):
+    from iheardai_data_pipeline_spark.operators.dedup import duplicate_spans
+
+    rep = " ".join(f"r{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, "too short"),            # < k words: zero spans
+            (2, rep + " " + rep),        # span repeated only WITHIN one doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicate_spans(docs, span_words=10).collect()}
+    assert out[1]["n_spans"] == 0 and out[1]["n_dup_spans"] == 0
+    # intra-doc repetition is NOT cross-doc duplication (min_docs counts
+    # DISTINCT docs) — the Gopher repetition filter owns this case
+    assert out[2]["n_dup_spans"] == 0
