@@ -492,6 +492,105 @@ def hyperplane_lsh_pairs(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 0,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """SemDeDup-style embedding-cluster dedup (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster by nearest centroid, find within-cluster
+    cosine near-dups, and per near-dup pair DROP the member farther from
+    its centroid — keeping the most-central representative of every
+    semantic neighborhood.
+
+    Keep rule (deterministic, engine-portable): a vector loses a pair
+    when the other member has strictly higher centroid-cosine, ties
+    broken by lower id. Like SemDeDup itself this is a local rule —
+    along a similarity chain a-b-c both a and b can drop even when
+    sim(a,c) < threshold.
+
+    Scale shape: clustering via :func:`ivf_assign`'s narrow argmax (no
+    shuffle), so pair generation is the BLOCK equi-join of
+    :func:`embedding_dup_pairs` keyed on centroid_id — per-cluster
+    quadratic, never corpus-quadratic, salted against hot clusters; the
+    centroid relation broadcasts; the centrality comparison rides the
+    (small) pair relation. The cluster count is the knob: clusters sized
+    so a cluster's pair-space fits a task. The assignment relation is
+    lazily localCheckpoint'd since four downstream subtrees reference it
+    (a production run would persist it to a table).
+
+    Output: one row per vector — centroid_id, keep flag, n_near (its
+    within-cluster near-dup degree).
+    """
+    centroids, assigned = ivf_assign(
+        embeddings, n_centroids, id_col, vec_col, refine_iters
+    )
+    cvecs = centroids.select("centroid_id", "centroid_vec")
+    cen = (
+        assigned.join(F.broadcast(cvecs), "centroid_id")
+        .select(
+            F.col(id_col),
+            F.col("centroid_id"),
+            F.col(vec_col),
+            (
+                _dot(F.col(vec_col), F.col("centroid_vec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("centroid_vec")))
+            ).alias("ccos"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pairs = embedding_dup_pairs(
+        cen.select("centroid_id", id_col, vec_col),
+        threshold=threshold,
+        block_col="centroid_id",
+        id_col=id_col,
+        vec_col=vec_col,
+        salt_buckets=salt_buckets,
+    ).select("id_a", "id_b")
+    a = cen.select(F.col(id_col).alias("id_a"), F.col("ccos").alias("ccos_a"))
+    b = cen.select(F.col(id_col).alias("id_b"), F.col("ccos").alias("ccos_b"))
+    lose = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.when(
+                (F.col("ccos_a") > F.col("ccos_b"))
+                | (
+                    (F.col("ccos_a") == F.col("ccos_b"))
+                    & (F.col("id_a") < F.col("id_b"))
+                ),
+                F.col("id_b"),
+            )
+            .otherwise(F.col("id_a"))
+            .alias(id_col)
+        )
+        .distinct()
+        .withColumn("__lost", F.lit(True))
+    )
+    n_near = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionAll(pairs.select(F.col("id_b").alias(id_col)))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    return (
+        cen.select(id_col, "centroid_id")
+        .join(lose, id_col, "left")
+        .join(n_near, id_col, "left")
+        .select(
+            id_col,
+            "centroid_id",
+            F.coalesce(~F.col("__lost"), F.lit(True)).alias("keep"),
+            F.coalesce("n_near", F.lit(0).cast("long")).alias("n_near"),
+        )
+    )
+
+
 def quantize_int8(
     embeddings: DataFrame,
     id_col: str = "vec_id",

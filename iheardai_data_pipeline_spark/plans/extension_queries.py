@@ -307,6 +307,91 @@ def x_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select("vec_id", "centroid_id").orderBy("vec_id")
 
 
+# SemDeDup oracle: the cent/scores/assign CTEs replicate the proven
+# _IVF_ASSIGN_ORACLE fold arithmetic bit-for-bit; centrality and pair
+# cosines use the SAME left-fold dot and pre-computed norms as the Spark
+# side (dot / (nrm_a * nrm_b), one division), so every comparison in the
+# keep rule sees identical doubles in both engines.
+_SEMANTIC_DEDUP_ORACLE = """
+WITH cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         embedding::DOUBLE[] AS cvec,
+         1.0 / sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                                (a, b) -> a + b)) AS invn,
+         sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                          (a, b) -> a + b)) AS cnrm
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+scores AS (
+  SELECT e.vec_id, c.cid,
+         list_reduce(list_transform(range(1, 65),
+             i -> e.embedding[i]::DOUBLE * c.cvec[i]), (a, b) -> a + b) * c.invn AS s
+  FROM embeddings e, cent c
+),
+assign AS (
+  SELECT vec_id, cid AS centroid_id FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM scores
+  ) WHERE rn = 1
+),
+vn AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                          (a, b) -> a + b)) AS nrm
+  FROM embeddings
+),
+cen AS (
+  SELECT a.vec_id, a.centroid_id,
+         list_reduce(list_transform(range(1, 65), i -> v.v[i] * c.cvec[i]),
+                     (x, y) -> x + y) / (v.nrm * c.cnrm) AS ccos,
+         v.v, v.nrm
+  FROM assign a JOIN vn v USING (vec_id) JOIN cent c ON a.centroid_id = c.cid
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.ccos AS ccos_a, b.ccos AS ccos_b
+  FROM cen a JOIN cen b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]),
+                    (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4
+),
+lose AS (
+  SELECT DISTINCT CASE WHEN ccos_a > ccos_b OR (ccos_a = ccos_b AND id_a < id_b)
+                       THEN id_b ELSE id_a END AS vec_id
+  FROM pairs
+),
+nn AS (
+  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_near
+  FROM (SELECT id_a AS vec_id FROM pairs UNION ALL SELECT id_b AS vec_id FROM pairs)
+  GROUP BY vec_id
+)
+SELECT c.vec_id, c.centroid_id,
+       (l.vec_id IS NULL) AS keep,
+       coalesce(nn.n_near, 0) AS n_near
+FROM cen c
+LEFT JOIN lose l USING (vec_id)
+LEFT JOIN nn USING (vec_id)
+"""
+
+
+@register(
+    "x_dedup_semantic",
+    oracle=_SEMANTIC_DEDUP_ORACLE,
+    tags=("extension", "dedup", "similarity"),
+    doc="SemDeDup-style embedding-cluster dedup (Abbas et al. 2023): "
+    "IVF-assign to 16 clusters (narrow argmax, no shuffle), "
+    "within-cluster cosine>=0.4 near-dup pairs via the salted block "
+    "join, then per pair drop the member farther from its centroid — "
+    "keeping the most-central representative of each semantic "
+    "neighborhood. Oracle = exact within-cluster answer with identical "
+    "fold arithmetic (operators/similarity.py:semantic_dedup).",
+)
+def x_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), n_centroids=16, threshold=0.4
+    )
+
+
 @register(
     "x_sim_ivf_topk",
     oracle=None,  # approximate by design (probes a subset of lists)

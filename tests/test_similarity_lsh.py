@@ -36,3 +36,31 @@ def test_hyperplane_lsh_finds_high_cosine_pairs(spark, sf_dir):
     if want:
         recall = len(got) / len(want)
         assert recall >= 0.55, f"recall {recall:.2f} over {len(want)} pairs"
+
+
+def test_semantic_dedup_keeps_most_central(spark):
+    """Two 4-d clusters, seeds = first 2 ids. Satellites near a seed are
+    near-dups of it and strictly less central -> dropped; the orthogonal
+    outlier has no near-dups -> kept."""
+    from iheardai_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # seed c0, ccos=1 -> keeper
+        (1, [0.0, 1.0, 0.0, 0.0]),   # seed c1, ccos=1 -> keeper
+        (2, [0.99, 0.01, 0.0, 0.0]), # near 0, less central -> dropped
+        (3, [0.0, 0.9, 0.1, 0.0]),   # near 1, less central -> dropped
+        (4, [0.0, 0.0, 0.0, 1.0]),   # orthogonal: no near-dups -> kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, n_centroids=2, threshold=0.4).collect()
+    }
+    assert {k: v["keep"] for k, v in out.items()} == {
+        0: True, 1: True, 2: False, 3: False, 4: True,
+    }
+    assert out[0]["n_near"] == 1 and out[2]["n_near"] == 1
+    assert out[4]["n_near"] == 0
+    # satellites landed in their seed's cluster
+    assert out[2]["centroid_id"] == out[0]["centroid_id"]
+    assert out[3]["centroid_id"] == out[1]["centroid_id"]
