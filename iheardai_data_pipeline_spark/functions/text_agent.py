@@ -35,6 +35,22 @@ ENGLISH_WORDS = ("the", "and", "is", "to", "in", "it", "you", "that", "he", "was
 SPANISH_WORDS = ("el", "la", "de", "que", "y", "es", "en", "un", "se", "no")
 FRENCH_WORDS = ("le", "de", "et", "à", "un", "il", "être", "et", "en", "avoir")
 
+# Extended language-mix lists (beyond the reference's en/es/fr parity
+# set) — top-frequency stopwords per language, same vote mechanics.
+GERMAN_WORDS = ("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich")
+ITALIAN_WORDS = ("di", "che", "e", "il", "la", "per", "un", "in", "non", "sono")
+PORTUGUESE_WORDS = ("de", "a", "o", "que", "e", "do", "da", "em", "um", "para")
+
+# (ISO code, vocab) in tie-break priority order — first maximal wins.
+LANGUAGE_VOCABS = (
+    ("en", ENGLISH_WORDS),
+    ("es", SPANISH_WORDS),
+    ("fr", FRENCH_WORDS),
+    ("de", GERMAN_WORDS),
+    ("it", ITALIAN_WORDS),
+    ("pt", PORTUGUESE_WORDS),
+)
+
 POSITIVE_WORDS = (
     "good", "great", "excellent", "amazing", "wonderful",
     "perfect", "love", "like", "happy", "pleased",
@@ -216,6 +232,26 @@ def detect_language(text: Column | str) -> Column:
         .when(fra > 0, "french")
         .otherwise("unknown")
     )
+
+
+def detect_language_ext(text: Column | str) -> Column:
+    """Six-language stopword-vote language id (en/es/fr/de/it/pt).
+
+    Extension of :func:`detect_language` (which stays exact-parity with
+    the reference's en/es/fr rule): stopword hits over the first 50
+    whitespace tokens per language, winner = max hit count, ties broken
+    by :data:`LANGUAGE_VOCABS` priority order (first maximal wins),
+    'unknown' for empty text or zero hits everywhere. Entirely
+    row-local array expressions — language id runs at scan speed.
+    """
+    t = F.coalesce(_col(text), F.lit(""))
+    words = F.slice(F.split(F.trim(F.lower(t)), r"\s+"), 1, 50)
+    hits = [(code, _word_hits(words, vocab)) for code, vocab in LANGUAGE_VOCABS]
+    best = F.greatest(*[h for _, h in hits])
+    out = F.when(F.length(t) == 0, "unknown").when(best == 0, "unknown")
+    for code, h in hits:
+        out = out.when(h == best, code)
+    return out.otherwise("unknown")
 
 
 def sentiment(text: Column | str) -> Column:

@@ -1608,3 +1608,85 @@ def x_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank_fixed(edges, iters=3, weight_col="w")
     return pr.orderBy(F.desc("pr_micro"), "node").limit(50)
+
+
+# --- language mix (extended 6-language stopword-vote id) ---------------------------
+
+# Multilingual text synthesis shared VERBATIM by the Spark query (F.expr)
+# and the DuckDB oracle — one stopword-dense sentence per language plus
+# an empty case, keyed on doc_id so the mix is deterministic.
+_MULTILANG_CASE = """CASE doc_id % 7
+  WHEN 0 THEN 'the cat and the dog is in the house and it was you that he saw'
+  WHEN 1 THEN 'el perro y la casa de que es en un se no era el que'
+  WHEN 2 THEN 'le chien de et à un il être en avoir le de et à un'
+  WHEN 3 THEN 'der hund die katze und in den von zu das mit sich der und'
+  WHEN 4 THEN 'di che e il la per un in non sono di che e il la'
+  WHEN 5 THEN 'de a o que e do da em um para de a o que e'
+  ELSE ''
+END"""
+
+
+def _lang_hits_sql(vocab: tuple[str, ...]) -> str:
+    arr = ", ".join(f"'{w}'" for w in vocab)
+    return (
+        "len(list_filter(string_split_regex(lower(trim(t)), '\\s+')[1:50], "
+        f"w -> list_contains([{arr}], w)))"
+    )
+
+
+def _lang_mix_oracle() -> str:
+    from iheardai_data_pipeline_spark.functions import text_agent as ta
+
+    hit_cols = ",\n        ".join(
+        f"{_lang_hits_sql(vocab)} AS h_{code}" for code, vocab in ta.LANGUAGE_VOCABS
+    )
+    best = "greatest(" + ", ".join(f"h_{c}" for c, _ in ta.LANGUAGE_VOCABS) + ")"
+    whens = "\n         ".join(
+        f"WHEN h_{c} = best THEN '{c}'" for c, _ in ta.LANGUAGE_VOCABS
+    )
+    return f"""
+WITH synth AS (
+  SELECT doc_id, source, {_MULTILANG_CASE} AS t FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+        {hit_cols},
+        length(t) AS n
+  FROM synth
+),
+lang AS (
+  SELECT source,
+    CASE WHEN n = 0 THEN 'unknown'
+         WHEN {best} = 0 THEN 'unknown'
+         {whens}
+         ELSE 'unknown' END AS language
+  FROM (SELECT *, {best} AS best FROM scored)
+)
+SELECT source, language, CAST(count(*) AS BIGINT) AS n_docs
+FROM lang GROUP BY source, language
+"""
+
+
+@register(
+    "x_lang_mix",
+    oracle=_lang_mix_oracle(),
+    tags=("extension", "text", "curation"),
+    doc="Per-source language-mix rollup with the extended 6-language "
+    "stopword-vote id (en/es/fr/de/it/pt; functions/text_agent.py:"
+    "detect_language_ext). Language id is a row-local array expression "
+    "(scan speed); the only shuffle is the (source, language) rollup — "
+    "the corpus-composition report every multilingual training-data "
+    "pipeline runs before sampling.",
+)
+def x_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.functions import text_agent as ta
+    from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism, eval_once
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    lang = eval_once(
+        docs.select("doc_id", "source"),
+        language=ta.detect_language_ext(F.expr(_MULTILANG_CASE)),
+    )
+    return lang.groupBy("source", "language").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

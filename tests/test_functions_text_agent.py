@@ -227,3 +227,27 @@ def test_transform_pipeline_smoke(spark):
     assert out["performance_metrics"]["tokens_per_second"] == 128.0
     assert out["tool_usage"]["tool_categories"] == ["search"]
     assert out["business_metrics"]["support_resolution_type"] == "troubleshooting"
+
+
+def test_detect_language_ext_six_languages(spark):
+    from iheardai_data_pipeline_spark.functions.text_agent import detect_language_ext
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("the house and the dog is in it", "en"),
+        ("el perro de la casa es un que", "es"),
+        ("le chien et à un il être en avoir", "fr"),
+        ("der hund und die katze von den zu das", "de"),
+        ("di che e il per un non sono", "it"),
+        ("o que e do da em um para", "pt"),
+        ("", "unknown"),
+        ("xylophone zebra quartz", "unknown"),  # zero hits everywhere
+        # tie at 1-1 between en ('the') and es ('la'): priority order -> en
+        ("the la zzz", "en"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+    got = [
+        r["lang"]
+        for r in df.select(detect_language_ext(F.col("t")).alias("lang")).collect()
+    ]
+    assert got == [e for _, e in cases]
