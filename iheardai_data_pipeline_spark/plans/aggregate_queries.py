@@ -483,20 +483,46 @@ def j5_nation_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A4 extension: approximate distinct for the dashboard path ---------------------
 
 
+# Bounded oracle for the HLL sketch: the raw estimate is engine-specific
+# (HLL++ register layout), so it can't be value-compared — but its
+# PUBLISHED error bound can. The query emits the exact distinct count
+# plus a within-5-sigma flag (|approx - exact| <= 5 * rsd * exact); the
+# oracle pins the exact count and TRUE. A broken sketch flips the flag
+# and fails the hash compare, so the estimate is now correctness-gated.
+# (A production dashboard runs the approx-only projection; the exact
+# countDistinct here exists to make the sketch's contract checkable.)
+_A4_APPROX_ORACLE = """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(count(*) AS BIGINT) AS n_events,
+       TRUE AS approx_within_5rsd
+FROM events
+"""
+
+
 @register(
     "a4_dashboard_approx",
-    oracle=None,  # approximate by design (HLL sketch) — rows-only check
+    oracle=_A4_APPROX_ORACLE,
     tags=("aggregate", "approximate", "extension"),
     doc="A4 extension (SURVEY §2.5 note): the real-time dashboard's "
     "COUNT(DISTINCT session) computed with approx_count_distinct — the "
     "sketch the reference can't express but a 100 TB dashboard needs "
-    "(bounded memory, one pass, mergeable across executors).",
+    "(bounded memory, one pass, mergeable across executors). The oracle "
+    "checks the sketch's published error bound: the query emits a "
+    "within-5-sigma flag the exact-count oracle pins to TRUE.",
 )
 def a4_dashboard_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    rsd = 0.01
     return events.agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=rsd)
+                - F.countDistinct("user_id")
+            )
+            <= F.lit(5 * rsd) * F.countDistinct("user_id")
+        ).alias("approx_within_5rsd"),
     )
 
 

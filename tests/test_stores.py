@@ -312,3 +312,34 @@ def test_bucketed_deletion_fold_empties_bucket_cleanly(spark, tmp_path):
     st.apply_keyed(spark.createDataFrame([("a", 2, "ignored")], SCHEMA), delete_key)
     remaining = {r["k"] for r in st.read().collect()} if st.read() is not None else set()
     assert "a" not in remaining  # deleted; store stays readable
+
+
+def test_warehouse_loader_stand_in_upsert(spark, tmp_path):
+    """K6 loader against the parquet_txn stand-in: in-batch LWW dedup,
+    cross-batch keyed merge."""
+    from iheardai_data_pipeline_spark.streaming.warehouse import WarehouseBatchLoader
+
+    ld = WarehouseBatchLoader(
+        spark, str(tmp_path / "wh"), ["k"], ["seq"], fmt="parquet_txn"
+    )
+    # batch 1 carries two versions of key 'a' -> seq 2 wins in-batch
+    ld.load_batch(spark.createDataFrame([("a", 1, "v1"), ("a", 2, "v2")], SCHEMA))
+    got = {r["k"]: r["v"] for r in ld.read().collect()}
+    assert got == {"a": "v2"}
+    # batch 2 updates 'a' and inserts 'b'
+    ld.load_batch(spark.createDataFrame([("a", 3, "v3"), ("b", 1, "b1")], SCHEMA))
+    got = {r["k"]: (r["seq"], r["v"]) for r in ld.read().collect()}
+    assert got == {"a": (3, "v3"), "b": (1, "b1")}
+
+
+def test_warehouse_loader_snowflake_is_connector_lazy(spark, tmp_path):
+    """fmt='snowflake' must not fail at construction (connector-lazy);
+    the write itself raises the helpful classpath error in this rig."""
+    from iheardai_data_pipeline_spark.streaming.warehouse import WarehouseBatchLoader
+
+    ld = WarehouseBatchLoader(
+        spark, "EVENTS", ["k"], ["seq"], fmt="snowflake",
+        connector_options={"sfURL": "example.snowflakecomputing.com"},
+    )
+    with pytest.raises(RuntimeError, match="spark-snowflake"):
+        ld.load_batch(spark.createDataFrame([("a", 1, "v1")], SCHEMA))
