@@ -452,6 +452,41 @@ class BucketedTransactionalStore:
         paths = [self._bucket_path(s, b) for b, s in manifest.items()]
         return self.spark.read.parquet(*paths)
 
+    def read_keys(
+        self, keys: DataFrame, version: int | None = None
+    ) -> DataFrame | None:
+        """Bucket-pruned keyed lookup: scan ONLY the buckets the
+        requested keys hash to, then LEFT SEMI the key set.
+
+        A point lookup in an N-bucket store therefore reads ~1/N of its
+        files — the serving-path read the bucketed layout exists for
+        (the write side already rewrites only touched buckets; this is
+        the symmetric read optimization). The bucket set is a bounded
+        collect (<= n_buckets rows, same bound as apply_keyed); the
+        semi-join's key side is the caller's key set, typically tiny —
+        broadcastable. Returns None when the store is empty or no
+        requested bucket has data (no rows either way).
+        """
+        manifest = self._manifest(
+            self.current_version() if version is None else version
+        )
+        if not manifest:
+            return None
+        kd = keys.select(*self.key_cols).distinct()
+        touched = {
+            str(r["__bucket"])
+            for r in kd.withColumn("__bucket", self._bucket_expr())
+            .select("__bucket")
+            .distinct()
+            .collect()
+        }
+        paths = [
+            self._bucket_path(s, b) for b, s in manifest.items() if b in touched
+        ]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths).join(kd, self.key_cols, "left_semi")
+
     def apply_keyed(self, updates: DataFrame, fn) -> None:
         """OCC partial-rewrite read-modify-write:
         ``fn(current_touched_df_or_None, updates) -> merged_touched_df``.

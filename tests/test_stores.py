@@ -343,3 +343,39 @@ def test_warehouse_loader_snowflake_is_connector_lazy(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="spark-snowflake"):
         ld.load_batch(spark.createDataFrame([("a", 1, "v1")], SCHEMA))
+
+
+def test_bucketed_read_keys_prunes_to_one_bucket(spark, tmp_path):
+    """A point lookup must scan only the single bucket its key hashes
+    to — pinned by inspecting the result's input files."""
+    bkt = _bstore(spark, tmp_path, n_buckets=8)
+    bkt.merge(
+        spark.createDataFrame([(f"k{i}", 1, f"v{i}") for i in range(64)], SCHEMA)
+    )
+    all_files = bkt.read().inputFiles()
+    buckets_total = {f.split("__bucket=")[1].split("/")[0] for f in all_files}
+    assert len(buckets_total) > 1  # 64 keys spread over several buckets
+
+    got = bkt.read_keys(spark.createDataFrame([("k7",)], "k string"))
+    rows = got.collect()
+    assert [(r["k"], r["v"]) for r in rows] == [("k7", "v7")]
+    touched = {f.split("__bucket=")[1].split("/")[0] for f in got.inputFiles()}
+    assert len(touched) == 1  # exactly one bucket's files scanned
+
+
+def test_bucketed_read_keys_multi_and_missing(spark, tmp_path):
+    bkt = _bstore(spark, tmp_path, n_buckets=8)
+    bkt.merge(
+        spark.createDataFrame([(f"k{i}", 1, f"v{i}") for i in range(32)], SCHEMA)
+    )
+    # multi-key set: all requested keys come back, nothing else
+    got = bkt.read_keys(
+        spark.createDataFrame([("k1",), ("k2",), ("k30",)], "k string")
+    )
+    assert {r["k"] for r in got.collect()} == {"k1", "k2", "k30"}
+    # a key that was never written: its bucket may exist, result is empty
+    got = bkt.read_keys(spark.createDataFrame([("nope",)], "k string"))
+    assert got is None or got.count() == 0
+    # empty store -> None
+    empty = _bstore(spark, tmp_path, name="e", n_buckets=8)
+    assert empty.read_keys(spark.createDataFrame([("k1",)], "k string")) is None
