@@ -136,19 +136,27 @@ def t6_stream_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iheardai_data_pipeline_spark.operators.mutations import last_write_wins
     from iheardai_data_pipeline_spark.streaming.stateful import track_session_state
 
+    import shutil
+
+    from iheardai_data_pipeline_spark.streaming.sinks import harness_checkpoint_dir
+
     stream = read_events_stream(spark, sf_dir)
     # ttl_ms=None: TTL timeouts would keep the bounded availableNow
     # replay alive forever (see streaming/stateful.py docstring)
     snapshots = track_session_state(stream, ttl_ms=None)
-    out = run_to_memory(
-        snapshots,
-        f"t6_out_{uuid.uuid4().hex[:8]}",
-        output_mode="update",
-        checkpoint_location=tempfile.mkdtemp(prefix="t6_ckpt_"),
-        # per-key pandas batches run in Python workers: state I/O is not
-        # the bottleneck here, worker parallelism is — keep session width
-        state_partitions=None,
-    )
+    ckpt = harness_checkpoint_dir("t6_ckpt_")
+    try:
+        out = run_to_memory(
+            snapshots,
+            f"t6_out_{uuid.uuid4().hex[:8]}",
+            output_mode="update",
+            checkpoint_location=ckpt,
+            # per-key pandas batches run in Python workers: state I/O is not
+            # the bottleneck here, worker parallelism is — keep session width
+            state_partitions=None,
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     # update mode appends one snapshot per (key, touching micro-batch);
     # the session's final state is the one with the highest event count
     final = last_write_wins(out, ["user_id"], ["n_events", "last_seen_s"])
@@ -266,13 +274,21 @@ def t9_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    (
-        stream.writeStream.foreachBatch(ingest_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="t9_ckpt_"))
-        .start()
-        .awaitTermination()
-    )
+    import shutil
+
+    from iheardai_data_pipeline_spark.streaming.sinks import harness_checkpoint_dir
+
+    ckpt = harness_checkpoint_dir("t9_ckpt_")
+    try:
+        (
+            stream.writeStream.foreachBatch(ingest_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     seed_fps.unpersist()
     return (
         spark.read.parquet(out_dir)

