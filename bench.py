@@ -3,8 +3,11 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {"q": sec}, "sf": ...}
 
-Each query is executed as a full action (count + a write-less collect of a
-bounded head) so the whole plan runs; timings exclude session startup.
+Each query is executed with a NOOP write so the WHOLE plan runs:
+``count()`` would let Catalyst eliminate uniquely-keyed left joins and
+prune every column, silently under-measuring queries whose real work
+feeds an enrichment join (measured 0.3s "count time" vs 6.3s true plan
+time on the substring-dedup query). Timings exclude session startup.
 """
 
 from __future__ import annotations
@@ -41,7 +44,7 @@ def main() -> None:
         for _ in range(2):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
-            df.count()
+            df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
             # queries are independent; don't let one query's cached
             # intermediates or garbage raise pressure on the next (heap
