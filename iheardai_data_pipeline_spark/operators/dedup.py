@@ -652,6 +652,77 @@ def duplicate_spans(
     )
 
 
+def excise_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-dedup EXCISION: remove every word position covered by a
+    cross-document duplicated span (see :func:`duplicate_spans` for the
+    detection contract) and reassemble each document from its surviving
+    words in order — the "cut the duplicated substring, keep the rest"
+    policy of suffix-array dedup pipelines (Lee et al. 2022), where
+    dropping whole documents would waste the unique remainder.
+
+    Same scale shape as detection (md5 span keys, duplicated-fraction
+    explode) plus one per-doc covered-position set: collected as an
+    array (bounded by the doc's own word count — row-local memory) and
+    applied with an index-aware ``transform`` filter, so reassembly
+    never shuffles the corpus text a second time.
+
+    Output: one row per doc — n_words, n_kept_words, kept_text.
+    """
+    k = span_words
+    base = ensure_parallelism(docs.where(F.col(text_col).isNotNull())).select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__ws")
+    )
+    idx = F.when(
+        F.size("__ws") >= k, F.sequence(F.lit(0), F.size("__ws") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    spans = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                idx, lambda i: F.md5(F.array_join(F.slice("__ws", i + 1, k), " "))
+            )
+        ).alias("pos", "span_hash"),
+    )
+    dup = (
+        spans.groupBy("span_hash")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("span_hash")
+    )
+    cov_arr = (
+        spans.join(dup, "span_hash")
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("wpos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("wpos").alias("__cov"))
+    )
+    cov = F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(
+            F.col("__ws"),
+            lambda w, i: F.struct(
+                w.alias("w"), F.array_contains(cov, i.cast("int")).alias("c")
+            ),
+        ),
+        lambda s: ~s["c"],
+    )
+    joined = eval_once(base.join(cov_arr, id_col, "left"), __kept=kept)
+    return joined.select(
+        id_col,
+        F.size("__ws").cast("long").alias("n_words"),
+        F.size("__kept").cast("long").alias("n_kept_words"),
+        F.array_join(F.transform("__kept", lambda s: s["w"]), " ").alias("kept_text"),
+    )
+
+
 def segment_lines(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1289,6 +1289,63 @@ def x_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBSTRING_EXCISE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+spans AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(ws[i:(i+9)], ' ')) AS span_hash
+  FROM toks, unnest(generate_series(1, greatest(len(ws) - 9, 0))) AS g(i)
+),
+dup AS (
+  SELECT span_hash FROM spans GROUP BY span_hash
+  HAVING count(DISTINCT doc_id) >= 2
+),
+covered AS (
+  SELECT DISTINCT s.doc_id, wp
+  FROM spans s JOIN dup USING (span_hash),
+       unnest(generate_series(s.pos, s.pos + 9)) AS c(wp)
+),
+posn AS (
+  -- materialized before the LEFT JOIN: DuckDB rejects outer joins
+  -- correlated against a lateral unnest
+  SELECT doc_id, g.i AS i, ws[g.i + 1] AS w
+  FROM toks, unnest(generate_series(0, len(ws) - 1)) AS g(i)
+),
+kept AS (
+  SELECT p.doc_id,
+         CAST(count(CASE WHEN cv.wp IS NULL THEN 1 END) AS BIGINT) AS n_kept_words,
+         coalesce(string_agg(CASE WHEN cv.wp IS NULL THEN p.w END,
+                             ' ' ORDER BY p.i), '') AS kept_text
+  FROM posn p
+  LEFT JOIN covered cv ON cv.doc_id = p.doc_id AND cv.wp = p.i
+  GROUP BY p.doc_id
+)
+SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+       k.n_kept_words, k.kept_text
+FROM toks t JOIN kept k USING (doc_id)
+"""
+
+
+@register(
+    "x_dedup_substring_excise",
+    oracle=_SUBSTRING_EXCISE_ORACLE,
+    tags=("extension", "dedup", "curation"),
+    doc="Substring-dedup excision: every word position covered by a "
+    "cross-doc duplicated 10-word span is cut and the document "
+    "reassembled from the surviving words in order — keep the unique "
+    "remainder instead of dropping the doc. Covered positions ride as a "
+    "row-local array; reassembly is an index-aware transform filter, no "
+    "second text shuffle (operators/dedup.py:excise_duplicate_spans).",
+)
+def x_dedup_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.excise_duplicate_spans(
+        load_table(spark, sf_dir, "documents"), span_words=10, min_docs=2
+    )
+
+
 # Deliberately messy URL synthesis shared VERBATIM by the Spark query
 # (via F.expr) and the DuckDB oracle — http/https, WWW/case, default
 # ports, tracking params, unsorted params, fragments, trailing slashes.

@@ -139,3 +139,27 @@ def test_duplicate_spans_short_doc_and_intra_doc_repeat(spark):
     # intra-doc repetition is NOT cross-doc duplication (min_docs counts
     # DISTINCT docs) — the Gopher repetition filter owns this case
     assert out[2]["n_dup_spans"] == 0
+
+
+def test_excise_duplicate_spans_cuts_shared_run_keeps_rest(spark):
+    from iheardai_data_pipeline_spark.operators.dedup import excise_duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2 tail3"),
+            (2, "head1 head2 " + shared),
+            (3, "unique words only " + " ".join(f"u{i}" for i in range(10))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in excise_duplicate_spans(docs, span_words=10).collect()
+    }
+    # the 12 shared words are cut; the unique tails/heads survive in order
+    assert out[1]["kept_text"] == "tail1 tail2 tail3"
+    assert out[1]["n_words"] == 15 and out[1]["n_kept_words"] == 3
+    assert out[2]["kept_text"] == "head1 head2"
+    # untouched doc reassembles to its (normalized) self
+    assert out[3]["n_kept_words"] == out[3]["n_words"]
+    assert out[3]["kept_text"].startswith("unique words only")
