@@ -349,13 +349,20 @@ FROM parsed
     "frontend_transformer.py:100-309).",
 )
 def p17_p21_frontend_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    df = events.select(
-        "event_id",
-        _synth_url().alias("url"),
-        _synth_ref().alias("ref"),
-        _synth_ua().alias("ua"),
-    )
+    from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism, eval_once
+
+    # fan out the single-split scan (this is the heaviest regex chain in
+    # the catalog) and pin the synthesized url/ref/ua behind a generator
+    # barrier: the outer select references each one from 4+ parse
+    # expressions, and CollapseProject would otherwise inline the synth
+    # CASE into every reference
+    events = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    df = eval_once(
+        events.select("event_id", "user_id"),
+        url=_synth_url(),
+        ref=_synth_ref(),
+        ua=_synth_ua(),
+    ).drop("user_id")
     pi = fe.parse_page_info(F.col("url"), F.lit(None).cast("string"))
     ri = fe.parse_referrer_info(F.col("ref"))
     return df.select(
@@ -419,14 +426,23 @@ FROM synth
     "(reference frontend_transformer.py:353-430).",
 )
 def p24_p27_event_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    df = events.select(
+    from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism, eval_once
+
+    # same treatment as p17_p21: fan out, then pin the synthesized
+    # url/ref/ua once — the scoring expressions below reference each
+    # several times
+    events = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    df = eval_once(
+        events.select("event_id", "user_id", "event_type", "value"),
+        url=_synth_url(),
+        ref=_synth_ref(),
+        ua=_synth_ua(),
+    ).select(
         "event_id",
-        "user_id",
         "event_type",
-        _synth_url().alias("url"),
-        _synth_ref().alias("ref"),
-        _synth_ua().alias("ua"),
+        "url",
+        "ref",
+        "ua",
         F.floor(F.col("value")).cast("long").alias("top"),
         F.concat(F.lit("sess-"), F.col("user_id")).alias("session_id"),
         F.col("event_id").alias("ts_num"),
