@@ -6,9 +6,11 @@ operators so a 100 TB corpus streams through executors in columnar
 batches without ever materializing rows on the driver.
 
 The image/audio codec libraries are NOT in this container, so the
-decode kernels are deterministic stubs behind the same signatures
-(documented below); the Spark-side machinery — schema, partitioning,
-batch iteration, output contract — is real and tested.
+codec DECODE step is a deterministic stand-in behind the same
+signatures (documented per kernel); everything after decode — the
+nearest-neighbor resize math, frame slicing, feature folds — and all
+the Spark-side machinery (schema, partitioning, batch iteration,
+output contract) is real and tested.
 """
 
 from __future__ import annotations
@@ -166,19 +168,102 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     return media.mapInPandas(op, schema=_FRAME_SCHEMA)
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize operator — signature + plumbing only.
+def _raster_of(content: bytes) -> tuple:
+    """Deterministic grayscale raster from an opaque payload: bytes laid
+    into a square-ish (sh x sw) array, zero-padded. The codec-decode
+    stand-in of this family (no image libs in the container) — swap for
+    PIL/opencv decoding in production; everything downstream operates on
+    the ndarray and is real."""
+    import math
 
-    Raises NotImplementedError from the kernel: PIL is not in this
-    container. The mapInPandas shell is identical to
-    ``extract_media_features``; only the per-batch kernel differs.
+    import numpy as np
+
+    arr = np.frombuffer(content, dtype=np.uint8)
+    n = arr.size
+    sw = max(1, math.ceil(math.sqrt(n)))
+    sh = max(1, -(-n // sw))
+    img = np.zeros(sh * sw, dtype=np.uint8)
+    img[:n] = arr
+    return img.reshape(sh, sw), sh, sw
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Nearest-neighbor image resize via Arrow-batched ``mapInPandas``.
+
+    The resize itself is the real production algorithm, fully
+    vectorized: source row/col index per output pixel is
+    ``(y * src_h) // height`` / ``(x * src_w) // width`` (pure integer
+    arithmetic — engine-portable, so the DuckDB oracle reproduces every
+    output byte), gathered with one ``np.ix_`` fancy-index per image.
+    Only the codec decode is a stand-in (:func:`_raster_of`; PIL/opencv
+    absent here) — plug a real decoder and the kernel is unchanged.
+    Output rows keep MEDIA_SCHEMA with the resized raster as content
+    and width/height set in meta.
     """
+    from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism
+
+    media = ensure_parallelism(media)
 
     def op(batches: Iterator) -> Iterator:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv, not available in this container; "
-            "plug a real kernel into the mapInPandas shell"
-        )
-        yield  # pragma: no cover
+        import numpy as np
+        import pandas as pd
+
+        ys_base = np.arange(height)
+        xs_base = np.arange(width)
+        for pdf in batches:
+            out_content = []
+            for content in pdf["content"]:
+                img, sh, sw = _raster_of(bytes(content))
+                ys = (ys_base * sh) // height
+                xs = (xs_base * sw) // width
+                out_content.append(img[np.ix_(ys, xs)].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": out_content,
+                    "meta": [
+                        {
+                            "mime": "image/x-raw-gray",
+                            "width": width,
+                            "height": height,
+                            "duration_ms": None,
+                        }
+                    ]
+                    * len(pdf),
+                }
+            )
 
     return media.mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
+_RASTER_SUM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("pixel_sum", T.LongType(), False),
+    ]
+)
+
+
+def raster_checksums(media: DataFrame) -> DataFrame:
+    """Row-local byte-sum summary of media payloads (media_id, n_bytes,
+    pixel_sum) — the oracle-comparable projection of a binary column
+    (binary cells themselves can't be value-hash-compared across
+    engines; their exact byte sums can)."""
+
+    def op(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            arrs = [np.frombuffer(bytes(c), dtype=np.uint8) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [int(a.size) for a in arrs],
+                    "pixel_sum": [int(a.sum()) for a in arrs],
+                }
+            )
+
+    return media.mapInPandas(op, schema=_RASTER_SUM_SCHEMA)

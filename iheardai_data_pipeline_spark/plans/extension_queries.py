@@ -551,6 +551,51 @@ def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_media_features(media)
 
 
+# Resize oracle: the nearest-neighbor index math is pure integer
+# arithmetic ((y*src_h)//H etc.), the raster layout is bytes zero-padded
+# into a ceil(sqrt)-wide grid, and the payload is ASCII text — so DuckDB
+# reproduces every output pixel and the byte-sum compares exactly.
+_MEDIA_RESIZE_ORACLE = """
+WITH src AS (
+  SELECT doc_id AS media_id, text AS t,
+         CAST(length(text) AS BIGINT) AS n,
+         greatest(1, CAST(ceil(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)) AS sw
+  FROM documents WHERE text IS NOT NULL
+),
+dims AS (SELECT *, greatest(1, (n + sw - 1) // sw) AS sh FROM src),
+px AS (
+  SELECT media_id, n, t,
+         ((y.y * sh) // 6) * sw + ((x.x * sw) // 8) AS idx
+  FROM dims,
+       unnest(generate_series(0, 5)) AS y(y),
+       unnest(generate_series(0, 7)) AS x(x)
+)
+SELECT media_id,
+       CAST(48 AS BIGINT) AS n_bytes,
+       CAST(sum(CASE WHEN idx < n
+                     THEN ord(substring(t, CAST(idx + 1 AS INT), 1))
+                     ELSE 0 END) AS BIGINT) AS pixel_sum
+FROM px GROUP BY media_id
+"""
+
+
+@register(
+    "x_media_resize",
+    oracle=_MEDIA_RESIZE_ORACLE,
+    tags=("extension", "multimodal"),
+    doc="Nearest-neighbor image resize (8x6) over opaque payloads: the "
+    "resize is the real vectorized algorithm (integer source-index "
+    "gather per output pixel, np.ix_ per image) in the Arrow-batched "
+    "mapInPandas shell; only the codec decode is the documented "
+    "deterministic-raster stand-in. Compared via exact per-image byte "
+    "sums (operators/multimodal.py:resize_images).",
+)
+def x_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.attach_fake_media(load_table(spark, sf_dir, "documents"))
+    resized = multimodal.resize_images(media, width=8, height=6)
+    return multimodal.raster_checksums(resized)
+
+
 _FRAMES_ORACLE = f"""
 WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
 f AS (SELECT media_id, text, n, unnest(range(0, 4)) AS frame_idx FROM m)
