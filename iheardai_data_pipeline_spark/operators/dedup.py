@@ -176,6 +176,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def incremental_minhash_dedup(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    verify: str = "array",
+) -> DataFrame:
+    """Incremental NEAR-dup gate: keep only incoming docs with no
+    MinHash-LSH near-dup (exact-Jaccard verified, >= ``threshold``) in
+    the existing corpus NOR among lower-id docs of their own batch —
+    the fuzzy sibling of :func:`incremental_dedup`'s exact-fingerprint
+    gate, i.e. the ingest loop a growing training corpus runs so
+    near-copies of already-held documents never enter.
+
+    Mechanics: both sides are namespaced onto one id line (corpus ->
+    2*id, incoming -> 2*id+1 — parity encodes the side, and intra-batch
+    numeric order is preserved) and pushed through the SAME banded
+    :func:`minhash_lsh_pairs` pipeline, so the candidate join stays
+    sublinear and corpus-vs-corpus pairs are simply discarded after the
+    fact. Drop rule (deterministic): an incoming doc drops when paired
+    with any corpus doc, or with a lower-id incoming doc (whether or
+    not that doc itself survives — the same min-id-wins convention as
+    the exact gate; a production variant can re-key on the kept set).
+
+    At scale the corpus side would be a PRE-COMPUTED signature/band
+    index (the banding of an unchanged corpus is identical run to run —
+    persist ``banded`` once and union only the new batch's bands); this
+    composition recomputes it because the rig's corpora are small.
+
+    Returns the surviving incoming rows (all original columns).
+    """
+    assert id_col in incoming.columns and id_col in corpus.columns
+    u = corpus.select((F.col(id_col) * 2).alias(id_col), text_col).unionByName(
+        incoming.select((F.col(id_col) * 2 + 1).alias(id_col), text_col)
+    )
+    pairs = minhash_lsh_pairs(
+        u, id_col, text_col, n=n, k=k, bands=bands, threshold=threshold, verify=verify
+    )
+    a, b = F.col("doc_a"), F.col("doc_b")
+    dropped = (
+        pairs.where((a % 2 == 1) | (b % 2 == 1))
+        .select(
+            F.when((a % 2 == 1) & (b % 2 == 1), b)  # intra-batch: later id
+            .when(a % 2 == 1, a)  # incoming vs corpus (either order)
+            .otherwise(b)
+            .alias("__nid")
+        )
+        .distinct()
+        # integer div, not float: float division would lose precision
+        # for ids beyond 2^53 (hash-derived ids at corpus scale)
+        .select(F.expr("(__nid - 1) div 2").alias(id_col))
+    )
+    return incoming.join(dropped, id_col, "left_anti")
+
+
 def _minhash_from_set(sh_hashes, k: int):
     """MinHash signature as ONE array<long> expression over a set of
     PRE-HASHED shingles (array<long>): sig[i] = min over h of

@@ -137,6 +137,48 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INC_MINHASH_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN counts ca ON shared.doc_a = ca.doc_id
+  JOIN counts cb ON shared.doc_b = cb.doc_id
+  WHERE {_JACCARD_SQL} >= 0.7
+)
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.doc_id % 5 <> 0
+  AND NOT EXISTS (
+    SELECT 1 FROM near
+    WHERE near.doc_a = d.doc_id
+      AND (near.doc_b % 5 = 0 OR near.doc_b < d.doc_id)
+  )
+"""
+
+
+@register(
+    "x_dedup_incremental_minhash",
+    oracle=_INC_MINHASH_ORACLE,
+    tags=("extension", "dedup", "sketch"),
+    doc="Incremental NEAR-dup ingest gate: incoming docs (doc_id%5!=0) "
+    "probed by MinHash(64)+LSH(16x4) against the existing corpus "
+    "(doc_id%5==0) and lower-id batch peers; exact-Jaccard verified, "
+    "survivors returned. The fuzzy sibling of x_dedup_incremental's "
+    "fingerprint gate; oracle = exact all-pairs answer "
+    "(operators/dedup.py:incremental_minhash_dedup).",
+)
+def x_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 == 0)
+    incoming = docs.filter(F.col("doc_id") % 5 != 0)
+    kept = dedup.incremental_minhash_dedup(incoming, corpus, threshold=0.7)
+    return kept.select("doc_id", "source")
+
+
 # Full value oracle for the SimHash sketch: with the md5-portable word
 # hash the sketch is deterministic and ANSI-SQL-expressible, and the
 # pigeonhole banding is exhaustive, so the engine's banded equi-join

@@ -163,3 +163,24 @@ def test_excise_duplicate_spans_cuts_shared_run_keeps_rest(spark):
     # untouched doc reassembles to its (normalized) self
     assert out[3]["n_kept_words"] == out[3]["n_words"]
     assert out[3]["kept_text"].startswith("unique words only")
+
+
+def test_incremental_minhash_rejects_near_dups(spark):
+    from iheardai_data_pipeline_spark.operators.dedup import incremental_minhash_dedup
+
+    base = " ".join(f"w{i}" for i in range(30))
+    corpus = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    incoming = spark.createDataFrame(
+        [
+            (1, base + " extra"),                       # near-dup of corpus -> dropped
+            (2, " ".join(f"u{i}" for i in range(30))),  # unique -> kept
+            (3, " ".join(f"u{i}" for i in range(30)) + " tail"),  # near-dup of 2 (lower id) -> dropped
+            (4, "short"),                               # < 5 words: no shingles, kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup(incoming, corpus, threshold=0.7).collect()
+    }
+    assert kept == {2, 4}
