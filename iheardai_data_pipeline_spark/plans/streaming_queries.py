@@ -385,3 +385,110 @@ def t11_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(result, f"t11_out_{uuid.uuid4().hex[:8]}")
     return out.orderBy("cohort_day", "event_type")
+
+
+# --- T12 (extension): streaming-ingest NEAR-dup gate -------------------------------
+
+from iheardai_data_pipeline_spark.functions.exact import sql_ratio_half_up
+
+_T12_JACCARD = sql_ratio_half_up("s", "ca.n + cb.n - s", 4)
+
+_T12_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 4, 0)),
+                               i -> array_to_string(ws[i:i+4], ' '))) AS shingle
+  FROM toks
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN counts ca ON shared.doc_a = ca.doc_id
+  JOIN counts cb ON shared.doc_b = cb.doc_id
+  WHERE {_T12_JACCARD} >= 0.7
+),
+kept AS (
+  SELECT d.doc_id, d.source FROM documents d
+  WHERE d.doc_id % 5 <> 0
+    AND NOT EXISTS (
+      SELECT 1 FROM near
+      WHERE near.doc_a = d.doc_id
+        AND (near.doc_b % 5 = 0 OR near.doc_b < d.doc_id)
+    )
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_accepted
+FROM kept GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "t12_stream_ingest_neardup",
+    oracle=_T12_ORACLE,
+    tags=("streaming", "dedup", "sketch"),
+    doc="Streaming-ingest NEAR-dup gate (extension): each micro-batch of "
+    "incoming docs (doc_id%5!=0) passes incremental_minhash_dedup "
+    "against the seeded corpus (doc_id%5==0) UNION every previously "
+    "seen incoming doc inside foreachBatch — accepted docs append to a "
+    "parquet store, and the probe includes rejected docs too so "
+    "near-dup chains split across micro-batches resolve exactly like "
+    "the batch answer (near-dup is not transitive, unlike t9's exact "
+    "fingerprints). Arrival order = id order is the deterministic "
+    "tiebreak, which is what a production ingest loop uses (earlier "
+    "arrival wins). Oracle = the exact all-pairs batch answer.",
+)
+def t12_stream_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from iheardai_data_pipeline_spark.operators.dedup import incremental_minhash_dedup
+    from iheardai_data_pipeline_spark.sources.batch import load_table
+    from iheardai_data_pipeline_spark.streaming.sinks import harness_checkpoint_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    corpus.cache().count()
+
+    root = tempfile.mkdtemp(prefix="t12_")
+    out_dir = os.path.join(root, "accepted")
+    seen_dir = os.path.join(root, "seen")
+
+    def ingest_batch(batch: DataFrame, batch_id: int) -> None:
+        inc = batch.filter(F.col("doc_id") % 5 != 0)
+        probe = corpus
+        if os.path.exists(seen_dir):
+            probe = corpus.unionByName(
+                spark.read.parquet(seen_dir).select("doc_id", "text")
+            )
+        kept = incremental_minhash_dedup(inc, probe, threshold=0.7)
+        kept.select("doc_id", "source").write.mode("append").parquet(out_dir)
+        inc.select("doc_id", "text").write.mode("append").parquet(seen_dir)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    ckpt = harness_checkpoint_dir("t12_ckpt_")
+    try:
+        (
+            stream.writeStream.foreachBatch(ingest_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    corpus.unpersist()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_accepted"))
+        .orderBy("source")
+    )
