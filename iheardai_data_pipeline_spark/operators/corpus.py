@@ -390,3 +390,36 @@ def curation_funnel(
         )
         .orderBy("source")
     )
+
+
+def top_ngrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams by document frequency — the
+    boilerplate-phrase mining report a curation run uses to seed line/
+    span blocklists (the phrases that appear across many documents are
+    navigation chrome, license headers, cookie banners).
+
+    Shape: per-doc DISTINCT shingles are row-local (word_shingles), the
+    document-frequency count is ONE partial-agg groupBy on the shingle
+    (boilerplate hot shingles reduce map-side), and the top-k is a
+    TakeOrdered over (df DESC, ngram ASC) — k rows to the driver, never
+    a full sort. Ties at the boundary break deterministically on the
+    ngram string.
+
+    Output: (ngram, df, rank) — rank 1..k.
+    """
+    from pyspark.sql import Window
+
+    sh = word_shingles(docs, id_col, text_col, n)
+    counts = sh.groupBy(F.col("shingle").alias("ngram")).agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    top = counts.orderBy(F.desc("df"), F.asc("ngram")).limit(k)
+    w = Window.orderBy(F.desc("df"), F.asc("ngram"))
+    # rank window runs over k rows only (post-limit) — not a corpus sort
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -266,3 +266,58 @@ def chunk_documents(
         F.md5(F.col("c.chunk_text")).alias("chunk_md5"),
         F.col("c.chunk_text").alias("chunk_text"),
     )
+
+
+def hashed_quality_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_threshold: float = 0.0,
+) -> DataFrame:
+    """Model-based quality filtering PLUMBING (the CCNet/fastText
+    pattern): per-token weights looked up from a vocabulary table,
+    summed per document, thresholded into a keep flag.
+
+    The weights here are a deterministic stand-in — integer
+    milli-weights in [-1000, 1000] derived from md5(word) — because no
+    trained classifier ships in this rig; a production run swaps the
+    in-query vocab derivation for its trained weights table and NOTHING
+    else changes. The plumbing is the real shape: the vocab is distinct
+    words (small → broadcast join against the exploded token relation),
+    the per-doc sum is exact BIGINT milli-units (shuffle-order-proof,
+    unlike a double sum), and the final score is one HALF_UP ratio.
+
+    Output: (id, n_tokens, score_milli_sum, score, keep).
+    """
+    from iheardai_data_pipeline_spark.functions.exact import ratio_half_up
+    from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism
+
+    toks = ensure_parallelism(docs.where(F.col(text_col).isNotNull())).select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
+    )
+    vocab = toks.select("word").distinct().select(
+        "word",
+        (
+            F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long") % 2001
+            - 1000
+        ).alias("weight_milli"),
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("weight_milli").alias("score_milli_sum"),
+        )
+    )
+    score = ratio_half_up(
+        F.col("score_milli_sum"), F.col("n_tokens") * 1000, 4
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "score_milli_sum",
+        score.alias("score"),
+        (score >= F.lit(keep_threshold)).alias("keep"),
+    )

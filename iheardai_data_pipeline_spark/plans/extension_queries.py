@@ -1834,3 +1834,80 @@ def x_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang.groupBy("source", "language").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# --- corpus boilerplate-phrase mining ----------------------------------------------
+
+_TOP_NGRAMS_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                               i -> array_to_string(ws[i:i+2], ' '))) AS ngram
+  FROM toks
+),
+counts AS (SELECT ngram, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY ngram)
+SELECT ngram, df,
+       CAST(row_number() OVER (ORDER BY df DESC, ngram ASC) AS BIGINT) AS rank
+FROM counts ORDER BY df DESC, ngram ASC LIMIT 50
+"""
+
+
+@register(
+    "x_text_top_ngrams",
+    oracle=_TOP_NGRAMS_ORACLE,
+    tags=("extension", "text", "curation"),
+    doc="Corpus-wide top-50 word-3-grams by document frequency — the "
+    "boilerplate-phrase mining report that seeds line/span blocklists. "
+    "Per-doc distinct shingles are row-local, the DF count is one "
+    "partial-agg groupBy, the top-k is a TakeOrdered (never a full "
+    "sort); deterministic ngram tie-break (operators/corpus.py:top_ngrams).",
+)
+def x_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.corpus import top_ngrams
+
+    return top_ngrams(load_table(spark, sf_dir, "documents"), n=3, k=50)
+
+
+# --- model-based quality filtering plumbing ----------------------------------------
+
+_HASH_QUALITY_SCORE = sql_ratio_half_up("score_milli_sum", "n_tokens * 1000", 4)
+
+_HASH_QUALITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS word
+  FROM documents WHERE text IS NOT NULL
+),
+w AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(word), 1, 8))::BIGINT % 2001 - 1000) AS weight_milli
+  FROM toks
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(weight_milli) AS BIGINT) AS score_milli_sum
+  FROM w GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, score_milli_sum,
+       {_HASH_QUALITY_SCORE} AS score,
+       {_HASH_QUALITY_SCORE} >= 0.0 AS keep
+FROM scored
+"""
+
+
+@register(
+    "x_text_hash_quality",
+    oracle=_HASH_QUALITY_ORACLE,
+    tags=("extension", "text", "curation"),
+    doc="Model-based quality-filter plumbing (CCNet/fastText pattern): "
+    "per-token weights from a vocabulary table broadcast-joined onto "
+    "the exploded token relation, exact BIGINT milli-unit sum per doc "
+    "(shuffle-order-proof), HALF_UP score + keep threshold. Weights "
+    "are a deterministic md5 stand-in — swap in a trained weights "
+    "table and nothing else changes "
+    "(operators/text.py:hashed_quality_scores).",
+)
+def x_text_hash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.hashed_quality_scores(
+        load_table(spark, sf_dir, "documents"), keep_threshold=0.0
+    )

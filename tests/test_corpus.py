@@ -157,3 +157,41 @@ def test_chunk_documents_short_doc_single_chunk(spark):
     docs = spark.createDataFrame([(1, "only four tokens here")], "doc_id long, text string")
     rows = chunk_documents(docs, chunk_tokens=50, stride=25).collect()
     assert len(rows) == 1 and rows[0]["n_tokens"] == 4
+
+
+class TestTopNgrams:
+    def test_df_counts_and_rank(self, spark):
+        from iheardai_data_pipeline_spark.operators.corpus import top_ngrams
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox"),
+                (2, "the quick brown bear"),
+                (3, "a lazy dog sleeps"),
+            ],
+            "doc_id long, text string",
+        )
+        out = top_ngrams(docs, n=3, k=3).collect()
+        assert [r["ngram"] for r in out][:1] == ["the quick brown"]
+        assert out[0]["df"] == 2 and out[0]["rank"] == 1
+        # ties (df=1) break on the ngram string ascending
+        assert [r["ngram"] for r in out[1:]] == sorted(r["ngram"] for r in out[1:])
+
+
+class TestHashedQuality:
+    def test_exact_milli_sum_and_threshold(self, spark):
+        from iheardai_data_pipeline_spark.operators.text import hashed_quality_scores
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "alpha alpha alpha")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in hashed_quality_scores(docs).collect()}
+        import hashlib
+
+        def wm(word):
+            return int(hashlib.md5(word.encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+        assert out[1]["score_milli_sum"] == wm("alpha") + wm("beta")
+        assert out[2]["score_milli_sum"] == 3 * wm("alpha")
+        assert out[2]["n_tokens"] == 3
+        assert out[2]["keep"] == (out[2]["score"] >= 0.0)
