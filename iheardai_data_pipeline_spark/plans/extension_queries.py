@@ -450,6 +450,44 @@ def x_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bounded oracle for the IVF sketch (same pattern as a4_dashboard_approx):
+# the approximate result set itself is probe-dependent, but its CONTRACT
+# — recall vs the exact brute-force top-k — is checkable. Measured
+# deterministic recall is 0.9-1.0 across sf0.001/0.01/0.1 (4 of 16 lists
+# probed); the gate pins >= 0.6, well below the measured floor and far
+# above what a broken index would score.
+_IVF_RECALL_ORACLE = """
+SELECT CAST(10 AS BIGINT) AS k, CAST(4 AS BIGINT) AS nprobe,
+       TRUE AS recall_ok
+"""
+
+
+@register(
+    "x_sim_ivf_recall",
+    oracle=_IVF_RECALL_ORACLE,
+    tags=("extension", "similarity", "approximate"),
+    doc="IVF top-k contract gate: the approximate top-10 (16 lists, "
+    "nprobe=4, one Lloyd refinement) is compared against the exact "
+    "brute-force top-10 in-engine and the recall>=0.6 flag is pinned "
+    "TRUE by the oracle — a broken index build or probe selection "
+    "flips the flag and fails the hash compare, so the IVF path is "
+    "correctness-gated even though its raw rows are approximate.",
+)
+def x_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    approx = similarity.ivf_topk(
+        emb, qvec, k=10, n_centroids=16, nprobe=4, exclude_id=0, refine_iters=1
+    ).select("vec_id")
+    exact = similarity.cosine_topk_bruteforce(emb, qvec, k=10, exclude_id=0).select(
+        "vec_id"
+    )
+    hits = approx.join(exact, "vec_id", "left_semi").count()
+    return emb.sparkSession.createDataFrame(
+        [(10, 4, hits >= 6)], "k long, nprobe long, recall_ok boolean"
+    )
+
+
 # --- text analysis ---------------------------------------------------------------
 
 _STOPWORDS_SQL = ", ".join(f"'{w}'" for w in text.QUALITY_STOPWORDS)
