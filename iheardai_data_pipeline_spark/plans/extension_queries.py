@@ -1949,3 +1949,73 @@ def x_text_hash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.hashed_quality_scores(
         load_table(spark, sf_dir, "documents"), keep_threshold=0.0
     )
+
+
+# --- Count-Min sketch heavy hitters ------------------------------------------------
+
+_CMS_HASH = (
+    "(('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || "
+    "CAST({key} AS VARCHAR)), 1, 8))::BIGINT % 64)"
+)
+
+_CMS_ORACLE = f"""
+WITH keys AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT e.user_id, d.d AS depth,
+         {_CMS_HASH.format(key="e.user_id")} AS cell
+  FROM events e, unnest(generate_series(0, 3)) AS d(d)
+),
+sketch AS (
+  SELECT depth, cell, CAST(count(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY depth, cell
+),
+probes AS (
+  SELECT k.user_id, d.d AS depth,
+         {_CMS_HASH.format(key="k.user_id")} AS cell
+  FROM keys k, unnest(generate_series(0, 3)) AS d(d)
+),
+est AS (
+  SELECT p.user_id, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est
+  FROM probes p LEFT JOIN sketch s USING (depth, cell)
+  GROUP BY p.user_id
+)
+SELECT k.user_id, e.est, k.exact_cnt, e.est >= k.exact_cnt AS over_ok
+FROM keys k JOIN est e USING (user_id)
+ORDER BY e.est DESC, k.user_id LIMIT 20
+"""
+
+
+@register(
+    "x_sketch_heavy_hitters",
+    oracle=_CMS_ORACLE,
+    tags=("extension", "aggregate", "sketch"),
+    doc="Count-Min heavy hitters: per-user frequency estimated from a "
+    "4x64-cell relational CMS (bounded d*w state, map-side mergeable "
+    "cells — the streaming-frequency pattern at any input size), "
+    "compared against the exact counts with the est>=exact overcount "
+    "guarantee as an output column. md5-portable cells make every "
+    "counter value-oracle-checkable, not just bounds-checked "
+    "(operators/sketch.py). The deliberately tight width forces "
+    "collisions so the query demonstrates real overestimates.",
+)
+def x_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.sketch import cms_build, cms_estimate
+
+    events = load_table(spark, sf_dir, "events")
+    sketch = cms_build(events, "user_id", depth=4, width=64)
+    est = cms_estimate(sketch, events.select("user_id"), "user_id", depth=4, width=64)
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            "est",
+            "exact_cnt",
+            (F.col("est") >= F.col("exact_cnt")).alias("over_ok"),
+        )
+        .orderBy(F.desc("est"), F.asc("user_id"))
+        .limit(20)
+    )

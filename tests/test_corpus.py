@@ -195,3 +195,38 @@ class TestHashedQuality:
         assert out[2]["score_milli_sum"] == 3 * wm("alpha")
         assert out[2]["n_tokens"] == 3
         assert out[2]["keep"] == (out[2]["score"] >= 0.0)
+
+
+class TestCountMinSketch:
+    def test_estimates_never_undercount_and_exact_when_wide(self, spark):
+        from iheardai_data_pipeline_spark.operators.sketch import cms_build, cms_estimate
+
+        df = spark.createDataFrame(
+            [(k,) for k in ["a"] * 5 + ["b"] * 3 + ["c"] * 1], "k string"
+        )
+        # tight width: collisions possible, but est >= exact always
+        sk = cms_build(df, "k", depth=4, width=2)
+        est = {r["k"]: r["est"] for r in cms_estimate(sk, df, "k", 4, 2).collect()}
+        assert est["a"] >= 5 and est["b"] >= 3 and est["c"] >= 1
+        # wide sketch: no collisions across 3 keys -> exact
+        sk = cms_build(df, "k", depth=4, width=4096)
+        est = {r["k"]: r["est"] for r in cms_estimate(sk, df, "k", 4, 4096).collect()}
+        assert est == {"a": 5, "b": 3, "c": 1}
+
+    def test_unseen_key_estimates_depend_only_on_collisions(self, spark):
+        from iheardai_data_pipeline_spark.operators.sketch import cms_build, cms_estimate
+
+        df = spark.createDataFrame([("a",), ("a",)], "k string")
+        sk = cms_build(df, "k", depth=4, width=4096)
+        probe = spark.createDataFrame([("zzz",)], "k string")
+        est = cms_estimate(sk, probe, "k", 4, 4096).collect()[0]["est"]
+        assert est == 0  # wide sketch: unseen key hits empty cells
+
+    def test_sketch_state_is_bounded(self, spark):
+        from pyspark.sql import functions as F
+
+        from iheardai_data_pipeline_spark.operators.sketch import cms_build
+
+        df = spark.range(5000).select((F.col("id") % 97).alias("k"))
+        sk = cms_build(df, "k", depth=4, width=32)
+        assert sk.count() <= 4 * 32  # d*w cap regardless of input rows
