@@ -1,0 +1,96 @@
+"""Data-layout operators: Z-order (Morton) clustering for
+multi-dimensional file pruning.
+
+At 100 TB the scan is won or lost before the first task runs: parquet
+footer min/max stats prune files/row-groups ONLY along dimensions the
+writer clustered on. A linear sort clusters one dimension perfectly and
+leaves every other dimension's per-file range spanning the whole
+domain; interleaving the bits of several dimensions (the Morton curve)
+keeps EVERY interleaved dimension's per-file range ~n^(1/d) of its
+domain, so single-dimension predicates on any of them prune — the
+Delta/Iceberg OPTIMIZE ZORDER technique, implemented here with plain
+DataFrame expressions and repartitionByRange.
+
+The z-key is exact integer bit-mixing (shifts/ands folded over a
+sequence — engine-portable, value-oracle-checkable); range scaling is
+min/max per column from one bounded agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def interleave_bits(cols: list[Column], bits: int = 12) -> Column:
+    """Morton key: bit i of column j lands at position i*len(cols)+j.
+
+    Inputs MUST already be non-negative ints < 2**bits (see
+    :func:`zorder_key` for the scaling wrapper). Pure integer
+    shift/mask arithmetic folded over a sequence — identical in any
+    ANSI engine, no floats anywhere. Supports up to 64//bits columns.
+    """
+    d = len(cols)
+    if d * bits > 63:
+        raise ValueError(f"{d} cols x {bits} bits exceeds the 63-bit budget")
+    # statically unrolled (bits*d terms): shift amounts must be literal
+    # ints for shiftleft/shiftright, and a fixed expression keeps the
+    # whole key inside whole-stage codegen
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        cl = c.cast("long")
+        for i in range(bits):
+            key = key + F.shiftleft(
+                F.shiftright(cl, i).bitwiseAND(F.lit(1)), i * d + j
+            )
+    return key
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 12
+) -> tuple[DataFrame, Column]:
+    """Scale each column to [0, 2**bits) by min/max and return
+    (df, morton_key_column).
+
+    The min/max pass is one bounded agg (2*len(cols) scalars to the
+    driver — the same class of bounded collect as a broadcast
+    threshold). Scaling uses exact integer arithmetic:
+    ((v - min) * (2**bits - 1)) div (max - min), monotone per column,
+    so z-ordering by the scaled key clusters the raw values.
+    """
+    row = df.agg(
+        *[F.min(c).cast("long").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("long").alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+        span = max(1, (mx or 0) - (mn or 0))
+        scaled.append(
+            F.expr(f"(( CAST(`{c}` AS BIGINT) - {mn} ) * {top}) div {span}")
+        )
+    return df, interleave_bits(scaled, bits)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 12,
+    n_files: int = 16,
+) -> None:
+    """Write parquet clustered on the Morton curve of ``cols``: range
+    partition by z-key (equal-size files along the curve) and sort
+    within each file, so footer min/max stats are tight in EVERY
+    z-ordered dimension — single-dimension predicates on any of them
+    prune files, where a linear sort prunes only its leading column."""
+    base, zkey = zorder_key(df, cols, bits)
+    (
+        base.withColumn("__z", zkey)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -2019,3 +2019,48 @@ def x_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est"), F.asc("user_id"))
         .limit(20)
     )
+
+
+# --- Z-order layout key ------------------------------------------------------------
+
+def _zorder_oracle(bits: int = 12) -> str:
+    # unrolled Morton sum, mirroring operators/layout.py:interleave_bits
+    terms = " + ".join(
+        f"(((a >> {i}) & 1) << {2 * i}) + (((b >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    top = (1 << bits) - 1
+    return f"""
+WITH mm AS (
+  SELECT CAST(min(user_id) AS BIGINT) AS mn_u, CAST(max(user_id) AS BIGINT) AS mx_u,
+         CAST(min(event_id) AS BIGINT) AS mn_e, CAST(max(event_id) AS BIGINT) AS mx_e
+  FROM events
+),
+s AS (
+  SELECT event_id,
+         ((CAST(user_id AS BIGINT) - mn_u) * {top}) // greatest(1, mx_u - mn_u) AS a,
+         ((CAST(event_id AS BIGINT) - mn_e) * {top}) // greatest(1, mx_e - mn_e) AS b
+  FROM events, mm
+)
+SELECT event_id, CAST({terms} AS BIGINT) AS zkey FROM s
+"""
+
+
+@register(
+    "x_layout_zorder_key",
+    oracle=_zorder_oracle(),
+    tags=("extension", "layout"),
+    doc="Z-order (Morton) clustering key over (user_id, event_id): "
+    "min/max-scaled to 12 bits per dimension, bit-interleaved with "
+    "pure integer shifts — the Delta/Iceberg OPTIMIZE ZORDER layout "
+    "primitive as a plain codegen expression. write_zordered range-"
+    "partitions on this key so footer stats prune EVERY interleaved "
+    "dimension (pruning property pinned from real parquet metadata in "
+    "tests/test_layout.py; operators/layout.py).",
+)
+def x_layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.layout import zorder_key
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    base, zkey = zorder_key(events, ["user_id", "event_id"], bits=12)
+    return base.select("event_id", zkey.alias("zkey"))
