@@ -2064,3 +2064,83 @@ def x_layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
     base, zkey = zorder_key(events, ["user_id", "event_id"], bits=12)
     return base.select("event_id", zkey.alias("zkey"))
+
+
+# --- rolling-window anomaly detection ----------------------------------------------
+
+# z-score anomaly flag WITHOUT floats: |x - mean| > 2*stddev over the
+# trailing window, cross-multiplied into pure BIGINT arithmetic
+# ((x*n - sum)^2 * (n-1) > 4 * n * (n*sumsq - sum^2)) so both engines
+# compare identical integers — stddev_samp itself is NOT portable
+# (Welford vs naive summation drifts in the last ulp). Headroom: terms
+# are ~ (daily_count * frame)^2, safe in int64 below ~6e8 events/day/type.
+_ANOMALY_ORACLE = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, day, n,
+    CAST(count(n) OVER fr AS BIGINT) AS w_n,
+    CAST(coalesce(sum(n) OVER fr, 0) AS BIGINT) AS w_sum,
+    CAST(coalesce(sum(n * n) OVER fr, 0) AS BIGINT) AS w_sumsq
+  FROM daily
+  WINDOW fr AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n, w_n,
+  (w_n >= 3 AND
+   (n * w_n - w_sum) * (n * w_n - w_sum) * (w_n - 1)
+     > 4 * w_n * (w_n * w_sumsq - w_sum * w_sum)) AS is_anomaly,
+  (w_n >= 3 AND n * w_n > w_sum) AS is_spike
+FROM w
+"""
+
+
+@register(
+    "x_anomaly_daily",
+    oracle=_ANOMALY_ORACLE,
+    tags=("extension", "aggregate", "monitoring"),
+    doc="Rolling-window anomaly flags: per event type, each day's count "
+    "vs the trailing-7-day mean +/- 2 stddev — the volume-anomaly "
+    "monitor the reference's error-rate guard (F5) gestures at, over a "
+    "bounded ROWS frame. The z-test is cross-multiplied into pure "
+    "BIGINT comparisons (stddev_samp floats are not engine-portable), "
+    "so the flag is bit-exact in any engine. One shuffle (daily "
+    "rollup); the frame shares its partitioning.",
+)
+def x_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    fr = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    )
+    w = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.count("n").over(fr).alias("w_n"),
+        F.coalesce(F.sum("n").over(fr), F.lit(0)).alias("w_sum"),
+        F.coalesce(F.sum(F.col("n") * F.col("n")).over(fr), F.lit(0)).alias("w_sumsq"),
+    )
+    dev = F.col("n") * F.col("w_n") - F.col("w_sum")
+    var4 = 4 * F.col("w_n") * (
+        F.col("w_n") * F.col("w_sumsq") - F.col("w_sum") * F.col("w_sum")
+    )
+    return w.select(
+        "event_type",
+        "day",
+        "n",
+        "w_n",
+        ((F.col("w_n") >= 3) & (dev * dev * (F.col("w_n") - 1) > var4)).alias(
+            "is_anomaly"
+        ),
+        ((F.col("w_n") >= 3) & (F.col("n") * F.col("w_n") > F.col("w_sum"))).alias(
+            "is_spike"
+        ),
+    )
