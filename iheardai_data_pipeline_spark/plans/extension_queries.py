@@ -2144,3 +2144,51 @@ def x_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_spike"
         ),
     )
+
+
+# --- leakage-safe train/val/test split ---------------------------------------------
+
+# Same recursive-closure CTEs as the components oracle; only the final
+# projection differs (md5 bucket of the GROUP id -> split).
+_SPLIT_TAIL = """
+SELECT d.doc_id,
+       coalesce(comp.component, d.doc_id) AS component,
+       CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT d.doc_id,
+         ('0x' || substr(md5(CAST(coalesce(comp.component, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT % 100 AS bkt
+  FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+) b
+JOIN documents d USING (doc_id)
+LEFT JOIN comp ON d.doc_id = comp.node
+"""
+
+_SPLIT_ORACLE = _COMPONENTS_ORACLE.rsplit("SELECT d.doc_id", 1)[0] + _SPLIT_TAIL.strip()
+
+
+@register(
+    "x_split_leakage_safe",
+    oracle=_SPLIT_ORACLE,
+    tags=("extension", "dedup", "curation"),
+    doc="Leakage-safe train/val/test split (80/10/10): the split key is "
+    "the md5 of the doc's duplicate-GROUP id (transitive closure of the "
+    "near-dup pairs), so near-duplicates can NEVER straddle splits — "
+    "the eval-contamination guard per-doc random splits silently "
+    "violate. Deterministic md5 bucketing, engine-portable; reuses the "
+    "components shuffle.",
+)
+def x_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.graph import duplicate_groups_from_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=5, threshold=0.7, max_doc_freq=100)
+    comp = duplicate_groups_from_pairs(docs, pairs).select("doc_id", "component")
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("component").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bkt < 80, "train").when(bkt < 90, "val").otherwise("test")
+    )
+    return comp.select("doc_id", "component", split.alias("split"))

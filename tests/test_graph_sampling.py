@@ -156,3 +156,26 @@ def test_pagerank_weighted_drops_nonpositive_weights(spark):
     assert set(pr) == {1, 2}
     assert pr[2] > pr[1]
     assert all(v is not None for v in pr.values())
+
+
+def test_leakage_safe_split_keeps_groups_together(spark, sf_dir):
+    """No near-dup pair may straddle splits — the property the split
+    exists for, asserted on the real fixture corpus."""
+    from iheardai_data_pipeline_spark.plans.catalog import CATALOG, _ensure_loaded
+    from iheardai_data_pipeline_spark.operators import dedup
+
+    _ensure_loaded()
+    from iheardai_data_pipeline_spark.sources.batch import load_table
+
+    assigned = CATALOG["x_split_leakage_safe"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=5, threshold=0.7, max_doc_freq=100)
+    from pyspark.sql import functions as F
+
+    a = assigned.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = assigned.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    straddlers = pairs.join(a, "doc_a").join(b, "doc_b").filter("sa <> sb")
+    assert straddlers.count() == 0
+    # all three splits are populated on the fixture corpus
+    splits = {r["split"] for r in assigned.select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}
