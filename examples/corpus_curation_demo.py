@@ -133,6 +133,40 @@ def main() -> None:
     fired = alerts.evaluate()
     n_sampled = sum(r.n_sampled for r in funnel)
 
+    # 8. round-4 stages: span excision, semantic dedup, leakage-safe
+    #    split, and the z-ordered layout for the final corpus
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.layout import write_zordered
+
+    excised = dedup.excise_duplicate_spans(clean, span_words=10)
+    assert excised.filter(F.col("n_kept_words") > F.col("n_words")).count() == 0
+
+    sem = similarity.semantic_dedup(emb, n_centroids=8, threshold=0.4)
+    n_sem_kept = sem.filter(F.col("keep")).count()
+    assert 0 < n_sem_kept <= emb.count()
+
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("component").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = F.when(bkt < 80, "train").when(bkt < 90, "val").otherwise("test")
+    assigned = comp.select("doc_id", split.alias("split"))
+    # leakage guard: both ends of every near-dup pair share a split
+    sa = assigned.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    sb = assigned.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    assert pairs.join(sa, "doc_a").join(sb, "doc_b").filter("sa <> sb").count() == 0
+
+    with tempfile.TemporaryDirectory() as td:
+        write_zordered(
+            clean.select("doc_id", "n_tokens_ws"),
+            td + "/corpus",
+            ["doc_id", "n_tokens_ws"],
+            bits=10,
+            n_files=4,
+        )
+        assert spark.read.parquet(td + "/corpus").count() == n4
+
     print(
         f"corpus curation OK: {n0} docs -> quality {n1} -> exact-dedup {n2} "
         f"-> near-dedup {n3} -> decontaminated {n4} -> {n_shards} shards; "
