@@ -287,3 +287,37 @@ def test_canonical_url_idempotent(spark, urls):
     twice = once.select(F.col("c1"), canonical_url("c1").alias("c2"))
     for r in twice.collect():
         assert r["c2"] == r["c1"], (r["c1"], r["c2"])
+
+
+_word_st = st.sampled_from([f"w{i}" for i in range(8)])
+_doc_st = st.lists(_word_st, min_size=0, max_size=30).map(" ".join)
+
+
+@given(texts=st.lists(_doc_st, min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None)
+def test_span_detect_and_excise_are_consistent(spark, texts):
+    """For ANY corpus: detection's covered-word budget equals exactly
+    what excision cuts (n_words - n_kept_words), and the reassembled
+    text has n_kept_words words — the two operators must agree or one
+    of them lies about the excision cost."""
+    from iheardai_data_pipeline_spark.operators.dedup import (
+        duplicate_spans,
+        excise_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    k = 4
+    det = {r["doc_id"]: r for r in duplicate_spans(docs, span_words=k).collect()}
+    exc = {r["doc_id"]: r for r in excise_duplicate_spans(docs, span_words=k).collect()}
+    assert set(det) == set(exc)
+    for i in det:
+        assert det[i]["n_words"] == exc[i]["n_words"]
+        assert det[i]["dup_cover_words"] == exc[i]["n_words"] - exc[i]["n_kept_words"]
+        kept = exc[i]["kept_text"]
+        # empty-text docs normalize to one ''-token (both engines' split
+        # convention): kept_text '' then corresponds to n_kept_words==1,
+        # so the word-count check only applies to non-empty reassemblies
+        if kept:
+            assert len(kept.split(" ")) == exc[i]["n_kept_words"]
