@@ -65,10 +65,16 @@ def zorder_key(
     top = (1 << bits) - 1
     scaled = []
     for c in cols:
-        mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
-        span = max(1, (mx or 0) - (mn or 0))
+        # all-NULL columns collapse to min=max=0 (every key bit 0 for
+        # that dimension) instead of interpolating None into the SQL
+        mn = row[f"mn_{c}"] if row[f"mn_{c}"] is not None else 0
+        mx = row[f"mx_{c}"] if row[f"mx_{c}"] is not None else 0
+        span = max(1, mx - mn)
         scaled.append(
-            F.expr(f"(( CAST(`{c}` AS BIGINT) - {mn} ) * {top}) div {span}")
+            F.expr(
+                f"(( CAST(coalesce(`{c}`, {mn}) AS BIGINT) - {mn} ) * {top}) "
+                f"div {span}"
+            )
         )
     return df, interleave_bits(scaled, bits)
 

@@ -2038,8 +2038,10 @@ WITH mm AS (
 ),
 s AS (
   SELECT event_id,
-         ((CAST(user_id AS BIGINT) - mn_u) * {top}) // greatest(1, mx_u - mn_u) AS a,
-         ((CAST(event_id AS BIGINT) - mn_e) * {top}) // greatest(1, mx_e - mn_e) AS b
+         ((coalesce(CAST(user_id AS BIGINT), mn_u) - mn_u) * {top})
+           // greatest(1, mx_u - mn_u) AS a,
+         ((coalesce(CAST(event_id AS BIGINT), mn_e) - mn_e) * {top})
+           // greatest(1, mx_e - mn_e) AS b
   FROM events, mm
 )
 SELECT event_id, CAST({terms} AS BIGINT) AS zkey FROM s

@@ -82,3 +82,19 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     z_hit, lin_hit = candidates(zpath), candidates(lpath)
     assert lin_hit >= 15          # linear-by-a: b stats span everything
     assert z_hit <= lin_hit // 2  # z-order: most files statically pruned
+
+
+def test_zorder_key_handles_null_and_constant_columns(spark):
+    from iheardai_data_pipeline_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, None)], "a long, b long"
+    )
+    base, zkey = zorder_key(df, ["a", "b"], bits=4)
+    vals = [r["z"] for r in base.select(zkey.alias("z")).collect()]
+    assert all(v is not None for v in vals)  # no NULL keys, no SQL 'None'
+    # constant column: span clamps to 1, keys still ordered by `a`
+    df = spark.createDataFrame([(1, 5), (2, 5), (3, 5)], "a long, b long")
+    base, zkey = zorder_key(df, ["a", "b"], bits=4)
+    got = [r["z"] for r in base.select(zkey.alias("z")).orderBy("a").collect()]
+    assert got == sorted(got)
