@@ -178,7 +178,9 @@ def test_zorder_key_is_single_projection(spark, sf_dir):
     )
     plan = _formatted(df)
     assert ") Exchange" not in plan
-    assert "WholeStageCodegen" in plan
+    # '*' prefixes codegen'd nodes in formatted output: the key must be
+    # a whole-stage-codegen Project, not an interpreted fallback
+    assert "* Project" in plan
 
 
 def test_cms_build_partial_aggregates(spark, sf_dir):
