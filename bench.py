@@ -37,15 +37,22 @@ def main() -> None:
     # 100 TB job), run 2 measures the query itself; min-of-N also damps
     # noisy-neighbor variance on a shared box. Build time (DataFrame
     # construction) is inside the timed region both times.
+    # Queries still >2s after two runs get a THIRD run: on a shared box
+    # those are exactly the timings where noisy-neighbor variance is
+    # larger than round-over-round deltas (r4 saw 4.50s driver vs 2.81s
+    # local on an identical script), so the slow tail gets one more
+    # sample to damp it.
     timings: dict[str, float] = {}
     jvm_gc = spark.sparkContext._jvm.System.gc
     for name, spec in sorted(CATALOG.items()):
         best = float("inf")
-        for _ in range(2):
+        runs = 0
+        while runs < 2 or (runs < 3 and best > 2.0):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            runs += 1
             # queries are independent; don't let one query's cached
             # intermediates or garbage raise pressure on the next (heap
             # debt from 40 earlier queries showed up as 2-3x slowdowns
@@ -64,7 +71,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "mode": "min_of_2_runs",
+                "mode": "min_of_2_runs_plus_third_if_over_2s",
             }
         )
     )

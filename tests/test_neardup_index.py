@@ -1,0 +1,90 @@
+"""Persistent MinHash band index: batch-split ingest must reproduce the
+one-shot recompute gate exactly, probes must be bucket-pruned, and the
+index must survive (and stay consistent across) process-style reopens."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iheardai_data_pipeline_spark.operators.dedup import incremental_minhash_dedup
+from iheardai_data_pipeline_spark.operators.neardup_index import MinHashBandIndex
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = " ".join(f"w{i}" for i in range(30))
+UNIQ = " ".join(f"u{i}" for i in range(30))
+OTHER = " ".join(f"v{i}" for i in range(30))
+
+
+def test_indexed_ingest_matches_one_shot_recompute(spark, tmp_path):
+    corpus = _docs(spark, [(100, BASE), (101, OTHER)])
+    incoming_rows = [
+        (1, BASE + " extra"),          # near-dup of corpus -> dropped
+        (2, UNIQ),                     # unique -> kept
+        (3, UNIQ + " tail"),           # near-dup of 2 (lower id, kept) -> dropped
+        (4, "short"),                  # no shingles -> kept, not indexed
+        (5, OTHER + " more"),          # near-dup of corpus -> dropped
+        (6, UNIQ + " tail2"),          # near-dup of 2 AND of rejected 3 -> dropped
+        (7, BASE.replace("w0", "q0") + " zz"),  # near BASE; exact-Jaccard decides
+    ]
+    incoming = _docs(spark, incoming_rows)
+    want = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup(incoming, corpus, threshold=0.7).collect()
+    }
+
+    idx = MinHashBandIndex(spark, str(tmp_path / "idx"), threshold=0.7)
+    idx.append(corpus)
+    got: set[int] = set()
+    # id-ordered batches of 2: the arrival-order gate must equal one-shot
+    for lo in range(1, 8, 2):
+        batch = incoming.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 2)
+        )
+        got |= {r["doc_id"] for r in idx.ingest(batch).collect()}
+    assert got == want
+
+    # rejected docs are probe-able: 6 was dropped, but a later near-dup
+    # of 6 must still drop (near-dup chains are not transitive)
+    later = _docs(spark, [(8, UNIQ + " tail2 x")])
+    assert idx.ingest(later).count() == 0
+
+
+def test_indexed_ingest_survives_reopen(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    idx = MinHashBandIndex(spark, path)
+    idx.append(_docs(spark, [(100, BASE)]))
+    # a different handle (fresh open, same path) sees the same corpus
+    idx2 = MinHashBandIndex(spark, path)
+    kept = idx2.ingest(_docs(spark, [(1, BASE + " extra"), (2, UNIQ)]))
+    assert {r["doc_id"] for r in kept.collect()} == {2}
+    # parameter mismatch is an error, not silent candidate loss
+    with pytest.raises(ValueError, match="one banding"):
+        MinHashBandIndex(spark, path, bands=8)
+
+
+def test_probe_is_bucket_pruned(spark, tmp_path):
+    """The probe must NOT read the whole band store: with enough buckets
+    a tiny batch touches a strict subset of the stored bucket dirs."""
+    path = str(tmp_path / "idx")
+    idx = MinHashBandIndex(spark, path, n_buckets=64)
+    corpus = _docs(
+        spark,
+        [(i, " ".join(f"c{i}_{j}" for j in range(30))) for i in range(40)],
+    )
+    idx.append(corpus)
+    store = idx._band_store
+    manifest = store._manifest(store.current_version())
+    assert manifest and len(manifest) > 16  # corpus spreads over many buckets
+
+    probe = idx._band_rows(idx._profiles(_docs(spark, [(1000, UNIQ)])))
+    pruned = store.read_keys(probe.select("bkey"))
+    # 16 band keys -> at most 16 of the stored buckets are readable
+    touched = {p.split("__bucket=")[1].split("/")[0] for p in pruned.inputFiles()} if pruned is not None else set()
+    assert len(touched) <= 16 < len(manifest)
