@@ -186,6 +186,7 @@ def incremental_minhash_dedup(
     bands: int = 16,
     threshold: float = 0.7,
     verify: str = "array",
+    max_candidates_per_doc: int | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup gate: keep only incoming docs with no
     MinHash-LSH near-dup (exact-Jaccard verified, >= ``threshold``) in
@@ -205,9 +206,20 @@ def incremental_minhash_dedup(
     the exact gate; a production variant can re-key on the kept set).
 
     At scale the corpus side would be a PRE-COMPUTED signature/band
-    index (the banding of an unchanged corpus is identical run to run —
-    persist ``banded`` once and union only the new batch's bands); this
-    composition recomputes it because the rig's corpora are small.
+    index — that production variant exists as
+    :class:`~iheardai_data_pipeline_spark.operators.neardup_index.MinHashBandIndex`;
+    this composition recomputes the banding because the rig's corpora
+    are small. Only pairs that can actually drop a doc are
+    exact-verified (corpus-corpus candidates are discarded pre-verify).
+
+    ``max_candidates_per_doc``: optional cap on verified candidates per
+    drop target, ranked by band-collision count — the lever for
+    pathological duplicate density, where candidate volume is quadratic
+    in duplicate multiplicity but the gate needs only ONE disqualifying
+    pair per doc. APPROXIMATE (a doc whose sole true match ranks below
+    the cap is wrongly kept), hence default off; with the 16x4 banding
+    a cap of 8 reproduced the exact survivor set on the 10x
+    dense-duplication stress corpus (see docs/SCALE.md).
 
     Returns the surviving incoming rows (all original columns).
     """
@@ -232,25 +244,51 @@ def incremental_minhash_dedup(
         return side.select(guarded.alias(id_col), text_col)
 
     u = _ns(corpus, 0).unionByName(_ns(incoming, 1))
-    pairs = minhash_lsh_pairs(
-        u, id_col, text_col, n=n, k=k, bands=bands, threshold=threshold, verify=verify
-    )
+    profile = _lsh_profile(u, id_col, text_col, n, k)
+    cand = _lsh_band_candidates(profile, id_col, k, bands)
     a, b = F.col("doc_a"), F.col("doc_b")
     # sign-safe parity: Spark's % follows the dividend sign (-5 % 2 ==
     # -1), so `x % 2 == 1` is false for odd NEGATIVE ids — pmod returns
     # 1 for every odd value regardless of sign
     odd_a, odd_b = F.pmod(a, F.lit(2)) == 1, F.pmod(b, F.lit(2)) == 1
-    dropped = (
-        pairs.where(odd_a | odd_b)
-        .select(
-            # intra-batch: later id drops; pairs are emitted a<b so b
-            # is the later one. incoming-vs-corpus: the odd (incoming)
-            # side drops whichever position it sits in.
-            F.when(odd_a & odd_b, b)
-            .when(odd_a, a)
-            .otherwise(b)
-            .alias("__nid")
+    # Only pairs that can DROP something get verified: the drop target
+    # is b when b is incoming (a is then a corpus doc or a lower-id
+    # peer), else a when a is incoming and b is corpus. Corpus-corpus
+    # pairs decide nothing, so they are filtered BEFORE the dominant
+    # exact-Jaccard step, not after it (the recompute path used to
+    # verify them and throw the result away).
+    targeted = cand.select(
+        F.when(odd_b, b).when(odd_a, a).alias("__tgt"),
+        F.when(odd_b, a).otherwise(b).alias("__oth"),
+        "n_bands_hit",
+    ).where(F.col("__tgt").isNotNull())
+    if max_candidates_per_doc is not None:
+        # the gate only needs ONE disqualifying pair per doc, so under
+        # pathological duplicate density (every doc near-dups dozens of
+        # others) verifying every candidate is quadratic waste: keep the
+        # top-N per target by band-collision count (more colliding
+        # bands ~ higher estimated Jaccard), deterministic tie-break on
+        # the partner id. APPROXIMATE when a doc's only true match
+        # ranks below the cap among false candidates — off by default.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__tgt").orderBy(
+            F.desc("n_bands_hit"), F.asc("__oth")
         )
+        targeted = targeted.withColumn("__rn", F.row_number().over(w)).where(
+            F.col("__rn") <= max_candidates_per_doc
+        )
+    pairs = _verify_candidate_pairs(
+        profile,
+        targeted.select(
+            F.col("__tgt").alias("doc_a"), F.col("__oth").alias("doc_b")
+        ),
+        id_col,
+        threshold,
+        verify,
+    )
+    dropped = (
+        pairs.select(F.col("doc_a").alias("__nid"))
         .distinct()
         # integer div, not float: float division would lose precision
         # for ids beyond 2^53 (hash-derived ids at corpus scale)
@@ -299,58 +337,13 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 5,
-    k: int = 64,
-    bands: int = 16,
-    threshold: float = 0.7,
-    verify: str = "array",
+def _lsh_profile(
+    docs: DataFrame, id_col: str, text_col: str, n: int, k: int
 ) -> DataFrame:
-    """MinHash-LSH near-dup pairs, exact-Jaccard verified.
-
-    Pipeline: shingle -> k minhashes -> band into ``bands`` groups of
-    k/bands rows -> candidates collide on (band, band_signature) ->
-    verify candidates with exact Jaccard >= threshold.
-
-    ``verify`` picks the exact-Jaccard strategy (identical results):
-    - "array": attach both docs' hashed shingle sets to each candidate
-      pair and array_intersect row-locally. Fastest for ordinary
-      documents (one narrow join, no shingle-level shuffle), but holds
-      two whole shingle sets in one row — memory scales with doc length.
-    - "streaming": count shared shingles with a per-shingle equi-join +
-      streaming aggregate; no row ever holds a whole set, so memory is
-      bounded regardless of document size (book-length texts). Costs one
-      extra shuffle keyed on (doc, shingle-hash), restricted to
-      candidate docs only. It is ALSO the faster mode when candidate
-      density is high — "array" shuffles both full shingle sets per
-      pair, so its shuffle volume is pairs x set-size (measured: array
-      1.0s vs streaming 2.4s on the ordinary sf0.1 corpus, but 25s vs
-      10s on a 10x-duplication stress corpus with 250k true pairs).
-      Rule of thumb: expect >= ~10 true near-dups per doc, pick
-      streaming. Zero-overlap candidates drop out of the
-      inner join, so results equal "array" mode for any threshold > 0.
-
-    With r = k/bands rows per band the collision probability at
-    similarity s is 1-(1-s^r)^bands (~0.9998 at s=0.7 with 16x4), so
-    at the verify threshold the result matches the exact all-pairs
-    answer with overwhelming probability while never comparing
-    non-colliding documents.
-    """
-    r = k // bands
-    # profile (hashed shingle set + signature) is a NARROW projection of
-    # the doc scan — shingle sets are row-local (shingle_array, hashed to
-    # longs immediately, behind an eval_once barrier so the k-reference
-    # signature expression reads the materialized array instead of
-    # re-shingling per reference), so nothing shuffles until banded
-    # candidates meet; cached because banding and both verification
-    # sides reuse it. Longs (not shingle strings) keep the cached
-    # profile ~5x smaller and make the Jaccard intersect fixed-width
-    # (same counts as string sets up to 64-bit collisions, ~1e-9 —
-    # the same accepted trade as the n-gram pipeline above).
-    profile = (
+    """(id, sh_set, sig) — the cached narrow projection every LSH
+    consumer shares: shingle sets row-local, hashed to longs once,
+    signature derived in-line (see minhash_lsh_pairs for why)."""
+    return (
         eval_once(
             ensure_parallelism(docs),
             sh_set=F.transform(
@@ -362,6 +355,16 @@ def minhash_lsh_pairs(
         .withColumn("sig", _minhash_from_set(F.col("sh_set"), k))
         .cache()
     )
+
+
+def _lsh_band_candidates(
+    profile: DataFrame, id_col: str, k: int, bands: int
+) -> DataFrame:
+    """Banded candidate pairs (doc_a < doc_b) with ``n_bands_hit`` (how
+    many of the ``bands`` band-signatures collided — a free byproduct of
+    the dedup aggregation, and a ranking signal for capped gates: more
+    colliding bands ~ higher estimated similarity)."""
+    r = k // bands
     # band key = xxhash64 of the r-slice of the signature array (any
     # injective-enough combiner works: candidates collide iff their r
     # minhash values agree)
@@ -377,12 +380,24 @@ def minhash_lsh_pairs(
     )
     left = banded.select(F.col(id_col).alias("doc_a"), "band", "sig")
     right = banded.select(F.col(id_col).alias("doc_b"), "band", "sig")
-    candidates = (
+    return (
         left.join(right, ["band", "sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands_hit"))
     )
+
+
+def _verify_candidate_pairs(
+    profile: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    threshold: float,
+    verify: str,
+) -> DataFrame:
+    """Exact-Jaccard verification of (doc_a, doc_b) candidate pairs —
+    the two strategies documented on :func:`minhash_lsh_pairs`."""
+    candidates = candidates.select("doc_a", "doc_b")
     if verify == "array":
         # exact-Jaccard verification of candidates only: attach each side's
         # collected shingle set and intersect per pair — candidate count is
@@ -451,6 +466,61 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    verify: str = "array",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified.
+
+    Pipeline: shingle -> k minhashes -> band into ``bands`` groups of
+    k/bands rows -> candidates collide on (band, band_signature) ->
+    verify candidates with exact Jaccard >= threshold.
+
+    ``verify`` picks the exact-Jaccard strategy (identical results):
+    - "array": attach both docs' hashed shingle sets to each candidate
+      pair and array_intersect row-locally. Fastest for ordinary
+      documents (one narrow join, no shingle-level shuffle), but holds
+      two whole shingle sets in one row — memory scales with doc length.
+    - "streaming": count shared shingles with a per-shingle equi-join +
+      streaming aggregate; no row ever holds a whole set, so memory is
+      bounded regardless of document size (book-length texts). Costs one
+      extra shuffle keyed on (doc, shingle-hash), restricted to
+      candidate docs only. It is ALSO the faster mode when candidate
+      density is high — "array" shuffles both full shingle sets per
+      pair, so its shuffle volume is pairs x set-size (measured: array
+      1.0s vs streaming 2.4s on the ordinary sf0.1 corpus, but 25s vs
+      10s on a 10x-duplication stress corpus with 250k true pairs).
+      Rule of thumb: expect >= ~10 true near-dups per doc, pick
+      streaming. Zero-overlap candidates drop out of the
+      inner join, so results equal "array" mode for any threshold > 0.
+
+    With r = k/bands rows per band the collision probability at
+    similarity s is 1-(1-s^r)^bands (~0.9998 at s=0.7 with 16x4), so
+    at the verify threshold the result matches the exact all-pairs
+    answer with overwhelming probability while never comparing
+    non-colliding documents.
+    """
+    # profile (hashed shingle set + signature) is a NARROW projection of
+    # the doc scan — shingle sets are row-local (shingle_array, hashed to
+    # longs immediately, behind an eval_once barrier so the k-reference
+    # signature expression reads the materialized array instead of
+    # re-shingling per reference), so nothing shuffles until banded
+    # candidates meet; cached because banding and both verification
+    # sides reuse it. Longs (not shingle strings) keep the cached
+    # profile ~5x smaller and make the Jaccard intersect fixed-width
+    # (same counts as string sets up to 64-bit collisions, ~1e-9 —
+    # the same accepted trade as the n-gram pipeline above).
+    profile = _lsh_profile(docs, id_col, text_col, n, k)
+    candidates = _lsh_band_candidates(profile, id_col, k, bands)
+    return _verify_candidate_pairs(profile, candidates, id_col, threshold, verify)
 
 
 def _word_hash64_md5(w):
@@ -752,8 +822,10 @@ def excise_duplicate_spans(
     Same scale shape as detection (md5 span keys, duplicated-fraction
     explode) plus one per-doc covered-position set: collected as an
     array (bounded by the doc's own word count — row-local memory) and
-    applied with an index-aware ``transform`` filter, so reassembly
-    never shuffles the corpus text a second time.
+    applied as a hash-based set difference + positional gather
+    (``array_except`` then ``element_at`` — linear in words + covered
+    positions), so reassembly never shuffles the corpus text a second
+    time and long heavily-duplicated docs stay O(n), not O(n^2).
 
     Output: one row per doc — n_words, n_kept_words, kept_text.
     """
@@ -788,21 +860,25 @@ def excise_duplicate_spans(
         .agg(F.collect_set("wpos").alias("__cov"))
     )
     cov = F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.transform(
-            F.col("__ws"),
-            lambda w, i: F.struct(
-                w.alias("w"), F.array_contains(cov, i.cast("int")).alias("c")
-            ),
-        ),
-        lambda s: ~s["c"],
+    # surviving positions in O(n_words + n_covered): array_except is a
+    # hash-based set difference that preserves the first array's order,
+    # so kept positions come back ascending and a positional gather
+    # rebuilds the text — NOT an array_contains probe per word, which
+    # was O(n_words x n_covered) row-locally and quadratic on long,
+    # heavily-duplicated documents
+    all_pos = F.when(
+        F.size("__ws") > 0, F.sequence(F.lit(0), F.size("__ws") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.transform(
+        F.array_except(all_pos, cov),
+        lambda p: F.element_at(F.col("__ws"), p + 1),
     )
     joined = eval_once(base.join(cov_arr, id_col, "left"), __kept=kept)
     return joined.select(
         id_col,
         F.size("__ws").cast("long").alias("n_words"),
         F.size("__kept").cast("long").alias("n_kept_words"),
-        F.array_join(F.transform("__kept", lambda s: s["w"]), " ").alias("kept_text"),
+        F.array_join("__kept", " ").alias("kept_text"),
     )
 
 

@@ -128,15 +128,47 @@ def embedding_dup_pairs(
     )
 
 
+def resolve_n_centroids(embeddings: DataFrame, n_centroids: int | None) -> int:
+    """``None`` -> the sqrt(N) rule of thumb (clamped to [16, 65536]):
+    balanced IVF lists hold ~sqrt(N) vectors each, so probe work and
+    list count grow together as the corpus grows — the standard sizing
+    for IVF indexes. Costs one count() when invoked."""
+    if n_centroids is not None:
+        return n_centroids
+    import math
+
+    n = embeddings.count()
+    return max(16, min(65536, int(math.isqrt(max(n, 1)))))
+
+
 def _collect_centroids(
-    embeddings: DataFrame, n_centroids: int, id_col: str, vec_col: str
+    embeddings: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    seed_mode: str = "first",
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic seed centroids: first n_centroids vectors by id.
-    Bounded collect (n_centroids rows) — the index-build analog of
-    collecting a broadcast side."""
-    rows = (
-        embeddings.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
-    )
+    """Deterministic seed centroids; bounded collect (n_centroids rows)
+    — the index-build analog of collecting a broadcast side.
+
+    ``seed_mode``:
+    - "first": the first n_centroids vectors by id — the original
+      rig-scale contract (the SQL oracles replicate it bit-for-bit).
+    - "hash": the n_centroids smallest xxhash64(id) — a deterministic
+      uniform sample across the whole corpus, the scalable-seeding
+      choice (first-by-id seeds degenerate when ids correlate with
+      content, e.g. crawl order); the TakeOrdered is still bounded.
+    Either way centroid ids are assigned in ascending source-id order.
+    """
+    if seed_mode == "hash":
+        picked = embeddings.orderBy(
+            F.xxhash64(F.col(id_col)), F.col(id_col)
+        )
+    elif seed_mode == "first":
+        picked = embeddings.orderBy(id_col)
+    else:
+        raise ValueError(f"unknown seed_mode {seed_mode!r}")
+    rows = picked.limit(n_centroids).select(id_col, vec_col).collect()
     rows.sort(key=lambda r: r[0])
     return [(r[0], [float(x) for x in r[1]]) for r in rows]
 
@@ -165,11 +197,18 @@ def _argmax_centroid_expr(cent_vecs: list[list[float]], vec_col: str) -> Column:
     invn = "array(" + ",".join(
         f"{1.0 / math.sqrt(sum(x * x for x in c))!r}D" for c in cent_vecs
     ) + ")"
+    return _argmax_fold_expr(vec_col, cents, invn, n)
+
+
+def _argmax_fold_expr(vec_col: str, cents_ref: str, invn_ref: str, n: int) -> Column:
+    """The argmax-cosine fold itself, over ANY SQL reference to a
+    k x dim centroid matrix (a literal array for small k, a broadcast
+    column for large k — see _with_centroid_id)."""
     scores = f"""
         transform(sequence(0, {n - 1}), i ->
-          aggregate(zip_with(`{vec_col}`, element_at({cents}, i + 1),
+          aggregate(zip_with(`{vec_col}`, element_at({cents_ref}, i + 1),
                              (a, b) -> CAST(a AS DOUBLE) * b),
-                    0.0D, (p, v) -> p + v) * element_at({invn}, i + 1))
+                    0.0D, (p, v) -> p + v) * element_at({invn_ref}, i + 1))
     """
     return F.expr(
         f"""
@@ -184,6 +223,42 @@ def _argmax_centroid_expr(cent_vecs: list[list[float]], vec_col: str) -> Column:
           -1)
         """
     )
+
+
+# above this many centroids the literal-matrix expression stops being a
+# codegen win: the SQL text embeds k x dim double literals (64 centroids
+# x 64 dims ~ 80 KB of expression), and analysis/codegen cost grows with
+# it — ship the matrix as data instead
+_LITERAL_ARGMAX_MAX_CENTROIDS = 64
+
+
+def _with_centroid_id(
+    df: DataFrame, cent_vecs: list[list[float]], vec_col: str, out_col: str
+) -> DataFrame:
+    """``df`` + ``out_col`` = argmax-cosine centroid id, still a NARROW
+    map whatever k is. Small k inlines the centroid matrix as a literal
+    expression (whole-stage-codegen friendly); large k broadcasts a
+    ONE-ROW matrix relation and the same fold reads it as a column, so
+    expression size is constant in k and the matrix ships once per
+    executor, not once per task in the plan text. Behind an eval_once
+    barrier either way: downstream re-references must not re-run the
+    k x dim fold."""
+    import math
+
+    if len(cent_vecs) <= _LITERAL_ARGMAX_MAX_CENTROIDS:
+        return eval_once(
+            df, **{out_col: _argmax_centroid_expr(cent_vecs, vec_col)}
+        )
+    spark = df.sparkSession
+    invn = [1.0 / math.sqrt(sum(x * x for x in c)) for c in cent_vecs]
+    matrix = spark.createDataFrame(
+        [([list(map(float, c)) for c in cent_vecs], invn)],
+        "__cents array<array<double>>, __invn array<double>",
+    )
+    return eval_once(
+        df.crossJoin(F.broadcast(matrix)),
+        **{out_col: _argmax_fold_expr(vec_col, "__cents", "__invn", len(cent_vecs))},
+    ).drop("__cents", "__invn")
 
 
 def _refine_centroids(
@@ -203,13 +278,12 @@ def _refine_centroids(
     no vectors keep their previous position.
     """
     for _ in range(iters):
-        # the argmax must land behind the eval_once generator barrier:
-        # projected next to posexplode it would re-evaluate its 16x64
-        # fold once per EXPLODED row (x dim slowdown — measured 7.5s/iter
-        # vs 0.5s at sf0.1)
-        base = eval_once(
-            embeddings.select(vec_col),
-            __cid=_argmax_centroid_expr(cent_vecs, vec_col),
+        # the argmax must land behind the eval_once generator barrier
+        # (inside _with_centroid_id): projected next to posexplode it
+        # would re-evaluate its k x dim fold once per EXPLODED row
+        # (x dim slowdown — measured 7.5s/iter vs 0.5s at sf0.1)
+        base = _with_centroid_id(
+            embeddings.select(vec_col), cent_vecs, vec_col, "__cid"
         )
         assigned = base.select(
             F.col("__cid").alias("centroid_id"),
@@ -238,23 +312,30 @@ def _refine_centroids(
 
 def ivf_assign(
     embeddings: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iters: int = 0,
+    seed_mode: str = "first",
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF index build: centroids = the first n_centroids vectors by id
-    (deterministic seed set), every vector assigned to its max-cosine
-    centroid. Returns (centroids, assigned).
+    """IVF index build: deterministic seed centroids (``seed_mode``:
+    "first" n by id, or "hash" — a uniform xxhash64 sample, the
+    scalable choice; see _collect_centroids), every vector assigned to
+    its max-cosine centroid. Returns (centroids, assigned).
+    ``n_centroids=None`` applies the sqrt(N) sizing rule
+    (resolve_n_centroids).
 
-    Assignment is a NARROW map (see _argmax_centroid_expr) — the naive
+    Assignment is a NARROW map (see _with_centroid_id) — the naive
     crossJoin + per-id window would shuffle the whole corpus on vec_id;
-    this never shuffles at all. ``refine_iters`` Lloyd iterations
+    this never shuffles at all, and beyond 64 centroids the matrix
+    ships as a broadcast column instead of literal SQL so expression
+    size stays constant in k. ``refine_iters`` Lloyd iterations
     (deterministic, decimal-summed means — see _refine_centroids)
     tighten the seed partition; each iteration costs one k*dim-bounded
     aggregate, never a corpus-sized collect.
     """
-    cent = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
+    n_centroids = resolve_n_centroids(embeddings, n_centroids)
+    cent = _collect_centroids(embeddings, n_centroids, id_col, vec_col, seed_mode)
     if refine_iters > 0:
         refined = _refine_centroids(
             embeddings, [v for _, v in cent], vec_col, refine_iters
@@ -284,35 +365,40 @@ def _assign_to_centroids(
     vec_col: str,
 ) -> DataFrame:
     """Shared assignment body for ivf_assign and ivf_topk: one narrow
-    argmax-cosine projection over the collected centroid set."""
-    return embeddings.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _argmax_centroid_expr([v for _, v in cent], vec_col).alias("centroid_id"),
-    )
+    argmax-cosine projection over the collected centroid set (literal
+    matrix for small k, broadcast matrix for large — _with_centroid_id)."""
+    return _with_centroid_id(
+        embeddings.select(id_col, vec_col),
+        [v for _, v in cent],
+        vec_col,
+        "centroid_id",
+    ).select(id_col, vec_col, "centroid_id")
 
 
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_id: int | None = None,
     refine_iters: int = 0,
+    seed_mode: str = "first",
 ) -> DataFrame:
     """IVF approximate top-k: probe the nprobe centroids nearest to the
     query, brute-force only their inverted lists.
 
     The probe ranking runs driver-side over the (bounded) centroid set —
     no Spark job just to pick nprobe ids; the only cluster work is the
-    narrow candidate scan + k-row sort.
+    narrow candidate scan + k-row sort. ``n_centroids=None`` ->
+    sqrt(N) lists; ``seed_mode="hash"`` for corpus-spread seeds.
     """
     import math
 
-    cent = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
+    n_centroids = resolve_n_centroids(embeddings, n_centroids)
+    cent = _collect_centroids(embeddings, n_centroids, id_col, vec_col, seed_mode)
     if refine_iters > 0:
         refined = _refine_centroids(
             embeddings, [v for _, v in cent], vec_col, refine_iters
@@ -518,11 +604,14 @@ def semantic_dedup(
     shuffle), so pair generation is the BLOCK equi-join of
     :func:`embedding_dup_pairs` keyed on centroid_id — per-cluster
     quadratic, never corpus-quadratic, salted against hot clusters; the
-    centroid relation broadcasts; the centrality comparison rides the
-    (small) pair relation. The cluster count is the knob: clusters sized
-    so a cluster's pair-space fits a task. The assignment relation is
-    lazily localCheckpoint'd since four downstream subtrees reference it
-    (a production run would persist it to a table).
+    centroid relation broadcasts. The centrality comparison costs NO
+    join at all: each vector's centroid-cosine rides THROUGH the pair
+    join inside the id (a (vid, ccos) struct — struct order = vid order
+    since vids are unique), so the winner of every pair is decided
+    pair-locally. The assignment relation is materialized once (eager
+    localCheckpoint — four downstream subtrees read it; a production
+    run would persist it to a table). The cluster count is the knob:
+    clusters sized so a cluster's pair-space fits a task.
 
     Output: one row per vector — centroid_id, keep flag, n_near (its
     within-cluster near-dup degree).
@@ -542,22 +631,35 @@ def semantic_dedup(
                 / (_norm(F.col(vec_col)) * _norm(F.col("centroid_vec")))
             ).alias("ccos"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
+    # ship ccos through the pair join as part of the id struct: ids are
+    # unique, so (vid, ccos) orders exactly like vid and the dedup
+    # pipeline's id_a < id_b / salting logic is undisturbed
     pairs = embedding_dup_pairs(
-        cen.select("centroid_id", id_col, vec_col),
+        cen.select(
+            "centroid_id",
+            F.struct(F.col(id_col).alias("vid"), F.col("ccos").alias("ccos")).alias(
+                id_col
+            ),
+            vec_col,
+        ),
         threshold=threshold,
         block_col="centroid_id",
         id_col=id_col,
         vec_col=vec_col,
         salt_buckets=salt_buckets,
-    ).select("id_a", "id_b")
-    a = cen.select(F.col(id_col).alias("id_a"), F.col("ccos").alias("ccos_a"))
-    b = cen.select(F.col(id_col).alias("id_b"), F.col("ccos").alias("ccos_b"))
+    ).select(
+        F.col("id_a.vid").alias("id_a"),
+        F.col("id_a.ccos").alias("ccos_a"),
+        F.col("id_b.vid").alias("id_b"),
+        F.col("id_b.ccos").alias("ccos_b"),
+    )
+    # both the loser projection and the degree count read the (small)
+    # pair relation — pin it so the salted block join runs once
+    pairs = pairs.localCheckpoint(eager=False)
     lose = (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
+        pairs.select(
             F.when(
                 (F.col("ccos_a") > F.col("ccos_b"))
                 | (

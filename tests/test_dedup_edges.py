@@ -214,3 +214,32 @@ def test_incremental_minhash_negative_hash_ids(spark):
     big = spark.createDataFrame([(1 << 62, base)], "doc_id long, text string")
     with pytest.raises(Exception, match="2\\^62"):
         incremental_minhash_dedup(big, corpus, threshold=0.7).collect()
+
+
+def test_incremental_minhash_capped_candidates(spark):
+    """Dense duplicate families: the capped gate (top-N candidates per
+    drop target by band-collision count) must reproduce the exact
+    survivor set when every true match collides in many bands."""
+    from iheardai_data_pipeline_spark.operators.dedup import incremental_minhash_dedup
+
+    def fam(tag, i):
+        return " ".join(f"{tag}{j}" for j in range(30)) + f" tail{i}"
+
+    corpus = spark.createDataFrame(
+        [(100 + i, fam("a", 0)) for i in range(3)], "doc_id long, text string"
+    )
+    rows = [(i, fam("a", i)) for i in range(1, 8)]          # family a: all drop
+    rows += [(10 + i, fam("b", i)) for i in range(6)]       # family b: first kept
+    rows += [(20, " ".join(f"z{j}" for j in range(30)))]    # unique: kept
+    incoming = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup(incoming, corpus, threshold=0.7).collect()
+    }
+    capped = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup(
+            incoming, corpus, threshold=0.7, max_candidates_per_doc=2
+        ).collect()
+    }
+    assert exact == capped == {10, 20}

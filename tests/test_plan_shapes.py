@@ -202,3 +202,15 @@ def test_pagerank_rounds_broadcast_small_rank_side(spark, sf_dir):
     # the checkpointed relations
     plan = _formatted(df)
     assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_plan_is_shallow(spark, sf_dir):
+    """x_dedup_semantic (round 5): the centrality comparison rides the
+    pair join inside a (vid, ccos) struct id and the assignment is an
+    eager checkpoint, so the static plan is assign -> salted block join
+    -> two small id joins: at most ~7 exchanges and 3 sort-merge joins
+    (was 13 exchanges / 7 SMJ when ccos was re-joined per side)."""
+    df = CATALOG["x_dedup_semantic"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 7
+    assert plan.count("SortMergeJoin") <= 3
