@@ -145,7 +145,10 @@ def connected_components(
     )
     labels = sym.select("node").distinct().withColumn("label", F.col("node"))
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
+        # (a) propagate: every node takes the min label in its closed
+        # neighborhood — advances a component's min by one hop per round
         nbr_labels = (
             sym.join(labels.withColumnRenamed("node", "nbr"), "nbr")
             .select("node", "label")
@@ -154,14 +157,38 @@ def connected_components(
             labels.unionByName(nbr_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # (b) pointer-doubling shortcut: replace each node's label by its
+        # LABEL's label. Labels are always node ids (min over reachable
+        # ids), so the self-join resolves one more dereference — combined
+        # with (a) the reachable-min horizon doubles per round, bounding
+        # convergence at O(log diameter) rounds instead of O(diameter)
+        # (a path/chain graph from pathological substring dupes would
+        # otherwise crawl one hop per round). One extra equi-join per
+        # round on the (node-count-sized, 2-column) label relation.
+        lab2 = labels.select(
+            F.col("node").alias("__lnode"), F.col("label").alias("__llabel")
+        )
+        labels = (
+            labels.join(lab2, labels["label"] == lab2["__lnode"], "left")
+            .select("node", F.coalesce("__llabel", "label").alias("label"))
             .localCheckpoint()
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     sym.unpersist()
     proj.unpersist()
+    if not converged:
+        # an unconverged label relation is a WRONG answer (components
+        # would split); with shortcutting, rounds are O(log diameter),
+        # so max_iter=25 covers any graph a dedup pipeline can produce
+        # (diameter < 2^24) — hitting this means something is broken
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     return labels.withColumnRenamed("label", "component")
 
 

@@ -179,3 +179,34 @@ def test_leakage_safe_split_keeps_groups_together(spark, sf_dir):
     # all three splits are populated on the fixture corpus
     splits = {r["split"] for r in assigned.select("split").distinct().collect()}
     assert splits == {"train", "val", "test"}
+
+
+def test_components_path_graph_log_rounds(spark):
+    """A 1024-node path is the diameter worst case (pathological chained
+    substring dupes): plain min-label propagation needs ~1024 rounds;
+    the pointer-doubling shortcut must converge inside max_iter=25
+    (O(log d)) and still label every node with the chain head."""
+    from pyspark.sql import functions as F
+    from iheardai_data_pipeline_spark.operators.graph import connected_components
+
+    n = 1024
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    out = connected_components(edges, local_edge_threshold=0, max_iter=25)
+    comp = {r["node"]: r["component"] for r in out.collect()}
+    assert len(comp) == n and set(comp.values()) == {0}
+
+
+def test_components_nonconvergence_raises(spark):
+    """Hitting max_iter without a fixed point must raise, not return a
+    silently split component set."""
+    import pytest
+    from pyspark.sql import functions as F
+    from iheardai_data_pipeline_spark.operators.graph import connected_components
+
+    edges = spark.range(63).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, local_edge_threshold=0, max_iter=2)
