@@ -1193,6 +1193,127 @@ def x_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_tokens", "start_offset", "shard_id")
 
 
+# --- BPE tokenization (round 5) ---------------------------------------------------
+
+# Pinned tokenizer artifact: 24 merges learned by operators/bpe.py:
+# bpe_train from the sf0.01 documents table (deterministic — max pair
+# count, ties broken on the pair). Pinned rather than retrained per run
+# because a tokenizer is a SHIPPED artifact: retraining inside the query
+# would make token counts scale-factor-dependent and the oracle
+# inexpressible. The oracle below replays the IDENTICAL merge chain
+# (literal replace() has the same leftmost non-overlapping semantics in
+# both engines), generated from this same constant.
+_BPE_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"), ("o", "w"),
+    ("ow", "</w>"), ("o", "r"), ("s", "t"), ("h", "</w>"), ("a", "t"),
+    ("l", "u"), ("i", "n"), ("a", "</w>"), ("g", "</w>"), ("y", "</w>"),
+    ("a", "r"), ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+    ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"),
+]
+
+
+def _bpe_oracle() -> str:
+    from iheardai_data_pipeline_spark.operators.bpe import (
+        doc_token_string_sql,
+        merge_chain_sql,
+        tokens_sql,
+    )
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_NORM_SQL} AS t FROM documents WHERE text IS NOT NULL
+),
+s AS (SELECT doc_id, t, {doc_token_string_sql('t')} AS s0 FROM d),
+m AS (SELECT doc_id, t, {merge_chain_sql('s0', _BPE_MERGES)} AS sm FROM s)
+SELECT doc_id,
+  CAST(len({tokens_sql('sm')}) AS BIGINT) AS n_bpe_tokens,
+  CAST(CASE WHEN length(t) = 0 THEN 0
+            ELSE len(string_split(t, ' ')) END AS BIGINT) AS n_ws_tokens
+FROM m
+"""
+
+
+@register(
+    "x_text_bpe_tokens",
+    oracle=_bpe_oracle(),
+    tags=("extension", "text", "tokenize"),
+    doc="REAL BPE token counts (round 5): the pinned 24-merge tokenizer "
+    "(trained by operators/bpe.py:bpe_train, distributed pair-count "
+    "loop) applied as a chain of literal replace() ops over a "
+    "delimiter-bounded token string — no UDF, no shuffle, and the "
+    "DuckDB oracle replays the identical chain for a bit-exact check. "
+    "Output: per-doc BPE vs whitespace token counts (the "
+    "production-faithful budget for packing/chunking).",
+)
+def x_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.bpe import bpe_apply
+    from iheardai_data_pipeline_spark.operators.text import token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return bpe_apply(docs, _BPE_MERGES).select(
+        "doc_id",
+        "n_bpe_tokens",
+        token_count_ws(F.col("text")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+def _bpe_pack_oracle() -> str:
+    from iheardai_data_pipeline_spark.operators.bpe import (
+        doc_token_string_sql,
+        merge_chain_sql,
+        tokens_sql,
+    )
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_NORM_SQL} AS t FROM documents WHERE text IS NOT NULL
+),
+s AS (SELECT doc_id, {doc_token_string_sql('t')} AS s0 FROM d),
+toks AS (
+  SELECT doc_id,
+    CAST(len({tokens_sql(merge_chain_sql('s0', _BPE_MERGES))}) AS BIGINT)
+      AS n_tokens
+  FROM s
+)
+SELECT doc_id, n_tokens,
+  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS start_offset,
+  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 20000 AS BIGINT)
+    AS shard_id
+FROM toks
+"""
+
+
+@register(
+    "x_pack_bpe_shards",
+    oracle=_bpe_pack_oracle(),
+    tags=("extension", "packing", "tokenize"),
+    doc="Token-budget shard packing on REAL BPE counts (round 5): the "
+    "same two-level prefix sum as x_pack_token_shards, but the budget "
+    "is the pinned 24-merge tokenizer's token count instead of the "
+    "whitespace stand-in — the production-faithful sequence-packing "
+    "manifest. BPE apply is narrow; the only shuffle is the bucketed "
+    "prefix sum.",
+)
+def x_pack_bpe_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.bpe import bpe_apply
+    from iheardai_data_pipeline_spark.operators.packing import token_budget_shards
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    counted = bpe_apply(docs, _BPE_MERGES).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    return token_budget_shards(
+        counted, order_col="doc_id", token_col="n_tokens", budget=20_000
+    ).select("doc_id", "n_tokens", "start_offset", "shard_id")
+
+
 # --- incremental-ingest dedup -----------------------------------------------------
 
 _INCR_DEDUP_ORACLE = f"""
