@@ -492,3 +492,61 @@ def t12_stream_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_accepted"))
         .orderBy("source")
     )
+
+
+@register(
+    "t13_stream_indexed_neardup",
+    oracle=_T12_ORACLE,
+    tags=("streaming", "dedup", "sketch"),
+    doc="Streaming-ingest NEAR-dup gate over the PERSISTENT band index "
+    "(round 5): the corpus (doc_id%5==0) bootstraps a MinHashBandIndex "
+    "once; each micro-batch of incoming docs probes the index with "
+    "bucket-pruned lookups and appends its own bands (kept AND "
+    "rejected — near-dup is not transitive), so per-batch work is "
+    "batch- and candidate-bounded instead of t12's per-batch corpus "
+    "re-banding. Oracle = the same exact all-pairs batch answer.",
+)
+def t13_stream_indexed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from iheardai_data_pipeline_spark.operators.neardup_index import MinHashBandIndex
+    from iheardai_data_pipeline_spark.sources.batch import load_table
+    from iheardai_data_pipeline_spark.streaming.sinks import harness_checkpoint_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="t13_")
+    out_dir = os.path.join(root, "accepted")
+    idx = MinHashBandIndex(spark, os.path.join(root, "idx"), threshold=0.7)
+    idx.append(docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text"))
+
+    def ingest_batch(batch: DataFrame, batch_id: int) -> None:
+        inc = batch.filter(F.col("doc_id") % 5 != 0).select(
+            "doc_id", "source", "text"
+        )
+        idx.ingest(inc).select("doc_id", "source").write.mode("append").parquet(
+            out_dir
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    ckpt = harness_checkpoint_dir("t13_ckpt_")
+    try:
+        (
+            stream.writeStream.foreachBatch(ingest_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_accepted"))
+        .orderBy("source")
+    )
