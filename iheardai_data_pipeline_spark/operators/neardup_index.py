@@ -54,14 +54,20 @@ from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism, eval_
 from iheardai_data_pipeline_spark.streaming.stores import BucketedTransactionalStore
 
 
-def _append_distinct(key_cols: list[str]):
-    """Key-local store fold: append rows, idempotent on replay (a
-    re-appended (bkey, doc_id) row dedups away)."""
+def _append_rows():
+    """Key-local store fold: plain append, NO dedup shuffle. Duplicate
+    rows (a replayed batch re-appending its bands/profiles) are
+    CORRECTNESS-HARMLESS here: ingest() distincts candidate pairs and
+    drop targets, so results are identical with or without them — the
+    query answers stay replay-idempotent while each commit saves a
+    full shuffle. Storage hygiene after crash-replays is a compaction
+    concern (rewrite a bucket with dropDuplicates), not a hot-path one.
+    """
 
     def fn(current: DataFrame | None, upd: DataFrame) -> DataFrame:
         if current is None:
-            return upd.dropDuplicates(key_cols)
-        return current.unionByName(upd).dropDuplicates(key_cols)
+            return upd
+        return current.unionByName(upd)
 
     return fn
 
@@ -219,11 +225,13 @@ class MinHashBandIndex:
         sources). Two OCC appends; profiles computed once."""
         prof = self._profiles(docs).cache()
         try:
-            self._band_store.apply_keyed(
-                self._band_rows(prof), _append_distinct(["bkey", self.id_col])
-            )
-            self._profile_store.merge(
-                prof.select(self.id_col, "sh_set", "n_sh")
+            self._band_store.apply_keyed(self._band_rows(prof), _append_rows())
+            # plain append, not LWW merge: a doc's profile is a pure
+            # function of its text, so re-appends are identical rows and
+            # both the ordering window and the dedup would be wasted
+            # shuffles per batch (see _append_rows)
+            self._profile_store.apply_keyed(
+                prof.select(self.id_col, "sh_set", "n_sh"), _append_rows()
             )
         finally:
             prof.unpersist()
@@ -287,10 +295,10 @@ class MinHashBandIndex:
             # left_anti re-executes per action; pin the (batch-sized)
             # result so the appends below can't race its store reads
             survivors = survivors.localCheckpoint(eager=True)
-            self._band_store.apply_keyed(
-                bands_inc, _append_distinct(["bkey", ic])
+            self._band_store.apply_keyed(bands_inc, _append_rows())
+            self._profile_store.apply_keyed(
+                prof.select(ic, "sh_set", "n_sh"), _append_rows()
             )
-            self._profile_store.merge(prof.select(ic, "sh_set", "n_sh"))
             return survivors
         finally:
             bands_inc.unpersist()

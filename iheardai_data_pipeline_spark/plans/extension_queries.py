@@ -195,7 +195,7 @@ def x_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("extension", "dedup", "sketch"),
     doc="PERSISTENT-band-index near-dup ingest: the corpus "
     "(doc_id%5==0) is banded ONCE into bucketed band/profile stores, "
-    "then incoming (doc_id%5!=0) arrives as 3 id-ordered batches, each "
+    "then incoming (doc_id%5!=0) arrives as 2 id-ordered batches, each "
     "probing the index with bucket-pruned point lookups and appending "
     "its own bands (rejected docs too — near-dup is not transitive). "
     "Probe cost is batch- and candidate-bounded, independent of corpus "
@@ -204,6 +204,7 @@ def x_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "all-pairs gate (operators/neardup_index.py).",
 )
 def x_dedup_indexed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
     import tempfile
 
     from iheardai_data_pipeline_spark.operators.neardup_index import MinHashBandIndex
@@ -213,10 +214,16 @@ def x_dedup_indexed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = docs.filter(F.col("doc_id") % 5 != 0).select(
         "doc_id", "source", "text"
     )
-    idx = MinHashBandIndex(spark, tempfile.mkdtemp(prefix="bandidx_"), threshold=0.7)
+    # RAM-backed store root when available: the demo index lives seconds
+    # and its OCC commit I/O is the dominant fixed cost (same trade as
+    # harness_checkpoint_dir; a real deployment points at durable storage)
+    root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    idx = MinHashBandIndex(
+        spark, tempfile.mkdtemp(prefix="bandidx_", dir=root), threshold=0.7
+    )
     idx.append(corpus)
     hi = docs.agg(F.max("doc_id")).collect()[0][0] or 0
-    cuts = [0, hi // 3 + 1, 2 * hi // 3 + 1, hi + 1]
+    cuts = [0, hi // 2 + 1, hi + 1]
     out = None
     for lo, up in zip(cuts, cuts[1:]):
         batch = incoming.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < up))

@@ -515,7 +515,10 @@ def t13_stream_indexed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iheardai_data_pipeline_spark.streaming.sinks import harness_checkpoint_dir
 
     docs = load_table(spark, sf_dir, "documents")
-    root = tempfile.mkdtemp(prefix="t13_")
+    # RAM-backed when available — the demo index's OCC commit I/O is the
+    # dominant fixed cost (same trade as harness_checkpoint_dir)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="t13_", dir=shm)
     out_dir = os.path.join(root, "accepted")
     idx = MinHashBandIndex(spark, os.path.join(root, "idx"), threshold=0.7)
     idx.append(docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text"))

@@ -518,6 +518,12 @@ class BucketedTransactionalStore:
             name = uuid.uuid4().hex
             (
                 merged.withColumn("__bucket", self._bucket_expr())
+                # co-locate each bucket into one task before partitionBy:
+                # ONE file per rewritten bucket per commit instead of
+                # (tasks x buckets) shards — the bucket-sized shuffle is
+                # tiny next to listing/opening hundreds of micro-files on
+                # every subsequent read
+                .repartition(len(touched), "__bucket")
                 .write.partitionBy("__bucket")
                 .mode("overwrite")
                 .parquet(os.path.join(self.path, "_snapshots", name))
@@ -560,6 +566,8 @@ class BucketedTransactionalStore:
             name = uuid.uuid4().hex
             (
                 df.withColumn("__bucket", self._bucket_expr())
+                # one file per bucket (see apply_keyed)
+                .repartition(self.n_buckets, "__bucket")
                 .write.partitionBy("__bucket")
                 .mode("overwrite")
                 .parquet(os.path.join(self.path, "_snapshots", name))
