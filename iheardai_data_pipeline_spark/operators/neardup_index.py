@@ -304,6 +304,23 @@ class MinHashBandIndex:
             bands_inc.unpersist()
             prof.unpersist()
 
+    def compact(self) -> None:
+        """Storage hygiene: rewrite both stores with duplicates dropped
+        (rows a crash-replayed batch re-appended — results never depend
+        on them, see _append_rows; this reclaims the space). One full
+        snapshot rewrite per store — run it on the maintenance cadence,
+        not the ingest path."""
+        bands = self._band_store.read()
+        if bands is not None:
+            self._band_store.write_snapshot(
+                bands.dropDuplicates(["bkey", self.id_col])
+            )
+        profs = self._profile_store.read()
+        if profs is not None:
+            self._profile_store.write_snapshot(
+                profs.dropDuplicates([self.id_col])
+            )
+
     def vacuum(self, keep: int = 2, grace_seconds: float = 3600.0) -> None:
         self._band_store.vacuum(keep, grace_seconds)
         self._profile_store.vacuum(keep, grace_seconds)

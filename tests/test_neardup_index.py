@@ -88,3 +88,21 @@ def test_probe_is_bucket_pruned(spark, tmp_path):
     # 16 band keys -> at most 16 of the stored buckets are readable
     touched = {p.split("__bucket=")[1].split("/")[0] for p in pruned.inputFiles()} if pruned is not None else set()
     assert len(touched) <= 16 < len(manifest)
+
+
+def test_replayed_append_is_result_idempotent_and_compactable(spark, tmp_path):
+    """A crash-replayed append duplicates store rows but must not change
+    any gate answer; compact() then reclaims the duplicates."""
+    idx = MinHashBandIndex(spark, str(tmp_path / "idx"))
+    corpus = _docs(spark, [(100, BASE)])
+    idx.append(corpus)
+    idx.append(corpus)  # replay
+    bands = idx._band_store.read()
+    n_rows, n_distinct = bands.count(), bands.distinct().count()
+    assert n_rows == 2 * n_distinct  # duplicates present...
+    kept = idx.ingest(_docs(spark, [(1, BASE + " extra"), (2, UNIQ)]))
+    assert {r["doc_id"] for r in kept.collect()} == {2}  # ...answers unchanged
+    idx.compact()
+    assert idx._band_store.read().count() > 0
+    b2 = idx._band_store.read()
+    assert b2.count() == b2.distinct().count()  # duplicates gone
