@@ -562,6 +562,126 @@ def x_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- product quantization (round 5) -----------------------------------------------
+
+
+def _pq_encode_oracle() -> str:
+    from iheardai_data_pipeline_spark.operators.pq import subspace_code_sql
+    from iheardai_data_pipeline_spark.plans.pq_artifact import PQ_CODEBOOKS
+
+    cols = ",\n  ".join(
+        f"CAST({subspace_code_sql('embedding', s, cb, 'duckdb')} AS INTEGER) AS c{s}"
+        for s, cb in enumerate(PQ_CODEBOOKS)
+    )
+    return f"""
+SELECT vec_id,
+  {cols}
+FROM embeddings WHERE embedding IS NOT NULL
+"""
+
+
+@register(
+    "x_sim_pq_encode",
+    oracle=_pq_encode_oracle(),
+    tags=("extension", "similarity", "sketch"),
+    doc="Product-quantization encode (round 5): each 64-dim vector "
+    "compressed to 8 x 4-bit subspace codes against the PINNED "
+    "sf0.01-trained codebooks (operators/pq.py, plans/pq_artifact.py) "
+    "— a 32x ANN memory shrink. The argmin-distance fold is generated "
+    "with IDENTICAL left-associated float-op order for Spark and "
+    "DuckDB, so every code is bit-exact value-oracled (the BPE "
+    "replace-chain portability pattern applied to float arithmetic). "
+    "One narrow projection, no shuffle, no UDF.",
+)
+def x_sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.pq import _spark_code_cols
+    from iheardai_data_pipeline_spark.plans.pq_artifact import PQ_CODEBOOKS
+    from iheardai_data_pipeline_spark.sources.batch import (
+        ensure_parallelism,
+        eval_once,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    out = eval_once(
+        ensure_parallelism(emb), **_spark_code_cols(PQ_CODEBOOKS, "embedding")
+    )
+    return out.select(
+        "vec_id",
+        *[F.col(f"__c{s}").alias(f"c{s}") for s in range(len(PQ_CODEBOOKS))],
+    )
+
+
+# Bounded oracle, same pattern as x_sim_ivf_recall: the ADC shortlist is
+# approximate by design, but its CONTRACT — exact-rerank recall vs the
+# exact brute-force top-10 — is checkable. Measured deterministic recall
+# with per-SF-trained books and an n/5 shortlist is 0.9 at sf0.01 and
+# sf0.1; the gate pins >= 0.5, far above the ~0.2 a random shortlist of
+# the same size would score and far below nothing-broken territory.
+_PQ_RECALL_ORACLE = """
+SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok
+"""
+
+
+@register(
+    "x_sim_pq_recall",
+    oracle=_PQ_RECALL_ORACLE,
+    tags=("extension", "similarity", "approximate"),
+    doc="PQ search contract gate (round 5): deterministic per-SF "
+    "training, ADC top-(n/5) shortlist over the 8-byte codes, EXACT "
+    "re-rank of the shortlist only (the production IVF-PQ read path: "
+    "scan codes, fetch vectors for ~20%), and the recall>=0.5 flag vs "
+    "the exact top-10 is pinned TRUE by the oracle — a broken "
+    "codebook, encode, or ADC table flips it.",
+)
+def x_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    n = emb.count()
+    books = pq.pq_train(emb, m=8, k=16, iters=2)
+    qid, qvec = _probe_vector(emb)
+    codes = pq.pq_encode(emb, books)
+    shortlist = pq.pq_adc_topk(
+        codes, books, qvec, k=max(100, n // 5), exclude_id=qid
+    ).select("vec_id")
+    qcol = F.array(*[F.lit(float(v)) for v in qvec])
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            qcol,
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    reranked = (
+        emb.join(shortlist, "vec_id", "left_semi")
+        .select("vec_id", l2.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    exact = (
+        emb.filter(F.col("vec_id") != qid)
+        .select("vec_id", l2.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    return (
+        reranked.join(exact, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            (F.col("__hits") >= 5).alias("recall_ok"),
+        )
+    )
+
+
 # --- text analysis ---------------------------------------------------------------
 
 _STOPWORDS_SQL = ", ".join(f"'{w}'" for w in text.QUALITY_STOPWORDS)

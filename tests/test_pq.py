@@ -1,0 +1,84 @@
+"""Product quantization: training determinism, encode properties, ADC
+ordering, and the cross-engine bit-exactness the generated fold
+guarantees."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from iheardai_data_pipeline_spark.operators import pq
+
+
+def _emb(spark, n=60, dim=16):
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.pmod(F.xxhash64(F.col("vec_id"), d), F.lit(1000)).cast("double")
+        / 1000.0,
+    )
+    return spark.range(n).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+
+
+def test_train_shapes_and_determinism(spark):
+    emb = _emb(spark)
+    b1 = pq.pq_train(emb, m=4, k=8, iters=1)
+    b2 = pq.pq_train(emb, m=4, k=8, iters=1)
+    assert b1 == b2
+    assert len(b1) == 4 and len(b1[0]) == 8 and len(b1[0][0]) == 4
+
+
+def test_encode_codes_in_range_and_nearest(spark):
+    emb = _emb(spark)
+    books = pq.pq_train(emb, m=4, k=8, iters=1)
+    rows = pq.pq_encode(emb, books).collect()
+    assert len(rows) == 60
+    vecs = {r["vec_id"]: r for r in emb.collect()}
+    for r in rows:
+        assert all(0 <= c < 8 for c in r["codes"])
+    # spot-check argmin against plain python for one row
+    r = rows[0]
+    v = [float(x) for x in vecs[r["vec_id"]]["embedding"]]
+    for s in range(4):
+        sub = v[s * 4 : (s + 1) * 4]
+        dists = [
+            sum((a - b) ** 2 for a, b in zip(sub, c)) for c in books[s]
+        ]
+        assert r["codes"][s] == dists.index(min(dists))
+
+
+def test_encode_matches_duckdb_bit_exactly(spark):
+    emb = _emb(spark)
+    books = pq.pq_train(emb, m=4, k=8, iters=1)
+    sp = {r["vec_id"]: list(r["codes"]) for r in pq.pq_encode(emb, books).collect()}
+    pdf = emb.toPandas()
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    cols = ", ".join(
+        pq.subspace_code_sql("embedding", s, cb, "duckdb") + f" AS c{s}"
+        for s, cb in enumerate(books)
+    )
+    rows = con.execute(f"SELECT vec_id, {cols} FROM embeddings").fetchall()
+    dd = {r[0]: list(r[1:]) for r in rows}
+    assert sp == dd
+
+
+def test_adc_orders_by_lookup_distance(spark):
+    emb = _emb(spark)
+    books = pq.pq_train(emb, m=4, k=8, iters=1)
+    codes = pq.pq_encode(emb, books)
+    row = emb.orderBy("vec_id").first()
+    q = [float(x) for x in row["embedding"]]
+    top = pq.pq_adc_topk(codes, books, q, k=5, exclude_id=row["vec_id"]).collect()
+    assert len(top) == 5
+    dists = [r["adc_dist"] for r in top]
+    assert dists == sorted(dists)
+    assert all(r["vec_id"] != row["vec_id"] for r in top)
+
+
+def test_train_rejects_bad_shapes(spark):
+    emb = _emb(spark, n=5)
+    with pytest.raises(ValueError, match="divisible"):
+        pq.pq_train(emb, m=5, k=4, iters=0)
+    with pytest.raises(ValueError, match="need >="):
+        pq.pq_train(emb, m=4, k=16, iters=0)
