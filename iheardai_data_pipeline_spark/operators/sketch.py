@@ -90,3 +90,89 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
     )
+
+
+# --- Bloom filter (round 5) -------------------------------------------------------
+
+
+def _bloom_bit(i: Column, key: Column, m: int) -> Column:
+    """Row-local Bloom bit index for hash row ``i`` — same md5-portable
+    discipline as the CMS cell, so a DuckDB oracle reproduces every set
+    bit exactly."""
+    h = F.md5(F.concat(i.cast("string"), F.lit(":"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m
+
+
+def bloom_build(df: DataFrame, key_col: str, m: int = 4096, k: int = 6) -> DataFrame:
+    """Build a Bloom filter as RELATIONAL state: the distinct set-bit
+    rows ``(bit)`` — at most ``m`` rows regardless of input size.
+
+    Spark's native ``bloom_filter_agg`` is an opaque binary with no
+    SQL-side membership path; the relational form is mergeable (union +
+    distinct — the same partial-agg mergeability as the CMS cells),
+    broadcastable, and value-oracle-checkable bit for bit. The packed
+    64x-denser bitmap is a trivial fold of this relation
+    (:func:`bloom_pack_words`) when raw memory matters.
+    """
+    bits = ensure_parallelism(df).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: _bloom_bit(i, F.col(key_col), m),
+            )
+        ).alias("bit")
+    )
+    return bits.distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    m: int = 4096,
+    k: int = 6,
+) -> DataFrame:
+    """(key, maybe_present): TRUE iff all ``k`` of the key's bits are
+    set. Bloom's contract: NO false negatives (a member always probes
+    TRUE); false positives at the standard (1 - e^(-kn/m))^k rate. The
+    filter side is <= m rows — broadcast; probing is one join + count.
+    """
+    probes = (
+        keys.select(F.col(key_col))
+        .distinct()
+        .select(
+            key_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(k - 1)),
+                    lambda i: _bloom_bit(i, F.col(key_col), m),
+                )
+            ).alias("bit"),
+        )
+    )
+    return (
+        probes.join(F.broadcast(bloom.withColumn("__set", F.lit(1))), "bit", "left")
+        .groupBy(key_col)
+        .agg((F.count(F.lit(1)) == F.sum(F.coalesce("__set", F.lit(0)))).alias(
+            "maybe_present"
+        ))
+    )
+
+
+def bloom_pack_words(bloom: DataFrame, m: int = 4096) -> DataFrame:
+    """The dense bitmap form: (word_idx, word) with m/64 BIGINT words —
+    what a serving layer ships. SUM equals the bitwise OR because the
+    input bits are distinct (each power of two contributes once); bit
+    63's shift lands on min-long, the correct two's-complement pattern,
+    and no partial sum can overflow (positives cap at 2^63 - 1 before
+    the single negative contribution joins).
+    """
+    contrib = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(bit, 64) AS INT))")
+    return (
+        bloom.select(
+            F.expr("CAST(bit div 64 AS BIGINT)").alias("word_idx"),
+            contrib.alias("c"),
+        )
+        .groupBy("word_idx")
+        .agg(F.sum("c").cast("long").alias("word"))
+    )

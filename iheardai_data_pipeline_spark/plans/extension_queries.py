@@ -2268,6 +2268,89 @@ def x_text_hash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Count-Min sketch heavy hitters ------------------------------------------------
 
+# Bloom filter over the BUILDING-segment customer keys, probed with
+# every customer that placed an order: the oracle replicates the md5
+# bit arithmetic, so set bits, probe verdicts, and the fp/tp breakdown
+# are all exact. m=4096/k=6 at ~300 members -> fp rate ~1e-9 at sf0.01,
+# but the VERDICT columns (no false negatives; fp count >= 0) are exact
+# whatever the rate.
+_BLOOM_HASH = (
+    "(('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' || "
+    "CAST({key} AS VARCHAR)), 1, 8))::BIGINT % 4096)"
+)
+
+_BLOOM_ORACLE = f"""
+WITH members AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+fbits AS (
+  SELECT DISTINCT {_BLOOM_HASH.format(key="m.c_custkey")} AS bit
+  FROM members m, unnest(generate_series(0, 5)) AS i(i)
+),
+probes AS (SELECT DISTINCT o_custkey AS key FROM orders),
+pbits AS (
+  SELECT p.key, {_BLOOM_HASH.format(key="p.key")} AS bit
+  FROM probes p, unnest(generate_series(0, 5)) AS i(i)
+),
+verdict AS (
+  SELECT pb.key,
+         count(*) = sum(CASE WHEN fb.bit IS NOT NULL THEN 1 ELSE 0 END)
+           AS maybe_present
+  FROM pbits pb LEFT JOIN fbits fb USING (bit)
+  GROUP BY pb.key
+)
+SELECT v.maybe_present,
+       (m.c_custkey IS NOT NULL) AS actually_present,
+       CAST(count(*) AS BIGINT) AS n_keys
+FROM verdict v LEFT JOIN members m ON v.key = m.c_custkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "x_sketch_bloom",
+    oracle=_BLOOM_ORACLE,
+    tags=("extension", "sketch"),
+    doc="Relational Bloom filter (round 5): membership filter over the "
+    "BUILDING-segment customers as <=m distinct set-bit rows "
+    "(mergeable partial-agg state, broadcastable, md5-portable — every "
+    "bit value-oracled, like the CMS cells), probed by every ordering "
+    "customer; output = the (maybe, actually) present contingency "
+    "counts, which pin Bloom's contract exactly: the "
+    "(false, true) row can never exist (no false negatives).",
+)
+def x_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    members = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey")
+    )
+    filt = bloom_build(members, "c_custkey", m=4096, k=6)
+    probes = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key")
+    )
+    verdict = bloom_probe(filt, probes, "key", m=4096, k=6)
+    return (
+        verdict.join(
+            members.withColumn("__m", F.lit(True)),
+            verdict["key"] == members["c_custkey"],
+            "left",
+        )
+        .select(
+            "maybe_present",
+            F.coalesce("__m", F.lit(False)).alias("actually_present"),
+        )
+        .groupBy("maybe_present", "actually_present")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("maybe_present", "actually_present")
+    )
+
+
 _CMS_HASH = (
     "(('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || "
     "CAST({key} AS VARCHAR)), 1, 8))::BIGINT % 64)"

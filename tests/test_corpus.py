@@ -230,3 +230,63 @@ class TestCountMinSketch:
         df = spark.range(5000).select((F.col("id") % 97).alias("k"))
         sk = cms_build(df, "k", depth=4, width=32)
         assert sk.count() <= 4 * 32  # d*w cap regardless of input rows
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_bounded_state(self, spark):
+        from iheardai_data_pipeline_spark.operators.sketch import (
+            bloom_build,
+            bloom_probe,
+        )
+        from pyspark.sql import functions as F
+
+        members = spark.range(200).select((F.col("id") * 3).alias("k"))
+        filt = bloom_build(members, "k", m=2048, k=5)
+        assert filt.count() <= 2048
+        probes = spark.range(900).select(F.col("id").alias("k"))
+        got = {r["k"]: r["maybe_present"] for r in bloom_probe(
+            filt, probes, "k", m=2048, k=5
+        ).collect()}
+        # every member probes TRUE — Bloom's contract
+        assert all(got[i * 3] for i in range(200))
+        # non-members mostly FALSE at this fill rate (fp ~ (1-e^-.5)^5)
+        non = [v for kk, v in got.items() if kk % 3 != 0 or kk >= 600]
+        assert sum(non) < len(non) * 0.2
+
+    def test_merge_is_union_distinct(self, spark):
+        from iheardai_data_pipeline_spark.operators.sketch import bloom_build
+        from pyspark.sql import functions as F
+
+        a = spark.range(50).select(F.col("id").alias("k"))
+        b = spark.range(50, 100).select(F.col("id").alias("k"))
+        both = bloom_build(a.unionByName(b), "k", m=1024, k=4)
+        merged = (
+            bloom_build(a, "k", m=1024, k=4)
+            .unionByName(bloom_build(b, "k", m=1024, k=4))
+            .distinct()
+        )
+        assert sorted(r["bit"] for r in both.collect()) == sorted(
+            r["bit"] for r in merged.collect()
+        )
+
+    def test_pack_words_roundtrip(self, spark):
+        from iheardai_data_pipeline_spark.operators.sketch import (
+            bloom_build,
+            bloom_pack_words,
+        )
+        from pyspark.sql import functions as F
+
+        filt = bloom_build(
+            spark.range(300).select(F.col("id").alias("k")), "k", m=256, k=4
+        )
+        bits = {r["bit"] for r in filt.collect()}
+        words = {r["word_idx"]: r["word"] for r in bloom_pack_words(filt, 256).collect()}
+        unpacked = {
+            w * 64 + b
+            for w, word in words.items()
+            for b in range(64)
+            if (word >> b) & 1
+        }
+        assert unpacked == bits
+        # dense fill guarantees bit 63 of some word is exercised
+        assert any(b % 64 == 63 for b in bits)
