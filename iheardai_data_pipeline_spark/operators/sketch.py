@@ -176,3 +176,59 @@ def bloom_pack_words(bloom: DataFrame, m: int = 4096) -> DataFrame:
         .groupBy("word_idx")
         .agg(F.sum("c").cast("long").alias("word"))
     )
+
+
+# --- HyperLogLog (round 5) --------------------------------------------------------
+
+
+def _hll_parts(key: Column, p: int) -> tuple[Column, Column]:
+    """(bucket, rank) for one key — md5-portable: bucket from the first
+    8 hex chars, rank = leading zeros of the SECOND 8-hex uint32 + 1
+    (33 when that word is zero). Leading zeros are computed EXACTLY via
+    the binary-string length (no float log): lz = 32 - len(bin(v))."""
+    h1 = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    v = F.conv(F.substring(F.md5(key.cast("string")), 9, 8), 16, 10).cast("long")
+    bucket = F.pmod(h1, F.lit(1 << p))
+    rank = F.when(v > 0, F.lit(33) - F.length(F.conv(v, 10, 2))).otherwise(
+        F.lit(33)
+    )
+    return bucket, rank
+
+
+def hll_registers(df: DataFrame, key_col: str, p: int = 6) -> DataFrame:
+    """The HLL state as PLAIN relational rows: (bucket, max_rank), at
+    most 2^p of them — mergeable by max (the partial-agg combine IS the
+    sketch merge), broadcastable, and md5-portable so a DuckDB oracle
+    reproduces every register exactly. The same design trade as the CMS
+    cells and Bloom bits: Spark's approx_count_distinct is an opaque
+    binary; this one is queryable and value-oracle-checkable."""
+    bucket, rank = _hll_parts(F.col(key_col), p)
+    return (
+        ensure_parallelism(df)
+        .where(F.col(key_col).isNotNull())
+        .select(bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_estimate(p: int = 6) -> Column:
+    """The raw HLL estimate as an AGGREGATE Column over a register
+    relation (use inside ``registers.agg(...)``):
+    alpha * m^2 / sum(2^-M_j).
+
+    The harmonic sum is EXACT integer arithmetic: ranks are <= 33, so
+    2^-M_j scaled by 2^33 is the integer 2^(33 - M_j); unobserved
+    buckets contribute rank 0 = 2^33 each. One double division at the
+    end — order-independent, so the estimate is bit-identical across
+    engines (the repo's exact-integer-then-one-division discipline).
+    Small-range linear counting is deliberately NOT applied: it needs
+    ln(), whose last-ulp behavior is libm-specific — callers wanting it
+    apply their own correction downstream.
+    """
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    s_obs = F.sum(F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 33 - max_rank) AS BIGINT)"))
+    n_obs = F.count(F.lit(1))
+    scaled = s_obs + (F.lit(m).cast("long") - n_obs) * F.lit(1 << 33).cast("long")
+    return (F.lit(alpha * m * m) * F.lit(float(1 << 33)) / scaled.cast("double"))

@@ -2351,6 +2351,83 @@ def x_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Relational HLL over the event user ids: registers are md5-portable so
+# every (bucket, max_rank) row is exact in both engines; the estimate is
+# exact-integer harmonic arithmetic (2^(33-rank) BIGINT terms) with ONE
+# double multiply+divide at the end, so even the double matches without
+# tolerance. alpha for m=64 is 0.709 (Flajolet et al. 2007).
+_HLL_AMM = 0.709 * 64 * 64
+
+_HLL_ORACLE = f"""
+WITH keys AS (
+  SELECT user_id,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h1,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT AS v
+  FROM events WHERE user_id IS NOT NULL
+),
+regs AS (
+  SELECT h1 % 64 AS bucket,
+         CAST(max(CASE WHEN v > 0 THEN 33 - length(bin(v)) ELSE 33 END) AS INTEGER)
+           AS max_rank
+  FROM keys GROUP BY 1
+),
+s AS (
+  SELECT CAST(sum(CAST(1 AS BIGINT) << (33 - max_rank)) AS BIGINT) AS s_obs,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM regs
+),
+x AS (
+  SELECT round(({_HLL_AMM!r} * 8589934592.0)
+           / CAST(s_obs + (64 - n_obs) * 8589934592 AS DOUBLE), 6) AS est
+  FROM s
+),
+e AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct FROM keys)
+SELECT r.bucket, r.max_rank, x.est AS est_distinct, e.exact_distinct,
+       (x.est >= 0.5 * e.exact_distinct AND x.est <= 2.0 * e.exact_distinct)
+         AS ratio_ok
+FROM regs r, x, e
+"""
+
+
+@register(
+    "x_sketch_hll",
+    oracle=_HLL_ORACLE,
+    tags=("extension", "sketch"),
+    doc="Relational HyperLogLog (round 5): distinct-user estimate whose "
+    "STATE is value-oracled — (bucket, max_rank) registers from "
+    "md5-portable hashing with exact integer leading-zero ranks "
+    "(binary-string length, no float log), mergeable by max. The "
+    "estimate itself is exact-integer harmonic sums + one double "
+    "division, so even the double hash-matches the oracle — unlike "
+    "a4_dashboard_approx's opaque approx_count_distinct, which only a "
+    "bounds contract can check. ratio_ok pins 2x accuracy vs exact.",
+)
+def x_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    regs = hll_registers(ev, "user_id", p=6)
+    summary = regs.agg(F.round(hll_estimate(p=6), 6).alias("est_distinct"))
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return (
+        regs.crossJoin(F.broadcast(summary))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "bucket",
+            F.col("max_rank").cast("int").alias("max_rank"),
+            "est_distinct",
+            "exact_distinct",
+            (
+                (F.col("est_distinct") >= 0.5 * F.col("exact_distinct"))
+                & (F.col("est_distinct") <= 2.0 * F.col("exact_distinct"))
+            ).alias("ratio_ok"),
+        )
+    )
+
+
 _CMS_HASH = (
     "(('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || "
     "CAST({key} AS VARCHAR)), 1, 8))::BIGINT % 64)"

@@ -290,3 +290,53 @@ class TestBloomFilter:
         assert unpacked == bits
         # dense fill guarantees bit 63 of some word is exercised
         assert any(b % 64 == 63 for b in bits)
+
+
+class TestHyperLogLog:
+    def test_registers_match_python_and_merge_by_max(self, spark):
+        import hashlib
+        from iheardai_data_pipeline_spark.operators.sketch import hll_registers
+        from pyspark.sql import functions as F
+
+        df = spark.range(500).select(F.col("id").alias("k"))
+        got = {
+            r["bucket"]: r["max_rank"]
+            for r in hll_registers(df, "k", p=6).collect()
+        }
+        want: dict[int, int] = {}
+        for i in range(500):
+            h = hashlib.md5(str(i).encode()).hexdigest()
+            b = int(h[:8], 16) % 64
+            v = int(h[8:16], 16)
+            rank = 33 - v.bit_length() if v > 0 else 33
+            want[b] = max(want.get(b, 0), rank)
+        assert got == want
+        # merge = max-combine of two halves
+        a = hll_registers(spark.range(250).select(F.col("id").alias("k")), "k", p=6)
+        b = hll_registers(
+            spark.range(250, 500).select(F.col("id").alias("k")), "k", p=6
+        )
+        merged = {
+            r["bucket"]: r["max_rank"]
+            for r in a.unionByName(b)
+            .groupBy("bucket")
+            .agg(F.max("max_rank").alias("max_rank"))
+            .collect()
+        }
+        assert merged == got
+
+    def test_estimate_within_2x(self, spark):
+        from iheardai_data_pipeline_spark.operators.sketch import (
+            hll_estimate,
+            hll_registers,
+        )
+        from pyspark.sql import functions as F
+
+        for n in (300, 3000):
+            df = spark.range(n).select((F.col("id") * 7 + 1).alias("k"))
+            est = (
+                hll_registers(df, "k", p=6)
+                .agg(hll_estimate(p=6).alias("e"))
+                .collect()[0]["e"]
+            )
+            assert 0.5 * n <= est <= 2.0 * n
