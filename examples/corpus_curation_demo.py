@@ -167,12 +167,58 @@ def main() -> None:
         )
         assert spark.read.parquet(td + "/corpus").count() == n4
 
+    # 9. round-5 stages: persistent-index ingest of a late batch, real
+    #    BPE shard budgets, PQ codes for the vector side, and a Bloom
+    #    pre-filter for the decontamination probe
+    from iheardai_data_pipeline_spark.operators import pq as pq_ops
+    from iheardai_data_pipeline_spark.operators.bpe import bpe_apply, bpe_train
+    from iheardai_data_pipeline_spark.operators.neardup_index import MinHashBandIndex
+    from iheardai_data_pipeline_spark.operators.sketch import bloom_build, bloom_probe
+
+    # late-arriving batch gated against the CURATED corpus without
+    # re-banding it: corpus bands persist, the batch probes + appends
+    idx = MinHashBandIndex(spark, tempfile.mkdtemp(prefix="demo_idx_"))
+    idx.append(clean.select("doc_id", "text"))
+    late = docs.filter(F.col("doc_id") % 20 == 3).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    admitted = idx.ingest(late)
+    assert admitted.count() <= late.count()
+
+    # tokenizer trained on the clean corpus; shard manifest on REAL
+    # token counts instead of the whitespace stand-in
+    merges = bpe_train(clean, n_merges=12)
+    counted = bpe_apply(clean, merges).select("doc_id", "n_bpe_tokens")
+    bpe_manifest = token_budget_shards(
+        counted, "doc_id", "n_bpe_tokens", budget=5_000
+    )
+    assert bpe_manifest.count() == n4
+
+    # vector side: PQ codes (8 x 4-bit) for the ANN memory path
+    books = pq_ops.pq_train(emb, m=8, k=16, iters=1)
+    codes = pq_ops.pq_encode(emb, books)
+    assert codes.count() == emb.count()
+
+    # Bloom pre-filter: cheap membership screen of candidate doc ids
+    # against the held-out set's keys before the (expensive) 8-gram
+    # decontamination join — no member escapes (no false negatives)
+    bf = bloom_build(testset.select("doc_id"), "doc_id", m=2048, k=5)
+    screened = bloom_probe(bf, docs.select("doc_id"), "doc_id", m=2048, k=5)
+    missed = (
+        screened.join(testset.select("doc_id"), "doc_id", "left_semi")
+        .filter(~F.col("maybe_present"))
+        .count()
+    )
+    assert missed == 0
+
     print(
         f"corpus curation OK: {n0} docs -> quality {n1} -> exact-dedup {n2} "
         f"-> near-dedup {n3} -> decontaminated {n4} -> {n_shards} shards; "
         f"embeddings quantized + {centroids.count()}-list IVF index built; "
         f"repetition gate kept {n_rep_kept}, funnel sampled {n_sampled}, "
-        f"{len(fired)} alerts"
+        f"{len(fired)} alerts; late batch {late.count()} -> {admitted.count()} "
+        f"via band index; {len(merges)}-merge BPE manifest over "
+        f"{bpe_manifest.count()} docs; PQ codes {codes.count()}"
     )
     print(coll.registry.prometheus_text()[:400])
 
