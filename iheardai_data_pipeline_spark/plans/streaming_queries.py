@@ -553,3 +553,106 @@ def t13_stream_indexed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_accepted"))
         .orderBy("source")
     )
+
+
+# --- T14 (extension): streaming-maintained HyperLogLog ------------------------------
+
+# Same oracle arithmetic as x_sketch_hll, restated over the streamed
+# events: registers are MERGEABLE BY MAX, so micro-batch maintenance is
+# exact — however the stream splits batches, the final register table
+# (and therefore the estimate double) equals the one-shot batch answer
+# bit for bit. That exactness is the entire reason the sketch state is
+# relational rows instead of an opaque binary.
+# 2904.064 is 0.709*64*64 (alpha_64 * m^2) — repr-identical to the
+# Python double the engine embeds, verified: 0.709*64*64 == 2904.064.
+_T14_ORACLE = """
+WITH keys AS (
+  SELECT user_id,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h1,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT AS v
+  FROM events WHERE user_id IS NOT NULL
+),
+regs AS (
+  SELECT h1 % 64 AS bucket,
+         CAST(max(CASE WHEN v > 0 THEN 33 - length(bin(v)) ELSE 33 END) AS INTEGER)
+           AS max_rank
+  FROM keys GROUP BY 1
+),
+s AS (
+  SELECT CAST(sum(CAST(1 AS BIGINT) << (33 - max_rank)) AS BIGINT) AS s_obs,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM regs
+)
+SELECT r.bucket, r.max_rank,
+       round((2904.064 * 8589934592.0)
+         / CAST(s.s_obs + (64 - s.n_obs) * 8589934592 AS DOUBLE), 6)
+         AS est_distinct
+FROM regs r, s
+"""
+
+
+@register(
+    "t14_stream_hll",
+    oracle=_T14_ORACLE,
+    tags=("streaming", "sketch"),
+    doc="Streaming-maintained HyperLogLog (round 5): each micro-batch "
+    "computes its own (bucket, max_rank) registers and MAX-merges them "
+    "into a keyed store inside foreachBatch — bounded state (<=2^p "
+    "rows) however long the stream runs, and because max is the "
+    "sketch's merge, the final registers and estimate equal the batch "
+    "answer BIT FOR BIT regardless of micro-batch splits. The "
+    "streaming twin of x_sketch_hll.",
+)
+def t14_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from iheardai_data_pipeline_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+    from iheardai_data_pipeline_spark.streaming.sinks import harness_checkpoint_dir
+    from iheardai_data_pipeline_spark.streaming.stores import (
+        TransactionalParquetStore,
+    )
+
+    store = TransactionalParquetStore(
+        spark,
+        os.path.join(tempfile.mkdtemp(prefix="t14_"), "hll"),
+        key_cols=["bucket"],
+        order_cols=["max_rank"],
+    )
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        regs = hll_registers(
+            batch.where(F.col("user_id").isNotNull()), "user_id", p=6
+        )
+
+        def fn(current: DataFrame | None) -> DataFrame:
+            if current is None:
+                return regs
+            return (
+                current.unionByName(regs)
+                .groupBy("bucket")
+                .agg(F.max("max_rank").alias("max_rank"))
+            )
+
+        store.apply(fn)
+
+    stream = read_events_stream(spark, sf_dir)
+    ckpt = harness_checkpoint_dir("t14_ckpt_")
+    try:
+        (
+            stream.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    regs = store.read()
+    summary = regs.agg(F.round(hll_estimate(p=6), 6).alias("est_distinct"))
+    return regs.select(
+        "bucket", F.col("max_rank").cast("int").alias("max_rank")
+    ).crossJoin(F.broadcast(summary))
