@@ -685,6 +685,60 @@ def x_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bounded oracle: the composed IVF-PQ pipeline (prune lists -> ADC over
+# codes -> exact re-rank of the shortlist) vs the exact cosine top-10.
+# Measured recall 0.8/1.0/1.0 at sf0.001/0.01/0.1 (nprobe=4 of 16,
+# shortlist n/5); gate pins >= 0.5. Note the end-to-end metric
+# discipline: vectors are L2-normalized inside ivfpq_search so the L2
+# stages rank identically to the cosine exact baseline.
+_IVFPQ_RECALL_ORACLE = """
+SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok
+"""
+
+
+@register(
+    "x_sim_ivfpq_recall",
+    oracle=_IVFPQ_RECALL_ORACLE,
+    tags=("extension", "similarity", "approximate"),
+    doc="IVF-PQ contract gate (round 5): the FULL production ANN read "
+    "path — IVF prunes to 4 of 16 lists, ADC ranks the probed lists' "
+    "8-byte PQ codes, only the n/5 shortlist's vectors are fetched for "
+    "an exact re-rank — and the recall>=0.5 flag vs the exact cosine "
+    "top-10 is pinned TRUE (measured 0.8-1.0). A break anywhere in the "
+    "stack (assignment, codebooks, ADC table, re-rank metric) flips "
+    "it (operators/pq.py:ivfpq_search).",
+)
+def x_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    n = emb.count()
+    qid, qvec = _probe_vector(emb)
+    got = pq.ivfpq_search(
+        emb,
+        qvec,
+        k=10,
+        n_centroids=16,
+        nprobe=4,
+        shortlist=max(100, n // 5),
+        exclude_id=qid,
+        seed_mode="first",
+    ).select("vec_id")
+    exact = similarity.cosine_topk_bruteforce(emb, qvec, k=10, exclude_id=qid).select(
+        "vec_id"
+    )
+    return (
+        got.join(exact, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            (F.col("__hits") >= 5).alias("recall_ok"),
+        )
+    )
+
+
 # --- text analysis ---------------------------------------------------------------
 
 _STOPWORDS_SQL = ", ".join(f"'{w}'" for w in text.QUALITY_STOPWORDS)
