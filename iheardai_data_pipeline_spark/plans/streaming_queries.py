@@ -656,3 +656,116 @@ def t14_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regs.select(
         "bucket", F.col("max_rank").cast("int").alias("max_rank")
     ).crossJoin(F.broadcast(summary))
+
+
+# --- T15 (extension): streaming-maintained Count-Min sketch -------------------------
+
+# Same arithmetic as x_sketch_heavy_hitters' oracle: CMS cells merge by
+# SUM, so micro-batch maintenance is exact — the final cell table (and
+# every estimate) equals the one-shot batch sketch regardless of how
+# the stream was split.
+_T15_HASH = (
+    "(('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || "
+    "CAST({key} AS VARCHAR)), 1, 8))::BIGINT % 64)"
+)
+
+_T15_ORACLE = f"""
+WITH keys AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT e.user_id, d.d AS depth,
+         {_T15_HASH.format(key="e.user_id")} AS cell
+  FROM events e, unnest(generate_series(0, 3)) AS d(d)
+),
+sketch AS (
+  SELECT depth, cell, CAST(count(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY depth, cell
+),
+probes AS (
+  SELECT k.user_id, d.d AS depth,
+         {_T15_HASH.format(key="k.user_id")} AS cell
+  FROM keys k, unnest(generate_series(0, 3)) AS d(d)
+),
+est AS (
+  SELECT p.user_id, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est
+  FROM probes p LEFT JOIN sketch s USING (depth, cell)
+  GROUP BY p.user_id
+)
+SELECT k.user_id, e.est, k.exact_cnt, e.est >= k.exact_cnt AS over_ok
+FROM keys k JOIN est e USING (user_id)
+ORDER BY e.est DESC, k.user_id LIMIT 20
+"""
+
+
+@register(
+    "t15_stream_cms",
+    oracle=_T15_ORACLE,
+    tags=("streaming", "sketch"),
+    doc="Streaming-maintained Count-Min sketch (round 5): each "
+    "micro-batch builds its own 4x64 cell table and SUM-merges it into "
+    "a keyed store inside foreachBatch — bounded d*w state for an "
+    "unbounded stream, and because sum is the CMS merge, the final "
+    "cells and every estimate equal the one-shot batch sketch exactly. "
+    "The frequency twin of t14's distinct-count sketch.",
+)
+def t15_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from iheardai_data_pipeline_spark.operators.sketch import cms_build, cms_estimate
+    from iheardai_data_pipeline_spark.sources.batch import load_table
+    from iheardai_data_pipeline_spark.streaming.sinks import harness_checkpoint_dir
+    from iheardai_data_pipeline_spark.streaming.stores import (
+        TransactionalParquetStore,
+    )
+
+    store = TransactionalParquetStore(
+        spark,
+        os.path.join(tempfile.mkdtemp(prefix="t15_"), "cms"),
+        key_cols=["depth", "cell"],
+        order_cols=["cnt"],
+    )
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        part = cms_build(batch, "user_id", depth=4, width=64)
+
+        def fn(current: DataFrame | None) -> DataFrame:
+            if current is None:
+                return part
+            return (
+                current.unionByName(part)
+                .groupBy("depth", "cell")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+
+        store.apply(fn)
+
+    stream = read_events_stream(spark, sf_dir)
+    ckpt = harness_checkpoint_dir("t15_ckpt_")
+    try:
+        (
+            stream.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    sketch = store.read()
+    events = load_table(spark, sf_dir, "events")
+    est = cms_estimate(sketch, events.select("user_id"), "user_id", depth=4, width=64)
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            "est",
+            "exact_cnt",
+            (F.col("est") >= F.col("exact_cnt")).alias("over_ok"),
+        )
+        .orderBy(F.desc("est"), "user_id")
+        .limit(20)
+    )
