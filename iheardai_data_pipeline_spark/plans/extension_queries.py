@@ -2600,6 +2600,72 @@ def x_layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select("event_id", zkey.alias("zkey"))
 
 
+def _hilbert_oracle(bits: int = 12) -> str:
+    """Hamilton's xy2d walk as CHAINED CTEs (one per level) — each stage
+    references the previous stage's columns exactly once, so the SQL
+    stays linear in ``bits`` instead of exponentially inlining the
+    rotation state."""
+    top = (1 << bits) - 1
+    stages = []
+    prev = "h_in"
+    for k in range(bits - 1, -1, -1):
+        s = 1 << k
+        rx = f"((x >> {k}) & 1)"
+        ry = f"((y >> {k}) & 1)"
+        stages.append(
+            f"""h{k} AS (
+  SELECT event_id,
+    CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1 THEN {s - 1} - y ELSE y END
+         ELSE x END AS x,
+    CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1 THEN {s - 1} - x ELSE x END
+         ELSE y END AS y,
+    d + {s * s} * xor(3 * {rx}, {ry}) AS d
+  FROM {prev}
+)"""
+        )
+        prev = f"h{k}"
+    chain = ",\n".join(stages)
+    return f"""
+WITH mm AS (
+  SELECT CAST(min(user_id) AS BIGINT) AS mn_u, CAST(max(user_id) AS BIGINT) AS mx_u,
+         CAST(min(event_id) AS BIGINT) AS mn_e, CAST(max(event_id) AS BIGINT) AS mx_e
+  FROM events
+),
+h_in AS (
+  SELECT event_id,
+         ((coalesce(CAST(user_id AS BIGINT), mn_u) - mn_u) * {top})
+           // greatest(1, mx_u - mn_u) AS x,
+         ((coalesce(CAST(event_id AS BIGINT), mn_e) - mn_e) * {top})
+           // greatest(1, mx_e - mn_e) AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM events, mm
+),
+{chain}
+SELECT event_id, CAST(d AS BIGINT) AS hkey FROM h0
+"""
+
+
+@register(
+    "x_layout_hilbert_key",
+    oracle=_hilbert_oracle(),
+    tags=("extension", "layout"),
+    doc="Hilbert-curve clustering key over (user_id, event_id) — round "
+    "5's locality upgrade of the Morton key: every unit step along the "
+    "curve is a unit step in space, so equal-size file ranges span "
+    "~25-30% less per dimension and the same predicate prunes more "
+    "files (comparison pinned in tests/test_layout.py). The walk is "
+    "ONE aggregate fold over the bit levels (constant expression size) "
+    "and the oracle replays it as chained CTEs "
+    "(operators/layout.py:hilbert_interleave).",
+)
+def x_layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.layout import hilbert_key
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    base, hkey = hilbert_key(events, ["user_id", "event_id"], bits=12)
+    return base.select("event_id", hkey.alias("hkey"))
+
+
 # --- rolling-window anomaly detection ----------------------------------------------
 
 # z-score anomaly flag WITHOUT floats: |x - mean| > 2*stddev over the

@@ -122,3 +122,87 @@ def test_zorder_key_handles_null_and_constant_columns(spark):
     base, zkey = zorder_key(df, ["a", "b"], bits=4)
     got = [r["z"] for r in base.select(zkey.alias("z")).orderBy("a").collect()]
     assert got == sorted(got)
+
+
+def test_hilbert_matches_reference_walk(spark):
+    """The fold expression must reproduce Hamilton's xy2d walk exactly,
+    corners included."""
+    from iheardai_data_pipeline_spark.operators.layout import hilbert_interleave
+
+    def ref(x, y, bits):
+        d = 0
+        for k in range(bits - 1, -1, -1):
+            s = 1 << k
+            rx = 1 if x & s else 0
+            ry = 1 if y & s else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+        return d
+
+    pts = [(0, 0), (0, 15), (15, 0), (15, 15)] + [
+        (i * 7 % 16, i * 5 % 16) for i in range(16)
+    ]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["h"]
+        for r in df.select(
+            "x", "y", hilbert_interleave(F.col("x"), F.col("y"), 4).alias("h")
+        ).collect()
+    }
+    assert got == {(x, y): ref(x, y, 4) for x, y in pts}
+    # bijectivity: 16x16 grid -> all 256 distances exactly once
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    ds = sorted(
+        r["h"]
+        for r in grid.select(
+            hilbert_interleave(F.col("x"), F.col("y"), 4).alias("h")
+        ).collect()
+    )
+    assert ds == list(range(256))
+
+
+def test_hilbert_prunes_at_least_as_well_as_morton(spark, tmp_path):
+    """Same deterministic setup as the z-order pruning test: the Hilbert
+    layout's candidate-file count for the mid-quadrant b-window must
+    prune most files and not lose to Morton (its curve steps are always
+    unit steps, so per-file spans are tighter)."""
+    from iheardai_data_pipeline_spark.operators.layout import (
+        write_hilbert,
+        write_zordered,
+    )
+
+    n = 20_000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("a"),
+            F.pmod(F.col("id") * 7919, F.lit(n)).alias("b"),
+        )
+        .repartition(8, "a")
+    )
+    hpath, zpath = str(tmp_path / "h"), str(tmp_path / "z")
+    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, str(n))
+    try:
+        write_hilbert(df, hpath, ["a", "b"], bits=10, n_files=16)
+        write_zordered(df, zpath, ["a", "b"], bits=10, n_files=16)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert spark.read.parquet(hpath).count() == n
+
+    lo, hi = n * 11 // 20, n * 11 // 20 + n // 50
+    def candidates(path):
+        return sum(1 for mn, mx in _file_stats(path, "b") if mn <= hi and mx >= lo)
+
+    h_hit, z_hit = candidates(hpath), candidates(zpath)
+    assert h_hit <= z_hit <= 16
+    assert h_hit <= 8  # most files statically pruned
