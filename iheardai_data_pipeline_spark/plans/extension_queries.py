@@ -2659,11 +2659,16 @@ SELECT event_id, CAST(d AS BIGINT) AS hkey FROM h0
     "(operators/layout.py:hilbert_interleave).",
 )
 def x_layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from iheardai_data_pipeline_spark.operators.layout import hilbert_key
+    from iheardai_data_pipeline_spark.operators.layout import (
+        _hilbert_append,
+        _scaled_columns,
+    )
 
     events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
-    base, hkey = hilbert_key(events, ["user_id", "event_id"], bits=12)
-    return base.select("event_id", hkey.alias("hkey"))
+    base, scaled = _scaled_columns(events, ["user_id", "event_id"], 12)
+    return _hilbert_append(base, scaled[0], scaled[1], 12, "hkey").select(
+        "event_id", "hkey"
+    )
 
 
 # --- rolling-window anomaly detection ----------------------------------------------
