@@ -257,9 +257,24 @@ class MinHashBandIndex:
             dropped = None
             stored = self._band_store.read_keys(bands_inc.select("bkey"))
             if stored is not None:
+                # REPLAY GUARD: a crash-replayed batch (appended to the
+                # store but not stream-checkpointed — the at-least-once
+                # window foreachBatch allows) finds its OWN bands already
+                # stored; without this anti-join every replayed doc
+                # self-matches at Jaccard 1.0 and the whole batch is
+                # silently dropped. Excluding stored rows whose id is in
+                # the current batch (broadcast — batch-sized) restores
+                # the first run's exact candidate set, so replayed
+                # ingest() returns the same survivors (intra-batch
+                # ordering is re-derived below, as on the first run).
                 cand = (
                     bands_inc.withColumnRenamed(ic, "id_a")
                     .join(stored.withColumnRenamed(ic, "id_b"), "bkey")
+                    .join(
+                        F.broadcast(prof.select(F.col(ic).alias("id_b"))),
+                        "id_b",
+                        "left_anti",
+                    )
                     .select("id_a", "id_b")
                     .distinct()
                 )

@@ -128,6 +128,7 @@ def pq_train(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allow_fewer: bool = False,
 ):
     """Deterministic distributed PQ training; returns [m][k][dsub]
     codebooks.
@@ -139,6 +140,11 @@ def pq_train(
     DECIMAL(28,16) sums so the result is independent of partition
     order. Empty cells keep their previous centroid. The aggregate
     state is m*k*dsub cells regardless of corpus size.
+
+    ``allow_fewer=True`` degrades ``k`` to the number of available
+    vectors instead of raising — for composed callers (ivfpq_search)
+    where a small corpus or a sparse residual set must still quantize
+    (fewer codes = coarser, never broken).
     """
     emb = embeddings.where(F.col(vec_col).isNotNull())
     dim_row = emb.select(F.size(vec_col).alias("d")).first()
@@ -156,7 +162,9 @@ def pq_train(
         .collect()
     ]
     if len(seeds) < k:
-        raise ValueError(f"pq_train: need >= {k} vectors, got {len(seeds)}")
+        if not allow_fewer or not seeds:
+            raise ValueError(f"pq_train: need >= {k} vectors, got {len(seeds)}")
+        k = len(seeds)
     books = [
         [[v[s * dsub + t] for t in range(dsub)] for v in seeds]
         for s in range(m)
@@ -263,6 +271,8 @@ def ivfpq_search(
     exclude_id: int | None = None,
     seed_mode: str = "first",
     residual: bool = False,
+    centroids: list[list[float]] | None = None,
+    books=None,
 ) -> DataFrame:
     """The composed production ANN read path: IVF prunes lists, ADC
     ranks PQ codes inside the probed lists, and only the shortlist's
@@ -291,6 +301,20 @@ def ivfpq_search(
     Without it the list pruning and the distance metric disagree and
     recall collapses (measured 0.1-0.3 raw vs 0.9-1.0 normalized on
     the rig corpora). Output distances are on the normalized vectors.
+    Zero-norm rows have no direction under either metric and are
+    EXCLUDED up front (0/0 would otherwise poison their assignment
+    and every distance with NaN).
+
+    ``centroids`` / ``books`` inject PINNED index artifacts (IVF
+    centroid vectors and PQ codebooks, both over the NORMALIZED
+    vectors — see plans/pq_artifact.py): the production read path,
+    where training happened at index build. When None, both are
+    trained in-query (works at any scale factor, but the query then
+    times Lloyd training, not search). With ``residual=True``,
+    ``books`` are residual codebooks; in-query training then runs
+    over ALL lists' residuals — the index-build scope — never just
+    the probed subset, so a skewed or tiny probed list can't starve
+    (or crash) the quantizer.
     """
     import math
 
@@ -310,17 +334,25 @@ def ivfpq_search(
     )
     # norm behind a generator barrier: inlined into the per-element
     # lambda it would re-run the fold once per dimension
-    emb = eval_once(
-        embeddings.where(F.col(vec_col).isNotNull()), __nrm=nrm
-    ).select(
-        F.col(id_col),
-        F.transform(
-            F.col(vec_col), lambda v: v.cast("double") / F.col("__nrm")
-        ).alias(vec_col),
+    emb = (
+        eval_once(embeddings.where(F.col(vec_col).isNotNull()), __nrm=nrm)
+        .where(F.col("__nrm") > 0)
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col(vec_col), lambda v: v.cast("double") / F.col("__nrm")
+            ).alias(vec_col),
+        )
     )
-    cent = _collect_centroids(emb, n_centroids, id_col, vec_col, seed_mode)
-    if not residual:
-        books = pq_train(emb, m=m, k=k_codes, iters=1, id_col=id_col, vec_col=vec_col)
+    if centroids is not None:
+        cent = [(i, [float(x) for x in v]) for i, v in enumerate(centroids)]
+    else:
+        cent = _collect_centroids(emb, n_centroids, id_col, vec_col, seed_mode)
+    if not residual and books is None:
+        books = pq_train(
+            emb, m=m, k=k_codes, iters=1, id_col=id_col, vec_col=vec_col,
+            allow_fewer=True,
+        )
 
     # probe ranking is driver-side over the bounded centroid set
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
@@ -348,11 +380,15 @@ def ivfpq_search(
         res_frame = probed.select(
             F.col(id_col), res.alias(vec_col), "centroid_id"
         )
-        # codebooks learned over the PROBED lists' residuals (training
-        # over all lists is equivalent in shape; the probed subset is
-        # what this query touches)
-        books = pq_train(res_frame, m=m, k=k_codes, iters=1,
-                         id_col=id_col, vec_col=vec_col)
+        if books is None:
+            # codebooks learned over ALL lists' residuals — the
+            # index-build scope, so a tiny/skewed probed subset can't
+            # starve the quantizer (and degrade k rather than raise)
+            books = pq_train(
+                assigned.select(F.col(id_col), res.alias(vec_col)),
+                m=m, k=k_codes, iters=1,
+                id_col=id_col, vec_col=vec_col, allow_fewer=True,
+            )
         codes = pq_encode(res_frame, books, id_col=id_col, vec_col=vec_col,
                           extra_cols=("centroid_id",))
         # one ADC table per probed list, from the query's own residual

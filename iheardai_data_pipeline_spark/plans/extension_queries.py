@@ -217,19 +217,27 @@ def x_dedup_indexed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # RAM-backed store root when available: the demo index lives seconds
     # and its OCC commit I/O is the dominant fixed cost (same trade as
     # harness_checkpoint_dir; a real deployment points at durable storage)
-    root = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    idx = MinHashBandIndex(
-        spark, tempfile.mkdtemp(prefix="bandidx_", dir=root), threshold=0.7
-    )
-    idx.append(corpus)
-    hi = docs.agg(F.max("doc_id")).collect()[0][0] or 0
-    cuts = [0, hi // 2 + 1, hi + 1]
-    out = None
-    for lo, up in zip(cuts, cuts[1:]):
-        batch = incoming.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < up))
-        kept = idx.ingest(batch).select("doc_id", "source")
-        out = kept if out is None else out.unionByName(kept)
-    return out
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="bandidx_", dir=shm)
+    try:
+        idx = MinHashBandIndex(spark, root, threshold=0.7)
+        idx.append(corpus)
+        hi = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+        cuts = [0, hi // 2 + 1, hi + 1]
+        out = None
+        for lo, up in zip(cuts, cuts[1:]):
+            batch = incoming.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < up)
+            )
+            kept = idx.ingest(batch).select("doc_id", "source")
+            out = kept if out is None else out.unionByName(kept)
+        # survivors are batch-sized; pin them off the tmpfs stores so
+        # the index root can be reclaimed NOW (leaked /dev/shm is RAM)
+        return out.localCheckpoint(eager=True)
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
 
 
 # Full value oracle for the SimHash sketch: with the md5-portable word

@@ -545,14 +545,18 @@ def t13_stream_indexed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
             .awaitTermination()
         )
+        # pin the (tiny) rollup off the tmpfs files, then reclaim the
+        # whole index root — a leaked /dev/shm dir is leaked RAM
+        res = (
+            spark.read.parquet(out_dir)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_accepted"))
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    return (
-        spark.read.parquet(out_dir)
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_accepted"))
-        .orderBy("source")
-    )
+        shutil.rmtree(root, ignore_errors=True)
+    return res.orderBy("source")
 
 
 # --- T14 (extension): streaming-maintained HyperLogLog ------------------------------
@@ -616,9 +620,10 @@ def t14_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         TransactionalParquetStore,
     )
 
+    t14_root = tempfile.mkdtemp(prefix="t14_")
     store = TransactionalParquetStore(
         spark,
-        os.path.join(tempfile.mkdtemp(prefix="t14_"), "hll"),
+        os.path.join(t14_root, "hll"),
         key_cols=["bucket"],
         order_cols=["max_rank"],
     )
@@ -653,9 +658,14 @@ def t14_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
     regs = store.read()
     summary = regs.agg(F.round(hll_estimate(p=6), 6).alias("est_distinct"))
-    return regs.select(
-        "bucket", F.col("max_rank").cast("int").alias("max_rank")
-    ).crossJoin(F.broadcast(summary))
+    res = (
+        regs.select("bucket", F.col("max_rank").cast("int").alias("max_rank"))
+        .crossJoin(F.broadcast(summary))
+        # <=2^p rows: pin them so the store's tmp dir can be reclaimed
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(t14_root, ignore_errors=True)
+    return res
 
 
 # --- T15 (extension): streaming-maintained Count-Min sketch -------------------------
@@ -708,7 +718,11 @@ ORDER BY e.est DESC, k.user_id LIMIT 20
     "a keyed store inside foreachBatch — bounded d*w state for an "
     "unbounded stream, and because sum is the CMS merge, the final "
     "cells and every estimate equal the one-shot batch sketch exactly. "
-    "The frequency twin of t14's distinct-count sketch.",
+    "Unlike t14's max-merge (naturally idempotent), sum double-counts "
+    "a crash-replayed batch, so each commit also records its epoch as "
+    "a depth=-1 marker row and already-merged epochs are skipped — "
+    "exactly-once even though the store commits independently of the "
+    "stream checkpoint. The frequency twin of t14's sketch.",
 )
 def t15_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -721,9 +735,10 @@ def t15_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         TransactionalParquetStore,
     )
 
+    t15_root = tempfile.mkdtemp(prefix="t15_")
     store = TransactionalParquetStore(
         spark,
-        os.path.join(tempfile.mkdtemp(prefix="t15_"), "cms"),
+        os.path.join(t15_root, "cms"),
         key_cols=["depth", "cell"],
         order_cols=["cnt"],
     )
@@ -740,7 +755,9 @@ def t15_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.sum("cnt").alias("cnt"))
             )
 
-        store.apply(fn)
+        # sum is NOT an idempotent merge: the epoch marker makes a
+        # replayed micro-batch a no-op instead of a double count
+        store.apply(fn, epoch=int(batch_id))
 
     stream = read_events_stream(spark, sf_dir)
     ckpt = harness_checkpoint_dir("t15_ckpt_")
@@ -754,7 +771,9 @@ def t15_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    sketch = store.read()
+    # d*w rows: pin the sketch so the store's tmp dir can be reclaimed
+    sketch = store.read().localCheckpoint(eager=True)
+    shutil.rmtree(t15_root, ignore_errors=True)
     events = load_table(spark, sf_dir, "events")
     est = cms_estimate(sketch, events.select("user_id"), "user_id", depth=4, width=64)
     exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))

@@ -67,6 +67,25 @@ def _occ_current_version(commits_dir: str) -> int:
     return max(versions, default=0)
 
 
+def _occ_committed_epochs(commits_dir: str) -> set:
+    """Epochs recorded by already-committed versions (see ``apply``'s
+    ``epoch`` param). One tiny JSON read per retained version — vacuum
+    bounds the scan; a long-retention deployment would fold the set
+    forward into each new marker instead."""
+    out: set = set()
+    for f in os.listdir(commits_dir):
+        if not f.isdigit():
+            continue
+        try:
+            with open(os.path.join(commits_dir, f)) as fh:
+                e = json.load(fh).get("epoch")
+        except (OSError, json.JSONDecodeError):
+            continue
+        if e is not None:
+            out.add(e)
+    return out
+
+
 def _occ_try_claim(commits_dir: str, version: int, payload: dict) -> bool:
     """Atomically claim ``version`` with ``payload`` as the marker body.
 
@@ -136,10 +155,13 @@ class TransactionalParquetStore:
             name = json.load(fh)["snapshot"]
         return os.path.join(self.path, "_snapshots", name)
 
-    def _try_commit(self, version: int, snapshot_name: str) -> bool:
-        return _occ_try_claim(
-            self._commits_dir(), version, {"snapshot": snapshot_name}
-        )
+    def _try_commit(
+        self, version: int, snapshot_name: str, epoch=None
+    ) -> bool:
+        payload: dict = {"snapshot": snapshot_name}
+        if epoch is not None:
+            payload["epoch"] = epoch
+        return _occ_try_claim(self._commits_dir(), version, payload)
 
     def _stage_snapshot(self, df: DataFrame) -> str:
         name = uuid.uuid4().hex
@@ -159,7 +181,7 @@ class TransactionalParquetStore:
         d = self._snapshot_dir(version)
         return None if d is None else self.spark.read.parquet(d)
 
-    def apply(self, fn) -> None:
+    def apply(self, fn, epoch=None) -> None:
         """OCC read-modify-write: ``fn(current_df_or_None) -> merged_df``.
 
         The ONLY safe way to compose a merge from the latest state: the
@@ -169,12 +191,25 @@ class TransactionalParquetStore:
         them. (A bare read → compute → :meth:`write_snapshot` sequence
         would retry with its stale result and silently lose the
         concurrent update.)
+
+        ``epoch`` makes the commit IDEMPOTENT per epoch (Delta's txn
+        appId/version idea): the epoch is recorded in the commit marker,
+        and an apply whose epoch some committed version already carries
+        is a no-op — so a non-idempotent fold (e.g. a CMS sum-merge)
+        replayed by an at-least-once foreachBatch can pass its batch_id
+        and never double-counts. The check re-runs inside the retry
+        loop, so a lost race against a same-epoch twin resolves to
+        exactly one merge.
         """
         for _ in range(self.max_retries):
+            if epoch is not None and epoch in _occ_committed_epochs(
+                self._commits_dir()
+            ):
+                return
             base_version = self.current_version()
             merged = fn(self.read_version(base_version))
             name = self._stage_snapshot(merged)
-            if self._try_commit(base_version + 1, name):
+            if self._try_commit(base_version + 1, name, epoch=epoch):
                 return
             # lost the race: another writer committed base_version+1 first;
             # drop our stale staging dir, re-read, re-apply
@@ -416,8 +451,13 @@ class BucketedTransactionalStore:
         with open(marker) as fh:
             return json.load(fh)["manifest"]
 
-    def _try_commit(self, version: int, manifest: dict[str, str]) -> bool:
-        return _occ_try_claim(self._commits_dir(), version, {"manifest": manifest})
+    def _try_commit(
+        self, version: int, manifest: dict[str, str], epoch=None
+    ) -> bool:
+        payload: dict = {"manifest": manifest}
+        if epoch is not None:
+            payload["epoch"] = epoch
+        return _occ_try_claim(self._commits_dir(), version, payload)
 
     # the partition column/dir uses a dunder name so a data column named
     # "bucket" is never clobbered, and the underscore prefix hides the
@@ -487,7 +527,7 @@ class BucketedTransactionalStore:
             return None
         return self.spark.read.parquet(*paths).join(kd, self.key_cols, "left_semi")
 
-    def apply_keyed(self, updates: DataFrame, fn) -> None:
+    def apply_keyed(self, updates: DataFrame, fn, epoch=None) -> None:
         """OCC partial-rewrite read-modify-write:
         ``fn(current_touched_df_or_None, updates) -> merged_touched_df``.
 
@@ -498,6 +538,9 @@ class BucketedTransactionalStore:
         full-snapshot store's ``apply``. A lost commit race re-reads the
         new base manifest and re-applies ``fn``, so concurrent commits
         (including to the same bucket) are never lost.
+
+        ``epoch``: idempotent-commit marker, same contract as
+        :meth:`TransactionalParquetStore.apply`.
         """
         upd = updates.withColumn("__bucket", self._bucket_expr())
         # bounded collect: at most n_buckets rows
@@ -508,6 +551,10 @@ class BucketedTransactionalStore:
             return
         upd_data = upd.drop("__bucket")
         for _ in range(self.max_retries):
+            if epoch is not None and epoch in _occ_committed_epochs(
+                self._commits_dir()
+            ):
+                return
             base_version = self.current_version()
             base = self._manifest(base_version) or {}
             cur_paths = [
@@ -539,7 +586,7 @@ class BucketedTransactionalStore:
                     manifest[b] = name
                 else:
                     manifest.pop(b, None)
-            if self._try_commit(base_version + 1, manifest):
+            if self._try_commit(base_version + 1, manifest, epoch=epoch):
                 return
             shutil.rmtree(
                 os.path.join(self.path, "_snapshots", name), ignore_errors=True

@@ -106,3 +106,29 @@ def test_replayed_append_is_result_idempotent_and_compactable(spark, tmp_path):
     assert idx._band_store.read().count() > 0
     b2 = idx._band_store.read()
     assert b2.count() == b2.distinct().count()  # duplicates gone
+
+
+def test_replayed_ingest_returns_same_survivors(spark, tmp_path):
+    """The at-least-once window: a batch whose bands were APPENDED but
+    whose output was never checkpointed gets re-ingested. Without the
+    index-probe replay guard every replayed doc would self-match at
+    Jaccard 1.0 and the whole batch would silently drop; with it the
+    replay returns the first run's exact survivor set."""
+    idx = MinHashBandIndex(spark, str(tmp_path / "idx"), threshold=0.7)
+    idx.append(_docs(spark, [(100, BASE), (101, OTHER)]))
+    batch = _docs(
+        spark,
+        [
+            (1, BASE + " extra"),   # near-dup of corpus -> dropped
+            (2, UNIQ),              # unique -> kept
+            (3, UNIQ + " tail"),    # near-dup of lower-id peer 2 -> dropped
+        ],
+    )
+    first = {r["doc_id"] for r in idx.ingest(batch).collect()}
+    assert first == {2}
+    # replay: the batch's own bands are already in the store
+    replay = {r["doc_id"] for r in idx.ingest(batch).collect()}
+    assert replay == first
+    # and the index still gates LATER docs against the batch normally
+    later = idx.ingest(_docs(spark, [(9, UNIQ + " x")]))
+    assert later.count() == 0

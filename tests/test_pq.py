@@ -120,3 +120,69 @@ def test_residual_ivfpq_beats_raw_at_small_shortlist(spark):
 
     assert recall(True) >= recall(False)
     assert recall(True) >= 5
+
+
+def test_ivfpq_excludes_zero_norm_rows(spark):
+    """An all-zero embedding has no direction: it must be excluded, not
+    NaN-poison its assignment and every distance (round-5 ADVICE)."""
+    emb = _emb(spark, n=40, dim=16).unionByName(
+        spark.range(1).select(
+            (F.col("id") + 1000).alias("vec_id"),
+            F.array(*[F.lit(0.0)] * 16).alias("embedding"),
+        )
+    )
+    row = emb.orderBy("vec_id").first()
+    q = [float(x) for x in row["embedding"]]
+    got = pq.ivfpq_search(
+        emb, q, k=40, n_centroids=4, nprobe=4, m=4, k_codes=8,
+        shortlist=40, exclude_id=0,
+    ).collect()
+    ids = {r["vec_id"] for r in got}
+    assert 1000 not in ids
+    assert all(r["l2_dist"] == r["l2_dist"] for r in got)  # no NaN
+    assert len(ids) > 0
+
+
+def test_residual_search_degrades_k_codes_on_tiny_corpus(spark):
+    """k_codes > available vectors must degrade, not raise: the residual
+    books train at index-build scope over ALL lists (round-5 ADVICE)."""
+    emb = _emb(spark, n=10, dim=16)
+    row = emb.orderBy("vec_id").first()
+    q = [float(x) for x in row["embedding"]]
+    got = pq.ivfpq_search(
+        emb, q, k=5, n_centroids=2, nprobe=1, m=4, k_codes=16,
+        shortlist=8, exclude_id=0, residual=True,
+    ).collect()
+    assert len(got) > 0
+
+
+def test_ivfpq_pinned_artifacts_match_in_query_training(spark):
+    """centroids/books injected from an artifact must reproduce the
+    in-query-trained answer exactly (same normalized-vector pipeline)."""
+    import math
+
+    emb = _emb(spark, n=200, dim=16)
+    row = emb.orderBy("vec_id").first()
+    q = [float(x) for x in row["embedding"]]
+
+    # replicate the search path's normalization (left-associated fold)
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    normed = []
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        n = math.sqrt(acc)
+        normed.append((r["vec_id"], [x / n for x in v]))
+    cents = [v for _, v in normed[:4]]  # seed_mode="first"
+    normed_df = spark.createDataFrame(
+        normed, "vec_id long, embedding array<double>"
+    )
+    books = pq.pq_train(normed_df, m=4, k=8, iters=1, allow_fewer=True)
+
+    kw = dict(k=10, n_centroids=4, nprobe=2, m=4, k_codes=8,
+              shortlist=40, exclude_id=0)
+    trained = pq.ivfpq_search(emb, q, **kw).collect()
+    pinned = pq.ivfpq_search(emb, q, centroids=cents, books=books, **kw).collect()
+    assert [r["vec_id"] for r in pinned] == [r["vec_id"] for r in trained]

@@ -7,9 +7,11 @@ from __future__ import annotations
 import threading
 
 import pytest
+from pyspark.sql import functions as F
 
 from iheardai_data_pipeline_spark.streaming.stores import (
     HAS_DELTA,
+    BucketedTransactionalStore,
     DeltaMergeStore,
     TransactionalParquetStore,
 )
@@ -379,3 +381,55 @@ def test_bucketed_read_keys_multi_and_missing(spark, tmp_path):
     # empty store -> None
     empty = _bstore(spark, tmp_path, name="e", n_buckets=8)
     assert empty.read_keys(spark.createDataFrame([("k1",)], "k string")) is None
+
+
+def test_apply_epoch_is_idempotent(spark, tmp_path):
+    """A non-idempotent fold (sum-merge) replayed with the same epoch
+    must be a no-op — the Delta txn-appId idea on the OCC marker."""
+    st = TransactionalParquetStore(
+        spark, str(tmp_path / "epoch"), key_cols=["k"], order_cols=["seq"]
+    )
+    upd = spark.createDataFrame([("a", 1, "x")], SCHEMA)
+
+    def fn(current):
+        if current is None:
+            return upd
+        return (
+            current.unionByName(upd)
+            .groupBy("k", "v")
+            .agg(F.sum("seq").alias("seq"))
+            .select("k", "seq", "v")
+        )
+
+    st.apply(fn, epoch=7)
+    st.apply(fn, epoch=7)  # replay: skipped
+    assert st.read().collect()[0]["seq"] == 1
+    st.apply(fn, epoch=8)  # new epoch: merges
+    assert st.read().collect()[0]["seq"] == 2
+    assert st.current_version() == 2
+
+
+def test_bucketed_apply_keyed_epoch_is_idempotent(spark, tmp_path):
+    st = BucketedTransactionalStore(
+        spark, str(tmp_path / "bepoch"), key_cols=["k"], order_cols=["seq"],
+        n_buckets=4,
+    )
+    upd = spark.createDataFrame([("a", 1, "x"), ("b", 2, "y")], SCHEMA)
+
+    def fn(current, u):
+        if current is None:
+            return u
+        return (
+            current.unionByName(u)
+            .groupBy("k", "v")
+            .agg(F.sum("seq").alias("seq"))
+            .select("k", "seq", "v")
+        )
+
+    st.apply_keyed(upd, fn, epoch="b0")
+    st.apply_keyed(upd, fn, epoch="b0")  # replay: skipped
+    got = {r["k"]: r["seq"] for r in st.read().collect()}
+    assert got == {"a": 1, "b": 2}
+    st.apply_keyed(upd, fn, epoch="b1")
+    got = {r["k"]: r["seq"] for r in st.read().collect()}
+    assert got == {"a": 2, "b": 4}
