@@ -5,10 +5,13 @@ without re-banding the corpus.
 re-shingles and re-bands the ENTIRE corpus on every call — correct, but
 at 100 TB the corpus side dwarfs every batch and its banding never
 changes. This module persists the banding once: band keys and shingle
-profiles live in two :class:`BucketedTransactionalStore`\\ s, a batch
-PROBES them (bucket-pruned point lookups + candidate-bounded joins — no
-work proportional to corpus size), and then appends its own bands, so
-ingest cost is a function of batch size and candidate count only.
+profiles are two relations of ONE
+:class:`MultiRelationTransactionalStore` (a shared OCC commit log — a
+batch's bands and profiles land in one atomic commit, one staged
+write); a batch PROBES them (bucket-pruned point lookups +
+candidate-bounded joins — no work proportional to corpus size), and
+then appends its own bands, so ingest cost is a function of batch size
+and candidate count only.
 
 Semantics (arrival-order gate, same convention as the recompute path
 and the t12 stream): an incoming doc is DROPPED when it has an
@@ -51,25 +54,33 @@ from iheardai_data_pipeline_spark.operators.dedup import (
     shingle_array,
 )
 from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism, eval_once
-from iheardai_data_pipeline_spark.streaming.stores import BucketedTransactionalStore
+from iheardai_data_pipeline_spark.streaming.stores import (
+    MultiRelationTransactionalStore,
+)
 
 
-def _append_rows():
-    """Key-local store fold: plain append, NO dedup shuffle. Duplicate
-    rows (a replayed batch re-appending its bands/profiles) are
-    CORRECTNESS-HARMLESS here: ingest() distincts candidate pairs and
-    drop targets, so results are identical with or without them — the
-    query answers stay replay-idempotent while each commit saves a
-    full shuffle. Storage hygiene after crash-replays is a compaction
-    concern (rewrite a bucket with dropDuplicates), not a hot-path one.
+def buckets_for_corpus(
+    expected_docs: int, bands: int = 16, target_rows_per_bucket: int = 250_000
+) -> int:
+    """Bucket-count sizing rule (the band-index analog of IVF's sqrt(N)
+    centroid rule): the band relation holds ``expected_docs * bands``
+    8-byte-keyed rows, and a probe reads whole buckets — so size buckets
+    to a bounded row count, not a rig constant.
+
+    ``n_buckets = next_pow2(expected_docs * bands / target_rows_per_bucket)``
+    clamped to [16, 65536]. The default target (250k rows ≈ a few MB of
+    (bkey, id) pairs) keeps any single probe's bucket reads executor-
+    sized; a 1B-doc corpus at 16 bands → 16B band rows → 65536 buckets,
+    each ~244k rows. Power-of-two so a later split/merge re-shard halves
+    or doubles cleanly.
     """
-
-    def fn(current: DataFrame | None, upd: DataFrame) -> DataFrame:
-        if current is None:
-            return upd
-        return current.unionByName(upd)
-
-    return fn
+    if expected_docs <= 0:
+        raise ValueError(f"expected_docs must be positive, got {expected_docs}")
+    need = (expected_docs * bands + target_rows_per_bucket - 1) // target_rows_per_bucket
+    n = 16
+    while n < need and n < 65536:
+        n *= 2
+    return n
 
 
 class MinHashBandIndex:
@@ -84,6 +95,11 @@ class MinHashBandIndex:
     bandings in one index silently loses candidates), so the creator
     pins them in ``_lsh_meta.json`` and later opens must match or pass
     defaults-by-inheritance.
+
+    ``n_buckets``: pass ``expected_docs=`` to size it with
+    :func:`buckets_for_corpus` (preferred — it is a layout constant you
+    cannot change later without re-sharding); the bare default (16) is
+    only right for rig-scale corpora.
     """
 
     def __init__(
@@ -96,10 +112,13 @@ class MinHashBandIndex:
         k: int = 64,
         bands: int = 16,
         threshold: float = 0.7,
-        n_buckets: int = 16,
+        n_buckets: int | None = None,
+        expected_docs: int | None = None,
     ) -> None:
         if k % bands != 0:
             raise ValueError(f"k={k} must divide into bands={bands}")
+        if n_buckets is None and expected_docs is not None:
+            n_buckets = buckets_for_corpus(expected_docs, bands)
         self.spark = spark
         self.path = path
         self.id_col = id_col
@@ -128,18 +147,16 @@ class MinHashBandIndex:
             finally:
                 os.unlink(tmp)
         self.n, self.k, self.bands, self.threshold = n, k, bands, threshold
-        self._band_store = BucketedTransactionalStore(
+        # ONE transactional store for BOTH relations: each ingest batch
+        # commits its band keys and shingle profiles atomically in a
+        # single cycle (one touched-bucket collect, one staged write,
+        # one claim link) — halving the per-batch fixed cost the two
+        # separate stores paid, and removing the crash window where the
+        # bands landed but the profiles didn't (round-5 punch item).
+        self._store = MultiRelationTransactionalStore(
             spark,
-            os.path.join(path, "bands"),
-            key_cols=["bkey"],
-            order_cols=[id_col],
-            n_buckets=n_buckets,
-        )
-        self._profile_store = BucketedTransactionalStore(
-            spark,
-            os.path.join(path, "profiles"),
-            key_cols=[id_col],
-            order_cols=[id_col],
+            os.path.join(path, "state"),
+            relations={"bands": ["bkey"], "profiles": [id_col]},
             n_buckets=n_buckets,
         )
 
@@ -220,26 +237,33 @@ class MinHashBandIndex:
 
     # -- public API -----------------------------------------------------------
 
-    def append(self, docs: DataFrame) -> None:
+    def append(self, docs: DataFrame, epoch=None) -> None:
         """Index documents unconditionally (corpus bootstrap / trusted
-        sources). Two OCC appends; profiles computed once."""
+        sources). ONE atomic OCC commit for both relations; profiles
+        computed once. Plain append, not LWW merge: a doc's profile is
+        a pure function of its text, so re-appends are identical rows
+        and both the ordering window and the dedup would be wasted
+        shuffles per batch. ``epoch`` (e.g. a
+        foreachBatch batch_id) makes the commit idempotent."""
         prof = self._profiles(docs).cache()
         try:
-            self._band_store.apply_keyed(self._band_rows(prof), _append_rows())
-            # plain append, not LWW merge: a doc's profile is a pure
-            # function of its text, so re-appends are identical rows and
-            # both the ordering window and the dedup would be wasted
-            # shuffles per batch (see _append_rows)
-            self._profile_store.apply_keyed(
-                prof.select(self.id_col, "sh_set", "n_sh"), _append_rows()
+            self._store.append_keyed(
+                {
+                    "bands": self._band_rows(prof),
+                    "profiles": prof.select(self.id_col, "sh_set", "n_sh"),
+                },
+                epoch=epoch,
             )
         finally:
             prof.unpersist()
 
-    def ingest(self, batch: DataFrame) -> DataFrame:
+    def ingest(self, batch: DataFrame, epoch=None) -> DataFrame:
         """Gate ``batch`` against the index + lower-id batch peers,
         append ALL batch docs (kept and rejected — see module doc),
         return the surviving rows with every original column.
+        ``epoch`` (e.g. a foreachBatch batch_id) makes the store append
+        idempotent; the gate itself is replay-exact either way (the
+        probe anti-joins the batch's own ids).
 
         Cost anatomy: probe = one bucket-pruned read of the band store
         (only buckets the batch's band keys hash to) + one equi-join on
@@ -254,8 +278,17 @@ class MinHashBandIndex:
         prof = self._profiles(batch).cache()
         bands_inc = self._band_rows(prof).cache()
         try:
-            dropped = None
-            stored = self._band_store.read_keys(bands_inc.select("bkey"))
+            # intra-batch: later id drops when a lower-id peer matches,
+            # regardless of that peer's own fate (one-shot convention)
+            cand_all = (
+                bands_inc.withColumnRenamed(ic, "id_a")
+                .join(bands_inc.withColumnRenamed(ic, "id_b"), "bkey")
+                .filter(F.col("id_a") > F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            right_prof = prof.select(ic, "sh_set", "n_sh")
+            stored = self._store.read_keys("bands", bands_inc.select("bkey"))
             if stored is not None:
                 # REPLAY GUARD: a crash-replayed batch (appended to the
                 # store but not stream-checkpointed — the at-least-once
@@ -277,42 +310,42 @@ class MinHashBandIndex:
                     )
                     .select("id_a", "id_b")
                     .distinct()
+                    # candidate pairs are few (banding's whole point) but
+                    # their plan reads store buckets + two joins — pin it
+                    # once: read_keys' bucket collect AND the verify pass
+                    # below would otherwise each re-execute it
+                    .localCheckpoint(eager=True)
                 )
-                idx_prof = self._profile_store.read_keys(
-                    cand.select(F.col("id_b").alias(ic))
+                idx_prof = self._store.read_keys(
+                    "profiles", cand.select(F.col("id_b").alias(ic))
                 )
                 if idx_prof is not None:
-                    dropped = (
-                        self._verified_pairs(cand, prof, idx_prof)
-                        .select(F.col("id_a").alias(ic))
-                        .distinct()
-                    )
-            # intra-batch: later id drops when a lower-id peer matches,
-            # regardless of that peer's own fate (one-shot convention)
-            intra_cand = (
-                bands_inc.withColumnRenamed(ic, "id_a")
-                .join(bands_inc.withColumnRenamed(ic, "id_b"), "bkey")
-                .filter(F.col("id_a") > F.col("id_b"))
-                .select("id_a", "id_b")
-                .distinct()
-            )
-            intra_dropped = (
-                self._verified_pairs(intra_cand, prof, prof)
+                    # ONE fused verify pass: index and intra-batch
+                    # candidate id_b spaces are disjoint (the guard
+                    # removed batch ids from the stored side), so a
+                    # plain union of pairs + profile sides is exact and
+                    # halves the verify plan's joins and distincts
+                    cand_all = cand.unionByName(cand_all)
+                    right_prof = idx_prof.select(
+                        ic, "sh_set", "n_sh"
+                    ).unionByName(right_prof)
+            dropped = (
+                self._verified_pairs(cand_all, prof, right_prof)
                 .select(F.col("id_a").alias(ic))
                 .distinct()
             )
-            dropped = (
-                intra_dropped
-                if dropped is None
-                else dropped.unionByName(intra_dropped).distinct()
-            )
             survivors = batch.join(dropped, ic, "left_anti")
             # left_anti re-executes per action; pin the (batch-sized)
-            # result so the appends below can't race its store reads
+            # result so the append below can't race its store reads
             survivors = survivors.localCheckpoint(eager=True)
-            self._band_store.apply_keyed(bands_inc, _append_rows())
-            self._profile_store.apply_keyed(
-                prof.select(ic, "sh_set", "n_sh"), _append_rows()
+            # ONE atomic O(batch) append: bands + profiles land together,
+            # no bucket rewrite (the store's add-files commit)
+            self._store.append_keyed(
+                {
+                    "bands": bands_inc,
+                    "profiles": prof.select(ic, "sh_set", "n_sh"),
+                },
+                epoch=epoch,
             )
             return survivors
         finally:
@@ -320,22 +353,19 @@ class MinHashBandIndex:
             prof.unpersist()
 
     def compact(self) -> None:
-        """Storage hygiene: rewrite both stores with duplicates dropped
-        (rows a crash-replayed batch re-appended — results never depend
-        on them, see _append_rows; this reclaims the space). One full
-        snapshot rewrite per store — run it on the maintenance cadence,
-        not the ingest path."""
-        bands = self._band_store.read()
-        if bands is not None:
-            self._band_store.write_snapshot(
-                bands.dropDuplicates(["bkey", self.id_col])
-            )
-        profs = self._profile_store.read()
-        if profs is not None:
-            self._profile_store.write_snapshot(
-                profs.dropDuplicates([self.id_col])
-            )
+        """Storage hygiene: fold every bucket's append-dir list back to
+        one dir AND drop duplicate rows (rows a crash-replayed
+        un-epoched batch re-appended — results never depend on them;
+        this reclaims the space and the small files). One read+rewrite
+        through the commit protocol — run it on the maintenance
+        cadence, not the ingest path."""
+        ic = self.id_col
+
+        def fold(rel: str, current: DataFrame, upd) -> DataFrame:
+            keys = ["bkey", ic] if rel == "bands" else [ic]
+            return current.dropDuplicates(keys)
+
+        self._store.apply_keyed_all_buckets(fold)
 
     def vacuum(self, keep: int = 2, grace_seconds: float = 3600.0) -> None:
-        self._band_store.vacuum(keep, grace_seconds)
-        self._profile_store.vacuum(keep, grace_seconds)
+        self._store.vacuum(keep, grace_seconds)

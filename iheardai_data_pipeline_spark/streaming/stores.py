@@ -661,3 +661,498 @@ class BucketedTransactionalStore:
                 continue
             if age >= grace_seconds:
                 shutil.rmtree(p, ignore_errors=True)
+
+
+class MultiRelationTransactionalStore:
+    """N named bucketed relations under ONE OCC commit log: a commit
+    covers every relation ATOMICALLY, staged by a SINGLE Spark write.
+
+    Why it exists: an index that maintains two relations per ingest
+    (e.g. the MinHash band index's band keys + shingle profiles) pays
+    two full commit cycles per batch on two separate stores — two
+    touched-bucket collects, two write jobs, two snapshot listings, two
+    claim links — and a crash between them leaves the relations
+    inconsistent. Here each relation keeps its own key columns and
+    bucket hashing, but one commit stages ALL relations' touched
+    buckets under one snapshot dir (``__rel=<name>/__bucket=<NN>``
+    partition dirs, written by ONE job over the relations' unioned
+    frames) and one exclusive hard link publishes a manifest covering
+    every relation. Halves the per-batch fixed cost and makes the
+    cross-relation state transactional.
+
+    A bucket's manifest entry is a LIST of snapshot dirs (Delta's
+    add-file model): :meth:`append_keyed` — the ingest hot path —
+    stages ONLY the update rows and appends a pointer, so an append
+    commit costs O(batch) however big the store is (reading + rewriting
+    the touched buckets, as :meth:`apply_keyed` folds do, would make
+    every append O(store)). Reads concatenate a bucket's dir list;
+    :meth:`compact` folds each list back to one dir on the maintenance
+    cadence, bounding small-file growth.
+
+    Layout under ``path``::
+
+        _meta.json                  {"n_buckets": N, "relations": [...]}
+        _snapshots/<uuid>/__rel=<name>/__bucket=<NN>/  touched buckets
+        _commits/<N>                {"manifest": {rel: {"NN": ["<uuid>", ...]}},
+                                     "epoch": optional idempotence marker}
+
+    Constraints:
+    - every :meth:`apply_keyed` / :meth:`append_keyed` call passes
+      updates for EVERY relation (empty frames are fine) — staged files
+      then always carry the same union schema, so cross-commit reads
+      never mix schemas;
+    - relations sharing a column name must share its type (the staging
+      union is by name, missing columns null-filled);
+    - per-relation reads select their own columns (the union schema's
+      other columns are all-null and pruned by parquet column pruning).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        relations: dict[str, list[str]],
+        n_buckets: int | None = None,
+        max_retries: int = 10,
+    ):
+        if not relations:
+            raise ValueError("need at least one relation")
+        self.spark = spark
+        self.path = path
+        self.relations = dict(relations)
+        self.max_retries = max_retries
+        os.makedirs(os.path.join(path, "_snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(path, "_commits"), exist_ok=True)
+        # layout constants pinned by the first creator (see
+        # BucketedTransactionalStore: wrong n_buckets = wrong buckets)
+        meta_path = os.path.join(path, "_meta.json")
+        want = {
+            "n_buckets": 16 if n_buckets is None else n_buckets,
+            "relations": {r: list(k) for r, k in sorted(relations.items())},
+        }
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                persisted = json.load(fh)
+            if persisted["relations"] != want["relations"]:
+                raise ValueError(
+                    f"store at {path} has relations {persisted['relations']}; "
+                    f"got {want['relations']}"
+                )
+            if n_buckets is not None and persisted["n_buckets"] != n_buckets:
+                raise ValueError(
+                    f"store at {path} was created with "
+                    f"n_buckets={persisted['n_buckets']}; got {n_buckets} — "
+                    "pass None to inherit"
+                )
+            self.n_buckets = persisted["n_buckets"]
+        else:
+            self.n_buckets = want["n_buckets"]
+            tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                json.dump(want, fh)
+            try:
+                os.link(tmp, meta_path)  # exclusive: first creator wins
+            except FileExistsError:
+                with open(meta_path) as fh:
+                    self.n_buckets = json.load(fh)["n_buckets"]
+            finally:
+                os.unlink(tmp)
+
+    # -- commit-log primitives (shared OCC protocol) ---------------------------
+
+    def _commits_dir(self) -> str:
+        return os.path.join(self.path, "_commits")
+
+    def current_version(self) -> int:
+        return _occ_current_version(self._commits_dir())
+
+    def _manifest(self, version: int) -> dict[str, dict[str, list[str]]] | None:
+        """{rel: {bucket: [snapshot, ...]}} — a bucket's rows are the
+        concatenation of its snapshot-dir list (appends add pointers;
+        rewrites/compaction collapse the list to one)."""
+        marker = os.path.join(self._commits_dir(), str(version))
+        if version <= 0 or not os.path.exists(marker):
+            return None
+        with open(marker) as fh:
+            return json.load(fh)["manifest"]
+
+    def _try_commit(
+        self, version: int, manifest: dict[str, dict[str, list[str]]], epoch=None
+    ) -> bool:
+        payload: dict = {"manifest": manifest}
+        if epoch is not None:
+            payload["epoch"] = epoch
+        return _occ_try_claim(self._commits_dir(), version, payload)
+
+    def _bucket_path(self, snapshot: str, rel: str, bucket: str) -> str:
+        return os.path.join(
+            self.path, "_snapshots", snapshot, f"__rel={rel}", f"__bucket={bucket}"
+        )
+
+    def _written_buckets(self, snapshot: str, rel: str) -> set[str]:
+        d = os.path.join(self.path, "_snapshots", snapshot, f"__rel={rel}")
+        if not os.path.isdir(d):
+            return set()
+        return {
+            e.split("=", 1)[1] for e in os.listdir(d) if e.startswith("__bucket=")
+        }
+
+    def _bucket_expr(self, rel: str):
+        from pyspark.sql import functions as F
+
+        return F.pmod(
+            F.xxhash64(*self.relations[rel]), F.lit(self.n_buckets)
+        ).cast("int")
+
+    # -- store interface --------------------------------------------------------
+
+    def read(self, rel: str) -> DataFrame | None:
+        manifest = self._manifest(self.current_version())
+        if not manifest or not manifest.get(rel):
+            return None
+        paths = [
+            self._bucket_path(s, rel, b)
+            for b, names in manifest[rel].items()
+            for s in names
+        ]
+        return self.spark.read.parquet(*paths)
+
+    def read_keys(self, rel: str, keys: DataFrame) -> DataFrame | None:
+        """Bucket-pruned keyed lookup on one relation — identical
+        contract to BucketedTransactionalStore.read_keys."""
+        manifest = self._manifest(self.current_version())
+        if not manifest or not manifest.get(rel):
+            return None
+        kd = keys.select(*self.relations[rel]).distinct()
+        touched = {
+            str(r["__bucket"])
+            for r in kd.withColumn("__bucket", self._bucket_expr(rel))
+            .select("__bucket")
+            .distinct()
+            .collect()
+        }
+        paths = [
+            self._bucket_path(s, rel, b)
+            for b, names in manifest[rel].items()
+            if b in touched
+            for s in names
+        ]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths).join(
+            kd, self.relations[rel], "left_semi"
+        )
+
+    def apply_keyed(self, updates: dict[str, DataFrame], fn, epoch=None) -> None:
+        """Atomic multi-relation OCC read-modify-write.
+
+        ``updates`` maps EVERY relation name to its update frame;
+        ``fn(rel, current_touched_or_None, upd) -> merged_touched`` must
+        be key-local per relation (same contract as the single-relation
+        store). One touched-bucket collect, ONE staged write job over
+        all relations, one commit claim. ``epoch`` = idempotent-commit
+        marker (see TransactionalParquetStore.apply).
+        """
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        if set(updates) != set(self.relations):
+            raise ValueError(
+                f"apply_keyed needs updates for every relation "
+                f"{sorted(self.relations)}; got {sorted(updates)}"
+            )
+        upd = {
+            rel: df.withColumn("__bucket", self._bucket_expr(rel))
+            for rel, df in updates.items()
+        }
+        # ONE bounded collect across all relations (<= n_rel * n_buckets)
+        tagged = [
+            df.select(F.lit(rel).alias("__rel"), "__bucket").distinct()
+            for rel, df in upd.items()
+        ]
+        touched: dict[str, list[str]] = {rel: [] for rel in self.relations}
+        for r in reduce(lambda a, b: a.unionByName(b), tagged).collect():
+            touched[r["__rel"]].append(str(r["__bucket"]))
+        n_touched = sum(len(v) for v in touched.values())
+        if n_touched == 0:
+            return
+        upd_data = {rel: df.drop("__bucket") for rel, df in upd.items()}
+        for _ in range(self.max_retries):
+            if epoch is not None and epoch in _occ_committed_epochs(
+                self._commits_dir()
+            ):
+                return
+            base_version = self.current_version()
+            base = self._manifest(base_version) or {}
+            parts = []
+            for rel in sorted(self.relations):
+                rel_base = base.get(rel, {})
+                cur_paths = [
+                    self._bucket_path(s, rel, b)
+                    for b, names in rel_base.items()
+                    if b in touched[rel]
+                    for s in names
+                ]
+                current = (
+                    self.spark.read.parquet(*cur_paths) if cur_paths else None
+                )
+                merged = fn(rel, current, upd_data[rel])
+                parts.append(
+                    merged.withColumn("__rel", F.lit(rel)).withColumn(
+                        "__bucket", self._bucket_expr(rel)
+                    )
+                )
+            all_df = reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+            )
+            name = uuid.uuid4().hex
+            (
+                # one file per (rel, bucket) per commit — see
+                # BucketedTransactionalStore.apply_keyed
+                all_df.repartition(n_touched, "__rel", "__bucket")
+                .write.partitionBy("__rel", "__bucket")
+                .mode("overwrite")
+                .parquet(os.path.join(self.path, "_snapshots", name))
+            )
+            manifest = {rel: dict(base.get(rel, {})) for rel in self.relations}
+            for rel in self.relations:
+                written = self._written_buckets(name, rel)
+                for b in touched[rel]:
+                    if b in written:
+                        # a fold REPLACES the bucket's whole dir list
+                        manifest[rel][b] = [name]
+                    else:
+                        manifest[rel].pop(b, None)
+            if self._try_commit(base_version + 1, manifest, epoch=epoch):
+                return
+            shutil.rmtree(
+                os.path.join(self.path, "_snapshots", name), ignore_errors=True
+            )
+        raise RuntimeError(
+            f"apply_keyed on {self.path} lost {self.max_retries} consecutive commit races"
+        )
+
+    def append_keyed(self, updates: dict[str, DataFrame], epoch=None) -> None:
+        """Atomic multi-relation APPEND — the ingest hot path.
+
+        Stages ONLY the update rows (one write job) and commits by
+        appending a pointer to each touched bucket's dir list: no
+        current-state read, no bucket rewrite, so the commit costs
+        O(batch) no matter how big the store already is — the add-files
+        half of Delta's commit model (``apply_keyed`` is the rewrite
+        half). Readers concatenate the list; :meth:`compact` folds it
+        back to one dir per bucket on the maintenance cadence.
+
+        ``epoch`` = idempotent-commit marker; without it a replayed
+        append duplicates rows (harmless only if the reader's semantics
+        tolerate duplicates — the band index's do).
+        """
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        if set(updates) != set(self.relations):
+            raise ValueError(
+                f"append_keyed needs updates for every relation "
+                f"{sorted(self.relations)}; got {sorted(updates)}"
+            )
+        parts = [
+            updates[rel]
+            .withColumn("__rel", F.lit(rel))
+            .withColumn("__bucket", self._bucket_expr(rel))
+            for rel in sorted(self.relations)
+        ]
+        all_df = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        )
+        name = uuid.uuid4().hex
+        (
+            # one file per (rel, bucket): the staged data is batch-sized,
+            # so n_rel * n_buckets is the right task count
+            all_df.repartition(
+                len(self.relations) * self.n_buckets, "__rel", "__bucket"
+            )
+            .write.partitionBy("__rel", "__bucket")
+            .mode("overwrite")
+            .parquet(os.path.join(self.path, "_snapshots", name))
+        )
+        written = {
+            rel: self._written_buckets(name, rel) for rel in self.relations
+        }
+        if not any(written.values()):
+            shutil.rmtree(
+                os.path.join(self.path, "_snapshots", name), ignore_errors=True
+            )
+            return
+        # the staged dir is version-independent (pure batch rows), so a
+        # lost race only re-points the manifest — nothing is re-staged
+        for _ in range(self.max_retries):
+            if epoch is not None and epoch in _occ_committed_epochs(
+                self._commits_dir()
+            ):
+                shutil.rmtree(
+                    os.path.join(self.path, "_snapshots", name),
+                    ignore_errors=True,
+                )
+                return
+            base_version = self.current_version()
+            base = self._manifest(base_version) or {}
+            manifest = {rel: dict(base.get(rel, {})) for rel in self.relations}
+            for rel in self.relations:
+                for b in written[rel]:
+                    manifest[rel][b] = manifest[rel].get(b, []) + [name]
+            if self._try_commit(base_version + 1, manifest, epoch=epoch):
+                return
+        shutil.rmtree(
+            os.path.join(self.path, "_snapshots", name), ignore_errors=True
+        )
+        raise RuntimeError(
+            f"append_keyed on {self.path} lost {self.max_retries} consecutive commit races"
+        )
+
+    def compact(self, epoch=None) -> None:
+        """Fold every bucket's snapshot-dir list back to ONE dir (small-
+        file hygiene after many appends). One read+rewrite of the whole
+        store through the normal commit protocol — maintenance cadence,
+        not the ingest path. Rows are preserved verbatim; row-level
+        cleanup (e.g. dropping duplicates replayed un-epoched appends
+        created) is the caller's semantics — pass its fold to
+        :meth:`apply_keyed_all_buckets` directly."""
+        self.apply_keyed_all_buckets(
+            lambda rel, current, upd: current, epoch=epoch
+        )
+
+    def apply_keyed_all_buckets(self, fn, epoch=None) -> None:
+        """Run a key-local fold over EVERY populated bucket of every
+        relation (compaction, retention sweeps). Same commit protocol as
+        apply_keyed, but 'touched' = all buckets in the base manifest."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        for _ in range(self.max_retries):
+            if epoch is not None and epoch in _occ_committed_epochs(
+                self._commits_dir()
+            ):
+                return
+            base_version = self.current_version()
+            base = self._manifest(base_version) or {}
+            if not any(base.get(rel) for rel in self.relations):
+                return
+            parts = []
+            touched = {rel: sorted(base.get(rel, {})) for rel in self.relations}
+            for rel in sorted(self.relations):
+                rel_base = base.get(rel, {})
+                if not rel_base:
+                    continue
+                cur_paths = [
+                    self._bucket_path(s, rel, b)
+                    for b, names in rel_base.items()
+                    for s in names
+                ]
+                current = self.spark.read.parquet(*cur_paths)
+                merged = fn(rel, current, None)
+                parts.append(
+                    merged.withColumn("__rel", F.lit(rel)).withColumn(
+                        "__bucket", self._bucket_expr(rel)
+                    )
+                )
+            all_df = reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+            )
+            n_touched = sum(len(v) for v in touched.values())
+            name = uuid.uuid4().hex
+            (
+                all_df.repartition(max(n_touched, 1), "__rel", "__bucket")
+                .write.partitionBy("__rel", "__bucket")
+                .mode("overwrite")
+                .parquet(os.path.join(self.path, "_snapshots", name))
+            )
+            manifest = {rel: {} for rel in self.relations}
+            for rel in self.relations:
+                for b in self._written_buckets(name, rel):
+                    manifest[rel][b] = [name]
+            if self._try_commit(base_version + 1, manifest, epoch=epoch):
+                return
+            shutil.rmtree(
+                os.path.join(self.path, "_snapshots", name), ignore_errors=True
+            )
+        raise RuntimeError(
+            f"compaction on {self.path} lost {self.max_retries} consecutive commit races"
+        )
+
+    def write_snapshot(self, dfs: dict[str, DataFrame]) -> None:
+        """Full replace of EVERY relation in one atomic commit."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        if set(dfs) != set(self.relations):
+            raise ValueError(
+                f"write_snapshot needs every relation {sorted(self.relations)}"
+            )
+        for _ in range(self.max_retries):
+            base_version = self.current_version()
+            parts = [
+                df.withColumn("__rel", F.lit(rel)).withColumn(
+                    "__bucket", self._bucket_expr(rel)
+                )
+                for rel, df in sorted(dfs.items())
+            ]
+            all_df = reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+            )
+            name = uuid.uuid4().hex
+            (
+                all_df.repartition(
+                    len(self.relations) * self.n_buckets, "__rel", "__bucket"
+                )
+                .write.partitionBy("__rel", "__bucket")
+                .mode("overwrite")
+                .parquet(os.path.join(self.path, "_snapshots", name))
+            )
+            manifest = {
+                rel: {b: [name] for b in self._written_buckets(name, rel)}
+                for rel in self.relations
+            }
+            if self._try_commit(base_version + 1, manifest):
+                return
+            shutil.rmtree(
+                os.path.join(self.path, "_snapshots", name), ignore_errors=True
+            )
+        raise RuntimeError(f"write_snapshot on {self.path} lost every commit race")
+
+    def vacuum(self, keep: int = 2, grace_seconds: float = 3600.0) -> None:
+        """Same retention contract as BucketedTransactionalStore.vacuum;
+        a snapshot dir stays live while ANY retained version's manifest
+        references it from ANY relation."""
+        import time
+
+        if keep < 1:
+            raise ValueError(f"vacuum keep must be >= 1, got {keep}")
+        versions = sorted(
+            int(f) for f in os.listdir(self._commits_dir()) if f.isdigit()
+        )
+        live = set(versions[-keep:])
+        referenced: set[str] = set()
+        for v in versions:
+            manifest = self._manifest(v) or {}
+            if v in live:
+                for rel_manifest in manifest.values():
+                    for names in rel_manifest.values():
+                        referenced.update(names)
+            else:
+                os.unlink(os.path.join(self._commits_dir(), str(v)))
+        snaps = os.path.join(self.path, "_snapshots")
+        now = time.time()
+        for name in os.listdir(snaps):
+            if name in referenced:
+                continue
+            p = os.path.join(snaps, name)
+            try:
+                age = now - os.path.getmtime(p)
+            except OSError:
+                continue
+            if age >= grace_seconds:
+                shutil.rmtree(p, ignore_errors=True)

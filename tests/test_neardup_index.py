@@ -79,12 +79,12 @@ def test_probe_is_bucket_pruned(spark, tmp_path):
         [(i, " ".join(f"c{i}_{j}" for j in range(30))) for i in range(40)],
     )
     idx.append(corpus)
-    store = idx._band_store
-    manifest = store._manifest(store.current_version())
+    store = idx._store
+    manifest = (store._manifest(store.current_version()) or {}).get("bands")
     assert manifest and len(manifest) > 16  # corpus spreads over many buckets
 
     probe = idx._band_rows(idx._profiles(_docs(spark, [(1000, UNIQ)])))
-    pruned = store.read_keys(probe.select("bkey"))
+    pruned = store.read_keys("bands", probe.select("bkey"))
     # 16 band keys -> at most 16 of the stored buckets are readable
     touched = {p.split("__bucket=")[1].split("/")[0] for p in pruned.inputFiles()} if pruned is not None else set()
     assert len(touched) <= 16 < len(manifest)
@@ -97,15 +97,27 @@ def test_replayed_append_is_result_idempotent_and_compactable(spark, tmp_path):
     corpus = _docs(spark, [(100, BASE)])
     idx.append(corpus)
     idx.append(corpus)  # replay
-    bands = idx._band_store.read()
+    bands = idx._store.read("bands").select("bkey", "doc_id")
     n_rows, n_distinct = bands.count(), bands.distinct().count()
     assert n_rows == 2 * n_distinct  # duplicates present...
     kept = idx.ingest(_docs(spark, [(1, BASE + " extra"), (2, UNIQ)]))
     assert {r["doc_id"] for r in kept.collect()} == {2}  # ...answers unchanged
     idx.compact()
-    assert idx._band_store.read().count() > 0
-    b2 = idx._band_store.read()
+    b2 = idx._store.read("bands").select("bkey", "doc_id")
+    assert b2.count() > 0
     assert b2.count() == b2.distinct().count()  # duplicates gone
+
+
+def test_append_with_epoch_skips_true_replay(spark, tmp_path):
+    """An epoch-tagged append replay is a store-level NO-OP (no
+    duplicate rows at all), the exactly-once upgrade over the
+    result-idempotent untagged path."""
+    idx = MinHashBandIndex(spark, str(tmp_path / "idx"))
+    corpus = _docs(spark, [(100, BASE)])
+    idx.append(corpus, epoch=0)
+    idx.append(corpus, epoch=0)  # replay: skipped at the commit log
+    bands = idx._store.read("bands").select("bkey", "doc_id")
+    assert bands.count() == bands.distinct().count()
 
 
 def test_replayed_ingest_returns_same_survivors(spark, tmp_path):
@@ -132,3 +144,46 @@ def test_replayed_ingest_returns_same_survivors(spark, tmp_path):
     # and the index still gates LATER docs against the batch normally
     later = idx.ingest(_docs(spark, [(9, UNIQ + " x")]))
     assert later.count() == 0
+
+
+def test_buckets_for_corpus_sizing_rule():
+    from iheardai_data_pipeline_spark.operators.neardup_index import (
+        buckets_for_corpus,
+    )
+
+    assert buckets_for_corpus(5_000) == 16            # rig scale: floor
+    assert buckets_for_corpus(1_000_000) == 64        # 16M rows / 250k
+    assert buckets_for_corpus(100_000_000) == 8192    # 1.6B rows
+    assert buckets_for_corpus(1_000_000_000) == 65536 # clamp top
+    with pytest.raises(ValueError):
+        buckets_for_corpus(0)
+    # rows-per-bucket stays bounded near the target across the range
+    for docs in (10**6, 10**8, 10**9):
+        n = buckets_for_corpus(docs)
+        assert docs * 16 / n <= 2 * 250_000 or n == 65536
+
+
+def test_probe_pruning_holds_at_second_bucket_count(spark, tmp_path):
+    """The sizing rule changes n_buckets with corpus size; pruning must
+    hold at other layouts too, not just the rig default (n_buckets is a
+    layout constant — this pins 256)."""
+    idx = MinHashBandIndex(
+        spark, str(tmp_path / "idx"), n_buckets=256
+    )
+    corpus = _docs(
+        spark,
+        [(i, " ".join(f"c{i}_{j}" for j in range(30))) for i in range(60)],
+    )
+    idx.append(corpus)
+    store = idx._store
+    manifest = (store._manifest(store.current_version()) or {}).get("bands")
+    assert manifest and len(manifest) > 16
+    probe = idx._band_rows(idx._profiles(_docs(spark, [(1000, UNIQ)])))
+    pruned = store.read_keys("bands", probe.select("bkey"))
+    touched = (
+        {p.split("__bucket=")[1].split("/")[0] for p in pruned.inputFiles()}
+        if pruned is not None
+        else set()
+    )
+    # 16 band keys -> at most 16 of the 256 stored buckets are readable
+    assert len(touched) <= 16 < len(manifest)

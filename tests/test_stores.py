@@ -433,3 +433,142 @@ def test_bucketed_apply_keyed_epoch_is_idempotent(spark, tmp_path):
     st.apply_keyed(upd, fn, epoch="b1")
     got = {r["k"]: r["seq"] for r in st.read().collect()}
     assert got == {"a": 2, "b": 4}
+
+
+# --- MultiRelationTransactionalStore: one commit, N relations ----------------------
+
+
+def _multi(spark, tmp_path, name="m", n_buckets=4):
+    from iheardai_data_pipeline_spark.streaming.stores import (
+        MultiRelationTransactionalStore,
+    )
+
+    return MultiRelationTransactionalStore(
+        spark,
+        str(tmp_path / name),
+        relations={"bands": ["bkey"], "profiles": ["doc_id"]},
+        n_buckets=n_buckets,
+    )
+
+
+def _mr_append(rel, current, upd):
+    if current is None:
+        return upd
+    return current.select(*upd.columns).unionByName(upd)
+
+
+def test_multi_relation_commit_is_atomic_and_single_version(spark, tmp_path):
+    st = _multi(spark, tmp_path)
+    bands = spark.createDataFrame([(11, 1), (22, 2)], "bkey long, doc_id long")
+    profs = spark.createDataFrame(
+        [(1, [7, 8]), (2, [9])], "doc_id long, sh_set array<long>"
+    )
+    st.apply_keyed({"bands": bands, "profiles": profs}, _mr_append)
+    # ONE version covers both relations
+    assert st.current_version() == 1
+    assert {r["bkey"] for r in st.read("bands").collect()} == {11, 22}
+    assert {r["doc_id"] for r in st.read("profiles").collect()} == {1, 2}
+    # second batch: still one version per commit, appends fold per rel
+    st.apply_keyed(
+        {
+            "bands": spark.createDataFrame([(33, 3)], "bkey long, doc_id long"),
+            "profiles": spark.createDataFrame(
+                [(3, [1])], "doc_id long, sh_set array<long>"
+            ),
+        },
+        _mr_append,
+    )
+    assert st.current_version() == 2
+    assert st.read("bands").count() == 3
+    assert st.read("profiles").count() == 3
+
+
+def test_multi_relation_read_keys_prunes_buckets(spark, tmp_path):
+    st = _multi(spark, tmp_path, n_buckets=16)
+    bands = spark.createDataFrame(
+        [(i, i) for i in range(200)], "bkey long, doc_id long"
+    )
+    profs = spark.createDataFrame(
+        [(i, [i]) for i in range(200)], "doc_id long, sh_set array<long>"
+    )
+    st.apply_keyed({"bands": bands, "profiles": profs}, _mr_append)
+    got = st.read_keys(
+        "bands", spark.createDataFrame([(5,)], "bkey long")
+    )
+    assert [r["doc_id"] for r in got.collect()] == [5]
+    # the pruned read touches one bucket dir of the bands relation only
+    files = got.inputFiles()
+    assert files and all("__rel=bands" in f for f in files)
+    assert len({f.split("__bucket=")[1].split("/")[0] for f in files}) == 1
+    # missing key -> None or empty
+    missing = st.read_keys(
+        "profiles", spark.createDataFrame([(10**9,)], "doc_id long")
+    )
+    assert missing is None or missing.count() == 0
+
+
+def test_multi_relation_epoch_and_requires_all_relations(spark, tmp_path):
+    st = _multi(spark, tmp_path)
+    bands = spark.createDataFrame([(1, 1)], "bkey long, doc_id long")
+    profs = spark.createDataFrame([(1, [1])], "doc_id long, sh_set array<long>")
+    with pytest.raises(ValueError, match="every relation"):
+        st.apply_keyed({"bands": bands}, _mr_append)
+    st.apply_keyed({"bands": bands, "profiles": profs}, _mr_append, epoch=4)
+    st.apply_keyed({"bands": bands, "profiles": profs}, _mr_append, epoch=4)
+    assert st.read("bands").count() == 1  # replay skipped
+    assert st.current_version() == 1
+
+
+def test_multi_relation_write_snapshot_and_vacuum(spark, tmp_path):
+    import os
+
+    st = _multi(spark, tmp_path)
+    for i in range(3):
+        st.apply_keyed(
+            {
+                "bands": spark.createDataFrame(
+                    [(i, i)], "bkey long, doc_id long"
+                ),
+                "profiles": spark.createDataFrame(
+                    [(i, [i])], "doc_id long, sh_set array<long>"
+                ),
+            },
+            _mr_append,
+        )
+    st.write_snapshot(
+        {
+            "bands": st.read("bands").select("bkey", "doc_id").distinct(),
+            "profiles": st.read("profiles").select("doc_id", "sh_set").distinct(),
+        }
+    )
+    assert st.read("bands").count() == 3
+    st.vacuum(keep=1, grace_seconds=0.0)
+    # old versions gone, latest intact
+    assert st.read("bands").count() == 3
+    assert st.read("profiles").count() == 3
+    commits = os.listdir(os.path.join(str(tmp_path / "m"), "_commits"))
+    assert [f for f in commits if f.isdigit()] == ["4"]
+
+
+def test_multi_relation_meta_pins_layout(spark, tmp_path):
+    from iheardai_data_pipeline_spark.streaming.stores import (
+        MultiRelationTransactionalStore,
+    )
+
+    _multi(spark, tmp_path, n_buckets=4)
+    # same relations, inherited buckets: OK
+    st2 = MultiRelationTransactionalStore(
+        spark, str(tmp_path / "m"),
+        relations={"bands": ["bkey"], "profiles": ["doc_id"]},
+    )
+    assert st2.n_buckets == 4
+    with pytest.raises(ValueError, match="n_buckets"):
+        MultiRelationTransactionalStore(
+            spark, str(tmp_path / "m"),
+            relations={"bands": ["bkey"], "profiles": ["doc_id"]},
+            n_buckets=8,
+        )
+    with pytest.raises(ValueError, match="relations"):
+        MultiRelationTransactionalStore(
+            spark, str(tmp_path / "m"), relations={"bands": ["bkey"]}
+        )
