@@ -205,7 +205,16 @@ def write_hilbert(
     """Parquet clustered on the Hilbert curve — same write shape as
     :func:`write_zordered` (range partition by key, sort within files),
     tighter per-dimension footer spans (see hilbert_interleave). Uses
-    the unrolled projection-chain key (codegen path)."""
+    the unrolled projection-chain key (codegen path).
+
+    Choosing a curve: the Hilbert key costs ~2-3x Morton's bit
+    interleave at write time (1.1-1.3s vs 0.45-0.62s per 1M rows,
+    round-6 measurement — a branch-free multiply rotation was tried and
+    measured SLOWER than the codegen'd ternaries) and buys 25-30%
+    tighter per-file min/max spans. Pick Morton for write-heavy tables,
+    d != 2, or when scans filter mostly one dimension; pick Hilbert for
+    read-mostly tables whose scans range-predicate BOTH dimensions —
+    the one-time key cost amortizes over every pruned read."""
     base, scaled = _scaled_columns(df, cols, bits)
     if len(cols) != 2:
         raise ValueError("write_hilbert is 2-dimensional")
@@ -225,8 +234,9 @@ def _hilbert_append(
     """Unrolled Hilbert walk as a CHAIN of projections (one per level):
     each level's state columns are referenced several times by the next,
     so CollapseProject leaves the chain alone and whole-stage codegen
-    compiles it — measured 22x faster than the interpreted aggregate
-    fold (0.5s vs 11.3s per 1M rows). The fold form
+    compiles it — measured ~9x faster than the interpreted aggregate
+    fold (1.1-1.3s vs 11.3s per 1M rows; ~2-3x Morton's interleave, see
+    write_hilbert's selection rule). The fold form
     (:func:`hilbert_interleave`) stays as the composable single-Column
     API; this is the bulk path write_hilbert uses."""
     df = (
