@@ -45,6 +45,28 @@ def main() -> None:
     docs = load_table(spark, SF_DIR, "documents")
     n0 = docs.count()
 
+    # 0. round-6 web front half: raw pages (here: synthetic markup
+    #    around the text) -> visible text -> normalized unicode ->
+    #    prose-density line filter. All row-local; runs BEFORE any
+    #    quality scoring so the gates see clean text.
+    from iheardai_data_pipeline_spark.operators import webtext
+
+    page = F.concat(
+        F.lit("<html><body><script>n()</script><p>"),
+        F.col("text"),
+        F.lit(" &amp; more…</p><div>##</div></body></html>"),
+    )
+    web_clean = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        webtext.line_density_filter(
+            webtext.unicode_clean(webtext.html_to_text(page))
+        ).alias("text"),
+    )
+    assert web_clean.filter(F.col("text").contains("<")).count() == 0
+    assert web_clean.filter(F.col("text").contains("&amp;")).count() == 0
+
     # 1. quality gate
     scored = with_text_quality_metrics(docs, "text")
     kept = scored.filter(F.col("quality") >= 70).select("doc_id", "lang", "text", "n_tokens_ws")

@@ -2928,3 +2928,201 @@ def x_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bkt < 80, "train").when(bkt < 90, "val").otherwise("test")
     )
     return comp.select("doc_id", "component", split.alias("split"))
+
+
+# --- web-document curation: HTML extraction + Unicode normalization (round 6) -----
+
+# Both engines build the SAME synthetic HTML page around each document's
+# text (the testdata has no markup column), so the oracle checks the
+# full extraction chain value-for-value: comment with a '>' inside,
+# script/style subtrees, block tags, double-escaped entities, and
+# boilerplate lines for the density filter.
+
+
+def _web_html_spark(t):
+    from iheardai_data_pipeline_spark.operators import webtext  # noqa: F401
+
+    return F.concat(
+        F.lit("<html><head><title>"),
+        F.substring(t, 1, 30),
+        F.lit(
+            "</title><style>p{margin:0;}</style>"
+            "<script>if (x > 1) { nav(); }</script></head><body><h1>"
+        ),
+        F.substring(t, 1, 40),
+        F.lit("</h1><!-- crumb > trail --><p>"),
+        t,
+        F.lit(
+            " &amp; tail &lt;raw&gt;&nbsp;end</p>"
+            "<ul><li>alpha beta gamma delta</li><li>#!</li></ul>"
+            "<div>   </div><p>Footer line with words 123</p></body></html>"
+        ),
+    )
+
+
+_WEB_HTML_SQL = (
+    "'<html><head><title>' || substr(text, 1, 30) || "
+    "'</title><style>p{margin:0;}</style>"
+    "<script>if (x > 1) { nav(); }</script></head><body><h1>' || "
+    "substr(text, 1, 40) || "
+    "'</h1><!-- crumb > trail --><p>' || text || "
+    "' &amp; tail &lt;raw&gt;&nbsp;end</p>"
+    "<ul><li>alpha beta gamma delta</li><li>#!</li></ul>"
+    "<div>   </div><p>Footer line with words 123</p></body></html>'"
+)
+
+
+def _html_extract_oracle() -> str:
+    from iheardai_data_pipeline_spark.operators import webtext
+
+    clean = webtext.sql_html_to_text(_WEB_HTML_SQL)
+    return f"""
+WITH c AS (
+  SELECT doc_id, {clean} AS clean_text
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, clean_text,
+       CAST(len(string_split(clean_text, chr(10))) AS INT) AS n_lines,
+       CAST(length(clean_text) AS BIGINT) AS n_chars
+FROM c
+"""
+
+
+@register(
+    "x_text_html_extract",
+    oracle=_html_extract_oracle(),
+    tags=("extension", "text", "web"),
+    doc="HTML/boilerplate extraction (C4/RefinedWeb stage, round 6): "
+    "comments out, script/style SUBTREES out, block tags to newlines, "
+    "remaining tags stripped, order-pinned entity decode (&amp; last — "
+    "the double-unescape trap), per-line space collapse. One row-local "
+    "expression chain, value-oracled bit-for-bit against the DuckDB "
+    "twin generated from the same pattern tables "
+    "(operators/webtext.py:html_to_text).",
+)
+def x_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators import webtext
+    from iheardai_data_pipeline_spark.sources.batch import (
+        ensure_parallelism,
+        eval_once,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    clean = webtext.html_to_text(_web_html_spark(F.col("text")))
+    # regex-chain-heavy per-row work: fan the single-split scan out first
+    return eval_once(ensure_parallelism(docs), __clean=clean).select(
+        "doc_id",
+        F.col("__clean").alias("clean_text"),
+        F.size(F.split("__clean", "\n")).cast("int").alias("n_lines"),
+        F.length("__clean").cast("long").alias("n_chars"),
+    )
+
+
+def _unicode_norm_oracle() -> str:
+    from iheardai_data_pipeline_spark.operators import webtext
+
+    dirty = (
+        "text || chr(13) || chr(10) || 'Café “fancy” – naïve … ZW[' || "
+        "chr(8203) || ']end' || chr(7) || chr(31) || ' ÄÖÜ ß æ œ'"
+    )
+    clean = webtext.sql_unicode_clean(dirty)
+    return f"""
+SELECT doc_id, {clean} AS clean_text,
+       CAST(length({clean}) AS BIGINT) AS n_chars
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+@register(
+    "x_text_unicode_normalize",
+    oracle=_unicode_norm_oracle(),
+    tags=("extension", "text", "web"),
+    doc="Deterministic Unicode normalization (round 6): CRLF/CR to LF, "
+    "control chars stripped, zero-widths removed, pinned curly-quote/"
+    "dash/space/accent folds and multi-char folds (ß->ss, …->...) — "
+    "transliteration, NOT full NFC (no unicodedata at SQL level; the "
+    "folds are the high-frequency web cases, operators/webtext.py). "
+    "The engine injects the same dirty suffix in both engines so every "
+    "fold is exercised and value-checked.",
+)
+def x_text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators import webtext
+    from iheardai_data_pipeline_spark.sources.batch import (
+        ensure_parallelism,
+        eval_once,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    dirty = F.concat(
+        F.col("text"),
+        F.lit("\r\nCafé “fancy” – naïve … ZW[​]end\x07\x1f ÄÖÜ ß æ œ"),
+    )
+    clean = webtext.unicode_clean(dirty)
+    return eval_once(ensure_parallelism(docs), __clean=clean).select(
+        "doc_id",
+        F.col("__clean").alias("clean_text"),
+        F.length("__clean").cast("long").alias("n_chars"),
+    )
+
+
+def _curation_web_oracle() -> str:
+    from iheardai_data_pipeline_spark.operators import webtext
+
+    clean = webtext.sql_unicode_clean(
+        webtext.sql_html_to_text(_WEB_HTML_SQL)
+    )
+    kept = webtext.sql_line_density_filter(clean, 40, 5)
+    return f"""
+WITH c AS (
+  SELECT doc_id, {kept} AS body
+  FROM documents WHERE text IS NOT NULL
+),
+m AS (
+  SELECT doc_id, body,
+    CASE WHEN length(trim(body)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(body), '\\s+')) END AS n_tokens
+  FROM c
+)
+SELECT doc_id,
+       CAST(len(string_split(body, chr(10))) AS INT) AS n_lines,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       n_tokens >= 12 AS kept
+FROM m
+"""
+
+
+@register(
+    "x_curation_web",
+    oracle=_curation_web_oracle(),
+    tags=("extension", "text", "web", "pipeline"),
+    doc="Web-document curation front half composed end-to-end (round "
+    "6): HTML extraction -> Unicode normalization -> text-density line "
+    "filter -> whitespace token gate, all one narrow row-local chain "
+    "over the scan (zero shuffles; the C4-lineage stages that feed the "
+    "dedup/quality pipeline). Value-oracled through the same generated "
+    "DuckDB twins.",
+)
+def x_curation_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators import webtext
+    from iheardai_data_pipeline_spark.sources.batch import (
+        ensure_parallelism,
+        eval_once,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    body = webtext.line_density_filter(
+        webtext.unicode_clean(webtext.html_to_text(_web_html_spark(F.col("text")))),
+        40,
+        5,
+    )
+    out = eval_once(ensure_parallelism(docs), __body=body)
+    n_tokens = F.when(F.length(F.trim(F.col("__body"))) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("__body")), r"\s+"))
+    )
+    out = eval_once(out, __nt=n_tokens)
+    return out.select(
+        "doc_id",
+        F.size(F.split("__body", "\n")).cast("int").alias("n_lines"),
+        F.col("__nt").cast("long").alias("n_tokens"),
+        (F.col("__nt") >= 12).alias("kept"),
+    )
