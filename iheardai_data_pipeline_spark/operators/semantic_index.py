@@ -1,0 +1,252 @@
+"""Persistent semantic-dedup index: SemDeDup-style incremental ingest
+without re-clustering the corpus.
+
+:func:`~iheardai_data_pipeline_spark.operators.similarity.semantic_dedup`
+re-seeds centroids and re-generates within-cluster pairs over the WHOLE
+corpus every call. At 100 TB the cluster structure is a shipped index
+artifact: this module pins the centroids ONCE (deterministic
+first-n-by-id seeds over the bootstrap corpus — the same seeds
+ivf_assign uses, so the assignment arithmetic stays oracle-portable)
+and persists every vector in a bucketed relation KEYED BY CLUSTER, so
+an incoming batch:
+
+1. assigns itself to the pinned centroids (narrow argmax — no shuffle),
+2. reads ONLY the stored vectors of the clusters it touches
+   (bucket-pruned ``read_keys`` on centroid_id),
+3. drops members with an exact cosine >= ``threshold`` against a stored
+   vector (replay-guarded) or a LOWER-id batch peer in the same
+   cluster, and
+4. appends ALL batch vectors through the O(batch) add-files commit
+   (kept and rejected — near-dup is not transitive; rejected vectors
+   must stay probe-able or chains split across batches would resolve
+   differently than one batch).
+
+Feeding id-ordered batches therefore reproduces the one-shot
+incremental gate (every incoming vector checked against corpus + all
+lower-id incoming, same-cluster, same fold arithmetic) exactly — the
+contract the x_dedup_semantic_ingest oracle pins.
+
+Like SemDeDup itself, candidate generation is WITHIN-cluster: a
+near-dup pair straddling a centroid boundary is out of scope by design
+(the trade that makes the search corpus-linear). Zero-norm vectors are
+the caller's problem, as in semantic_dedup (cosine is undefined on
+them; the testdata has none).
+
+Reference parity: training-data extension set (SURVEY §2 extensions);
+the persistent variant of x_dedup_semantic, same pattern as
+operators/neardup_index.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iheardai_data_pipeline_spark.operators.similarity import (
+    _assign_to_centroids,
+    _collect_centroids,
+    _dot,
+    _norm,
+)
+from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism
+from iheardai_data_pipeline_spark.streaming.stores import (
+    MultiRelationTransactionalStore,
+)
+
+
+class SemanticDedupIndex:
+    """Persistent cluster-pruned cosine near-dup gate over a growing
+    embedding corpus.
+
+    Create with :meth:`bootstrap` (computes + pins centroids from the
+    corpus, indexes it); reopen by constructing with the same path
+    (centroids load from ``_centroids.json``). ``ingest(batch)`` gates
+    and appends, returning survivors.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        threshold: float = 0.4,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_buckets: int | None = None,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.threshold = threshold
+        self.id_col = id_col
+        self.vec_col = vec_col
+        meta_path = os.path.join(path, "_centroids.json")
+        if not os.path.exists(meta_path):
+            raise ValueError(
+                f"no semantic index at {path} — build one with bootstrap()"
+            )
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if abs(meta["threshold"] - threshold) > 1e-12:
+            raise ValueError(
+                f"index at {path} was created with threshold="
+                f"{meta['threshold']}; got {threshold}"
+            )
+        self.centroids: list[list[float]] = meta["centroids"]
+        self._store = MultiRelationTransactionalStore(
+            spark,
+            os.path.join(path, "state"),
+            relations={"vectors": ["centroid_id"]},
+            n_buckets=n_buckets,
+        )
+
+    @classmethod
+    def bootstrap(
+        cls,
+        spark: SparkSession,
+        path: str,
+        corpus: DataFrame,
+        n_centroids: int = 16,
+        threshold: float = 0.4,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_buckets: int | None = None,
+    ) -> "SemanticDedupIndex":
+        """Build the index: pin deterministic seed centroids (first
+        ``n_centroids`` corpus vectors by id — ivf_assign's contract, so
+        the assignment fold is oracle-portable) and index the corpus.
+        The centroid artifact is a bounded collect, exactly like an IVF
+        index build; it NEVER changes afterwards (re-centering would
+        silently re-assign old vectors — rebuild instead)."""
+        os.makedirs(path, exist_ok=True)
+        cent = _collect_centroids(
+            corpus.where(F.col(vec_col).isNotNull()),
+            n_centroids,
+            id_col,
+            vec_col,
+            "first",
+        )
+        meta = {
+            "threshold": threshold,
+            "centroids": [v for _, v in cent],
+        }
+        meta_path = os.path.join(path, "_centroids.json")
+        tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        try:
+            os.link(tmp, meta_path)  # exclusive: first creator wins
+        except FileExistsError:
+            pass
+        finally:
+            os.unlink(tmp)
+        idx = cls(
+            spark, path, threshold, id_col, vec_col, n_buckets=n_buckets
+        )
+        idx.append(corpus)
+        return idx
+
+    # -- internals --------------------------------------------------------------
+
+    def _cent_tuples(self) -> list[tuple[int, list[float]]]:
+        return list(enumerate(self.centroids))
+
+    def _assigned(self, batch: DataFrame) -> DataFrame:
+        """(id, vec, centroid_id) under the PINNED centroids — one
+        narrow argmax projection (similarity._assign_to_centroids)."""
+        vecs = ensure_parallelism(
+            batch.where(F.col(self.vec_col).isNotNull())
+        ).select(self.id_col, self.vec_col)
+        return _assign_to_centroids(
+            vecs, self._cent_tuples(), self.id_col, self.vec_col
+        ).select(self.id_col, self.vec_col, "centroid_id")
+
+    def _cos(self, a, b):
+        return _dot(a, b) / (_norm(a) * _norm(b))
+
+    # -- public API ---------------------------------------------------------------
+
+    def append(self, batch: DataFrame, epoch=None) -> None:
+        """Index vectors unconditionally (corpus bootstrap / trusted
+        sources). One atomic O(batch) add-files commit."""
+        self._store.append_keyed(
+            {"vectors": self._assigned(batch)}, epoch=epoch
+        )
+
+    def ingest(self, batch: DataFrame, epoch=None) -> DataFrame:
+        """Gate ``batch`` against the index + lower-id same-cluster
+        batch peers, append ALL batch vectors, return surviving rows
+        with every original column.
+
+        Cost anatomy: one narrow assignment, one bucket-pruned read of
+        the touched clusters, one broadcast (batch-side) equi-join per
+        probe — nothing scales with corpus size except the touched
+        clusters' stored rows, which is what the cluster blocking is
+        for. ``epoch`` makes the append idempotent; the gate itself is
+        replay-exact either way (the probe anti-joins the batch's own
+        ids)."""
+        ic = self.id_col
+        vc = self.vec_col
+        assigned = self._assigned(batch).localCheckpoint(eager=True)
+        a_side = assigned.select(
+            F.col(ic).alias("id_a"),
+            F.col(vc).alias("vec_a"),
+            "centroid_id",
+        )
+        # intra-batch: later id drops when a lower-id peer matches,
+        # regardless of that peer's own fate (one-shot convention)
+        intra = (
+            a_side.join(
+                assigned.select(
+                    F.col(ic).alias("id_b"),
+                    F.col(vc).alias("vec_b"),
+                    "centroid_id",
+                ),
+                "centroid_id",
+            )
+            .filter(F.col("id_a") > F.col("id_b"))
+            .filter(self._cos(F.col("vec_a"), F.col("vec_b")) >= self.threshold)
+            .select("id_a")
+        )
+        dropped = intra
+        stored = self._store.read_keys(
+            "vectors", assigned.select("centroid_id")
+        )
+        if stored is not None:
+            probe = (
+                # REPLAY GUARD (see neardup_index.ingest): a replayed
+                # batch's own appended vectors must not self-match
+                stored.join(
+                    F.broadcast(assigned.select(ic)), ic, "left_anti"
+                )
+                .select(
+                    F.col(ic).alias("id_b"),
+                    F.col(vc).alias("vec_b"),
+                    "centroid_id",
+                )
+                .join(F.broadcast(a_side), "centroid_id")
+                .filter(
+                    self._cos(F.col("vec_a"), F.col("vec_b")) >= self.threshold
+                )
+                .select("id_a")
+            )
+            dropped = dropped.unionByName(probe)
+        survivors = batch.join(
+            dropped.distinct().withColumnRenamed("id_a", ic), ic, "left_anti"
+        ).localCheckpoint(eager=True)
+        self._store.append_keyed({"vectors": assigned}, epoch=epoch)
+        return survivors
+
+    def compact(self) -> None:
+        """Fold append-dir lists + drop replayed duplicate rows."""
+        ic = self.id_col
+
+        def fold(rel: str, current: DataFrame, upd) -> DataFrame:
+            return current.dropDuplicates([ic])
+
+        self._store.apply_keyed_all_buckets(fold)
+
+    def vacuum(self, keep: int = 2, grace_seconds: float = 3600.0) -> None:
+        self._store.vacuum(keep, grace_seconds)

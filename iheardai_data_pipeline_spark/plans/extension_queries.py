@@ -3126,3 +3126,121 @@ def x_curation_web(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__nt").cast("long").alias("n_tokens"),
         (F.col("__nt") >= 12).alias("kept"),
     )
+
+
+# --- persistent semantic-dedup index (round 6) --------------------------------------
+
+# One-shot oracle for the incremental semantic gate: centroids are the
+# first 16 CORPUS vectors by id (the pinned index artifact), every
+# vector assigns by the proven bit-exact argmax fold, and an incoming
+# vector drops when a same-cluster corpus vector OR lower-id incoming
+# vector has cosine >= 0.4 — regardless of that vector's own fate
+# (arrival-order convention, identical to the band-index gate). The
+# engine answers this with a PERSISTED index across split batches; the
+# oracle proves split-batch == one-shot.
+_SEM_INGEST_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND vec_id % 5 = 0
+),
+inc AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND vec_id % 5 <> 0
+),
+allv AS (
+  SELECT * FROM corpus UNION ALL SELECT * FROM inc
+),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         embedding::DOUBLE[] AS cvec,
+         1.0 / sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                                (a, b) -> a + b)) AS invn
+  FROM (SELECT vec_id, embedding FROM corpus ORDER BY vec_id LIMIT 16)
+),
+scores AS (
+  SELECT e.vec_id, c.cid,
+         list_reduce(list_transform(range(1, 65),
+             i -> e.embedding[i]::DOUBLE * c.cvec[i]), (a, b) -> a + b) * c.invn AS s
+  FROM allv e, cent c
+),
+assign AS (
+  SELECT vec_id, CAST(cid AS INT) AS centroid_id FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM scores
+  ) WHERE rn = 1
+),
+vn AS (
+  SELECT a.vec_id, a.centroid_id, v.embedding::DOUBLE[] AS v,
+         sqrt(list_reduce(list_transform(v.embedding::DOUBLE[], x -> x * x),
+                          (x, y) -> x + y)) AS nrm,
+         (v.vec_id % 5 <> 0) AS is_inc
+  FROM assign a JOIN allv v USING (vec_id)
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM vn b JOIN vn u
+    ON b.is_inc
+   AND u.centroid_id = b.centroid_id
+   AND (NOT u.is_inc OR u.vec_id < b.vec_id)
+   AND u.vec_id <> b.vec_id
+   AND list_reduce(list_transform(range(1, 65), i -> u.v[i] * b.v[i]),
+                   (x, y) -> x + y) / (u.nrm * b.nrm) >= 0.4
+)
+SELECT i.vec_id, a.centroid_id
+FROM inc i JOIN assign a USING (vec_id)
+WHERE i.vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
+@register(
+    "x_dedup_semantic_ingest",
+    oracle=_SEM_INGEST_ORACLE,
+    tags=("extension", "dedup", "similarity", "sketch"),
+    doc="PERSISTENT semantic-dedup index (round 6, stretch item): the "
+    "corpus (vec_id%5==0) bootstraps a SemanticDedupIndex — centroids "
+    "pinned once as a shipped artifact, vectors stored cluster-keyed — "
+    "then incoming arrives as 2 id-ordered batches, each assigning "
+    "narrowly, probing ONLY its touched clusters (bucket-pruned reads, "
+    "broadcast batch-side join), dropping exact-cosine>=0.4 matches vs "
+    "index + lower-id same-cluster peers, and appending itself via the "
+    "O(batch) add-files commit. The oracle proves the split-batch "
+    "answer EQUALS the one-shot incremental gate "
+    "(operators/semantic_index.py).",
+)
+def x_dedup_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.semantic_index import (
+        SemanticDedupIndex,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    corpus = emb.filter(F.col("vec_id") % 5 == 0)
+    incoming = emb.filter(F.col("vec_id") % 5 != 0).select("vec_id", "embedding")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="semidx_", dir=shm)
+    try:
+        idx = SemanticDedupIndex.bootstrap(
+            spark, root, corpus, n_centroids=16, threshold=0.4
+        )
+        hi = emb.agg(F.max("vec_id")).collect()[0][0] or 0
+        cuts = [0, hi // 2 + 1, hi + 1]
+        out = None
+        for lo, up in zip(cuts, cuts[1:]):
+            batch = incoming.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < up)
+            )
+            kept = idx.ingest(batch).select("vec_id")
+            out = kept if out is None else out.unionByName(kept)
+        cent = idx._assigned(out.join(emb, "vec_id").select("vec_id", "embedding"))
+        res = out.join(
+            cent.select("vec_id", "centroid_id"), "vec_id"
+        ).localCheckpoint(eager=True)
+        return res
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -788,3 +788,113 @@ def t15_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est"), "user_id")
         .limit(20)
     )
+
+
+# --- T16 (extension): streaming-maintained Bloom filter -----------------------------
+
+# Completes the mergeable-sketch trio: HLL merges by MAX (t14), CMS by
+# SUM (t15, epoch-guarded), Bloom by OR — and OR, like max, is
+# IDEMPOTENT, so a crash-replayed micro-batch re-ORs the same bits and
+# the packed words are untouched: exactly-once falls out of the merge
+# algebra with no epoch bookkeeping. The oracle is the ONE-SHOT batch
+# filter's packed words (same md5-portable bit hash as x_sketch_bloom;
+# bit 63's shift wraps to min-long via CASE — DuckDB's signed << cannot
+# produce it directly).
+_T16_HASH = (
+    "(('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' || "
+    "CAST(k.user_id AS VARCHAR)), 1, 8))::BIGINT % 4096)"
+)
+
+_T16_ORACLE = f"""
+WITH keys AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+),
+bits AS (
+  SELECT DISTINCT {_T16_HASH} AS bit
+  FROM keys k, unnest(generate_series(0, 5)) AS i(i)
+),
+words AS (
+  SELECT CAST(bit // 64 AS BIGINT) AS word_idx,
+         CAST(sum(CASE WHEN bit % 64 = 63
+                       THEN CAST(-9223372036854775808 AS BIGINT)
+                       ELSE CAST(1 AS BIGINT) << CAST(bit % 64 AS INT)
+                  END) AS BIGINT) AS word
+  FROM bits GROUP BY 1
+)
+SELECT word_idx, word, CAST(bit_count(word) AS INT) AS n_bits
+FROM words
+"""
+
+
+@register(
+    "t16_stream_bloom",
+    oracle=_T16_ORACLE,
+    tags=("streaming", "sketch"),
+    doc="Streaming-maintained Bloom filter (round 6): each micro-batch "
+    "packs its own set bits into m/64 BIGINT words and OR-merges them "
+    "into a keyed store inside foreachBatch — bounded state for an "
+    "unbounded stream, and because OR is the Bloom merge AND is "
+    "idempotent, the final words equal the one-shot batch filter BIT "
+    "FOR BIT with replays safe by algebra (contrast t15's sum, which "
+    "needs the epoch guard). Completes the HLL/CMS/Bloom mergeable-"
+    "sketch trio.",
+)
+def t16_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from iheardai_data_pipeline_spark.operators.sketch import (
+        bloom_build,
+        bloom_pack_words,
+    )
+    from iheardai_data_pipeline_spark.streaming.sinks import harness_checkpoint_dir
+    from iheardai_data_pipeline_spark.streaming.stores import (
+        TransactionalParquetStore,
+    )
+
+    t16_root = tempfile.mkdtemp(prefix="t16_")
+    store = TransactionalParquetStore(
+        spark,
+        os.path.join(t16_root, "bloom"),
+        key_cols=["word_idx"],
+        order_cols=["word"],
+    )
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        part = bloom_pack_words(
+            bloom_build(
+                batch.where(F.col("user_id").isNotNull()), "user_id",
+                m=4096, k=6,
+            ),
+            m=4096,
+        )
+
+        def fn(current: DataFrame | None) -> DataFrame:
+            if current is None:
+                return part
+            return (
+                current.unionByName(part)
+                .groupBy("word_idx")
+                .agg(F.expr("bit_or(word)").alias("word"))
+            )
+
+        store.apply(fn)
+
+    stream = read_events_stream(spark, sf_dir)
+    ckpt = harness_checkpoint_dir("t16_ckpt_")
+    try:
+        (
+            stream.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    # <= m/64 rows: pin them so the store's tmp dir can be reclaimed
+    words = store.read().localCheckpoint(eager=True)
+    shutil.rmtree(t16_root, ignore_errors=True)
+    return words.select(
+        "word_idx", "word", F.bit_count("word").cast("int").alias("n_bits")
+    )

@@ -1,0 +1,119 @@
+"""SemanticDedupIndex: pinned-centroid persistence, split-batch
+equivalence, replay safety, and cluster-pruned probes. The corpus-wide
+oracle equivalence runs in test_catalog_oracle (x_dedup_semantic_ingest
+at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iheardai_data_pipeline_spark.operators.semantic_index import (
+    SemanticDedupIndex,
+)
+
+
+def _vecs(spark, rows):
+    # rows: (vec_id, [floats])
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+# two well-separated directions in 4-dim space; near-dups within each
+A = [1.0, 0.0, 0.0, 0.0]
+A2 = [0.98, 0.01, 0.0, 0.0]   # cos vs A ~ 0.9999 -> dup
+B = [0.0, 1.0, 0.0, 0.0]
+B2 = [0.0, 0.97, 0.02, 0.0]   # dup of B
+C = [0.0, 0.0, 1.0, 0.0]      # unique direction
+
+
+def test_bootstrap_gate_and_reopen(spark, tmp_path):
+    path = str(tmp_path / "sem")
+    corpus = _vecs(spark, [(0, A), (1, B)])
+    idx = SemanticDedupIndex.bootstrap(
+        spark, path, corpus, n_centroids=2, threshold=0.9
+    )
+    # A2 dups corpus A; C is new; B2 dups corpus B
+    kept = idx.ingest(_vecs(spark, [(10, A2), (11, C), (12, B2)]))
+    assert {r["vec_id"] for r in kept.collect()} == {11}
+    # a fresh handle on the same path sees pinned centroids + state
+    idx2 = SemanticDedupIndex(spark, path, threshold=0.9)
+    assert idx2.centroids == idx.centroids
+    # 13 dups the REJECTED-but-indexed 10 (non-transitivity contract)
+    kept2 = idx2.ingest(_vecs(spark, [(13, A2)]))
+    assert kept2.count() == 0
+    # threshold mismatch is an error, not silent candidate loss
+    with pytest.raises(ValueError, match="threshold"):
+        SemanticDedupIndex(spark, path, threshold=0.5)
+
+
+def test_split_batches_equal_one_shot(spark, tmp_path):
+    corpus = _vecs(spark, [(0, A)])
+    incoming = [
+        (10, A2),  # dups corpus -> dropped
+        (11, B),   # new -> kept
+        (12, B2),  # dups lower-id 11 -> dropped
+        (13, C),   # new -> kept
+    ]
+
+    def run(batches):
+        idx = SemanticDedupIndex.bootstrap(
+            spark,
+            str(tmp_path / f"s{len(batches)}_{batches[0][0][0]}"),
+            corpus,
+            n_centroids=1,
+            threshold=0.9,
+        )
+        got = set()
+        for b in batches:
+            got |= {
+                r["vec_id"] for r in idx.ingest(_vecs(spark, b)).collect()
+            }
+        return got
+
+    one_shot = run([incoming])
+    split = run([incoming[:2], incoming[2:]])
+    assert one_shot == split == {11, 13}
+
+
+def test_replayed_ingest_returns_same_survivors(spark, tmp_path):
+    idx = SemanticDedupIndex.bootstrap(
+        spark, str(tmp_path / "sem"), _vecs(spark, [(0, A)]),
+        n_centroids=1, threshold=0.9,
+    )
+    batch = _vecs(spark, [(10, A2), (11, B), (12, B2)])
+    first = {r["vec_id"] for r in idx.ingest(batch).collect()}
+    assert first == {11}
+    # replay: the batch's own vectors are already appended — without the
+    # probe's anti-join every vector would self-match at cosine 1.0
+    replay = {r["vec_id"] for r in idx.ingest(batch).collect()}
+    assert replay == first
+
+
+def test_probe_reads_only_touched_clusters(spark, tmp_path):
+    # corpus spans 4 orthogonal clusters; the probe batch sits in ONE
+    dims = 8
+    def unit(d):
+        v = [0.0] * dims
+        v[d] = 1.0
+        return v
+
+    corpus = _vecs(
+        spark,
+        [(i, unit(i % 4)) for i in range(4)]
+        + [(100 + i, [x * 0.9 for x in unit(i % 4)]) for i in range(40)],
+    )
+    idx = SemanticDedupIndex.bootstrap(
+        spark, str(tmp_path / "sem"), corpus,
+        n_centroids=4, threshold=0.95, n_buckets=16,
+    )
+    probe = idx._assigned(_vecs(spark, [(999, unit(2))]))
+    stored = idx._store.read_keys("vectors", probe.select("centroid_id"))
+    files = stored.inputFiles()
+    buckets = {f.split("__bucket=")[1].split("/")[0] for f in files}
+    manifest = (
+        idx._store._manifest(idx._store.current_version()) or {}
+    ).get("vectors")
+    assert len(buckets) == 1 < len(manifest)
