@@ -212,7 +212,7 @@ def hll_registers(df: DataFrame, key_col: str, p: int = 6) -> DataFrame:
     )
 
 
-def hll_estimate(p: int = 6) -> Column:
+def hll_estimate(p: int = 6, over=None) -> Column:
     """The raw HLL estimate as an AGGREGATE Column over a register
     relation (use inside ``registers.agg(...)``):
     alpha * m^2 / sum(2^-M_j).
@@ -225,10 +225,21 @@ def hll_estimate(p: int = 6) -> Column:
     Small-range linear counting is deliberately NOT applied: it needs
     ln(), whose last-ulp behavior is libm-specific — callers wanting it
     apply their own correction downstream.
+
+    ``over``: a Window spec — the same arithmetic as a WINDOW over the
+    register rows instead of a collapsing aggregate, so a caller that
+    wants (register, estimate) rows computes the registers ONCE (an
+    ``agg`` + crossJoin-back re-evaluates the register subtree twice).
     """
     m = 1 << p
     alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
-    s_obs = F.sum(F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 33 - max_rank) AS BIGINT)"))
-    n_obs = F.count(F.lit(1))
+
+    def _a(c: Column) -> Column:
+        return c.over(over) if over is not None else c
+
+    s_obs = _a(
+        F.sum(F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 33 - max_rank) AS BIGINT)"))
+    )
+    n_obs = _a(F.count(F.lit(1)))
     scaled = s_obs + (F.lit(m).cast("long") - n_obs) * F.lit(1 << 33).cast("long")
     return (F.lit(alpha * m * m) * F.lit(float(1 << 33)) / scaled.cast("double"))

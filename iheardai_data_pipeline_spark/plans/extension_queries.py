@@ -2596,12 +2596,20 @@ def x_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_registers,
     )
 
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     regs = hll_registers(ev, "user_id", p=6)
-    summary = regs.agg(F.round(hll_estimate(p=6), 6).alias("est_distinct"))
+    # estimate as a WINDOW over the register rows: regs is computed ONCE
+    # (the old agg + crossJoin-back re-evaluated the register subtree —
+    # 7 exchanges for a 64-row relation, r5 audit nit); the registers
+    # are <= 2^p rows, so the single-partition window is trivially safe
+    est = F.round(
+        hll_estimate(p=6, over=Window.partitionBy()), 6
+    ).alias("est_distinct")
     exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
     return (
-        regs.crossJoin(F.broadcast(summary))
+        regs.select("bucket", "max_rank", est)
         .crossJoin(F.broadcast(exact))
         .select(
             "bucket",

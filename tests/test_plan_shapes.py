@@ -214,3 +214,27 @@ def test_semantic_dedup_plan_is_shallow(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 7
     assert plan.count("SortMergeJoin") <= 3
+
+
+def test_webtext_chain_is_narrow_and_jvm_side(spark, sf_dir):
+    """The web-curation front half must stay one narrow row-local chain
+    over the scan: at most the fan-out repartition exchange, no joins,
+    no Python evaluation boundary, and text pruned to what's read."""
+    for name in ("x_text_html_extract", "x_text_unicode_normalize",
+                 "x_curation_web"):
+        plan = _formatted(CATALOG[name].fn(spark, sf_dir))
+        assert plan.count(") Exchange") <= 1, name  # ensure_parallelism only
+        assert "Join" not in plan, name
+        for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+            assert marker not in plan, (name, marker)
+
+
+def test_hll_registers_computed_once(spark, sf_dir):
+    """r5 audit nit: the estimate now rides a window over the register
+    rows, so the register subtree (events scan + groupBy) appears ONCE
+    — the old agg + crossJoin-back planned it twice (7 exchanges)."""
+    plan = _formatted(CATALOG["x_sketch_hll"].fn(spark, sf_dir))
+    assert plan.count(") Exchange") <= 5
+    # exactly one scan feeds the register groupBy + one the countDistinct
+    # (detail headers only — formatted output names each node twice)
+    assert plan.count(") Scan parquet") == 2

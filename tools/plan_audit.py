@@ -52,6 +52,13 @@ def audit_one(spark, name: str, fn, sf_dir: str, execute: bool = False) -> dict:
         or ("BatchEvalPython" in plan)
         or ("MapInPandas" in plan)
         or ("FlatMapGroupsInPandas" in plan),
+        # the visible plan is only the TAIL of the work: part of the
+        # query already executed eagerly inside the entry (store
+        # commits, streaming replays, eager localCheckpoints show as
+        # ExistingRDD/LocalTableScan leaves). Counting its exchanges as
+        # the query's cost would be misleading — flag it instead.
+        "eager_exec": ("Scan ExistingRDD" in plan)
+        or ("LocalTableScan" in plan),
     }
 
 
@@ -91,10 +98,22 @@ def main() -> None:
         print("| query | exchanges | BHJ | SMJ | codegen | pushed | python |")
         print("|---|---|---|---|---|---|---|")
         for r in rows:
+            exch = (
+                f"{r['exchanges']} (eager*)" if r["eager_exec"]
+                else str(r["exchanges"])
+            )
             print(
-                f"| `{r['query']}` | {r['exchanges']} | {r['bhj']} | {r['smj']} "
+                f"| `{r['query']}` | {exch} | {r['bhj']} | {r['smj']} "
                 f"| {r['codegen_spans']} | {'y' if r['pushed_filters'] else '-'} "
                 f"| {'y' if r['python_eval'] else '-'} |"
+            )
+        if any(r["eager_exec"] for r in rows):
+            print(
+                "\n`eager*` = the visible plan is only the tail: part of "
+                "the query executed eagerly inside the entry (store "
+                "commits, streaming replays, eager checkpoints), so the "
+                "exchange count understates the work — see the entry's "
+                "behavior tests and SCALE.md rows instead."
             )
     else:
         for r in rows:
@@ -105,6 +124,8 @@ def main() -> None:
                 flags.append("expand")
             if r["python_eval"]:
                 flags.append("python")
+            if r["eager_exec"]:
+                flags.append("eager*")
             if r["bnlj"]:
                 flags.append(f"bnlj={r['bnlj']}")
             print(
