@@ -159,6 +159,12 @@ class MinHashBandIndex:
             relations={"bands": ["bkey"], "profiles": [id_col]},
             n_buckets=n_buckets,
         )
+        # prune-vs-scan rule: the touched-bucket collect is a whole
+        # Spark job over the probe keys; at rig-small bucket counts
+        # lazily listing every bucket dir (the LEFT SEMI still filters)
+        # is cheaper than running it. Large layouts (buckets_for_corpus
+        # sizing) MUST prune — that is what makes probes O(batch).
+        self._prune_probes = self._store.n_buckets > 64
 
     # -- row-local derivations (no shuffle) -----------------------------------
 
@@ -288,7 +294,9 @@ class MinHashBandIndex:
                 .distinct()
             )
             right_prof = prof.select(ic, "sh_set", "n_sh")
-            stored = self._store.read_keys("bands", bands_inc.select("bkey"))
+            stored = self._store.read_keys(
+                "bands", bands_inc.select("bkey"), prune=self._prune_probes
+            )
             if stored is not None:
                 # REPLAY GUARD: a crash-replayed batch (appended to the
                 # store but not stream-checkpointed — the at-least-once
@@ -317,7 +325,9 @@ class MinHashBandIndex:
                     .localCheckpoint(eager=True)
                 )
                 idx_prof = self._store.read_keys(
-                    "profiles", cand.select(F.col("id_b").alias(ic))
+                    "profiles",
+                    cand.select(F.col("id_b").alias(ic)),
+                    prune=self._prune_probes,
                 )
                 if idx_prof is not None:
                     # ONE fused verify pass: index and intra-batch

@@ -101,6 +101,8 @@ class SemanticDedupIndex:
             relations={"vectors": ["centroid_id"]},
             n_buckets=n_buckets,
         )
+        # prune-vs-scan rule — see MinHashBandIndex._prune_probes
+        self._prune_probes = self._store.n_buckets > 64
 
     @classmethod
     def bootstrap(
@@ -212,7 +214,7 @@ class SemanticDedupIndex:
         )
         dropped = intra
         stored = self._store.read_keys(
-            "vectors", assigned.select("centroid_id")
+            "vectors", assigned.select("centroid_id"), prune=self._prune_probes
         )
         if stored is not None:
             probe = (

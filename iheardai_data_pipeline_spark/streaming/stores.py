@@ -817,26 +817,43 @@ class MultiRelationTransactionalStore:
         ]
         return self.spark.read.parquet(*paths)
 
-    def read_keys(self, rel: str, keys: DataFrame) -> DataFrame | None:
+    def read_keys(
+        self, rel: str, keys: DataFrame, prune: bool = True
+    ) -> DataFrame | None:
         """Bucket-pruned keyed lookup on one relation — identical
-        contract to BucketedTransactionalStore.read_keys."""
+        contract to BucketedTransactionalStore.read_keys.
+
+        ``prune=False`` skips the touched-bucket collect and lists every
+        bucket dir lazily (the LEFT SEMI still filters the rows — the
+        result is identical). The collect is a full Spark job over the
+        key frame; at small bucket counts scanning all dirs is cheaper
+        than running it, so probe-heavy callers use the rule: prune
+        when ``n_buckets`` is large (the 100 TB layout), scan when it
+        is rig-small (see MinHashBandIndex._prune_probes)."""
         manifest = self._manifest(self.current_version())
         if not manifest or not manifest.get(rel):
             return None
         kd = keys.select(*self.relations[rel]).distinct()
-        touched = {
-            str(r["__bucket"])
-            for r in kd.withColumn("__bucket", self._bucket_expr(rel))
-            .select("__bucket")
-            .distinct()
-            .collect()
-        }
-        paths = [
-            self._bucket_path(s, rel, b)
-            for b, names in manifest[rel].items()
-            if b in touched
-            for s in names
-        ]
+        if prune:
+            touched = {
+                str(r["__bucket"])
+                for r in kd.withColumn("__bucket", self._bucket_expr(rel))
+                .select("__bucket")
+                .distinct()
+                .collect()
+            }
+            paths = [
+                self._bucket_path(s, rel, b)
+                for b, names in manifest[rel].items()
+                if b in touched
+                for s in names
+            ]
+        else:
+            paths = [
+                self._bucket_path(s, rel, b)
+                for b, names in manifest[rel].items()
+                for s in names
+            ]
         if not paths:
             return None
         return self.spark.read.parquet(*paths).join(
