@@ -243,3 +243,109 @@ def hll_estimate(p: int = 6, over=None) -> Column:
     n_obs = _a(F.count(F.lit(1)))
     scaled = s_obs + (F.lit(m).cast("long") - n_obs) * F.lit(1 << 33).cast("long")
     return (F.lit(alpha * m * m) * F.lit(float(1 << 33)) / scaled.cast("double"))
+
+
+# --- DDSketch-style log-bucket quantile sketch --------------------------------------
+
+
+def ddq_build(df: DataFrame, col: str, scale: int = 100) -> DataFrame:
+    """Mergeable QUANTILE sketch as plain relational rows: (e, m, cnt),
+    bounded at ~4*64 buckets however many rows stream through — the
+    quantile member of the repo's relational-sketch family (CMS cells,
+    HLL registers, Bloom bits; DDSketch lineage: Masson et al. 2019,
+    "DDSketch: a fast and fully-mergeable quantile sketch").
+
+    Bucketing is EXACT INTEGER arithmetic shared bit-for-bit with the
+    DuckDB twin: values scale to integer cents through DECIMAL(18,2)
+    (order-independent, no float rounding), and a positive v lands in
+    bucket ``e = floor(log2 v)`` (the length of ``bin(v)`` minus one —
+    a string length, no libm log) with 2 extra mantissa bits
+    ``m ∈ [0,4)`` read straight off the binary string's 2nd/3rd chars
+    (4 linear sub-buckets per octave → relative error <= 1/8 at the
+    bucket midpoint, <= 1/4 at the lower bound reported here).
+    Non-positive values take the dedicated (e=-1, m=0) bucket whose
+    lower bound is 0. Merge = SUM of cnt per (e, m) — the same
+    partial-agg mergeability as the CMS, so the streaming twin (t17)
+    sum-merges micro-batches exactly (epoch-guarded, like t15).
+    """
+    v = F.round(F.col(col).cast("decimal(18,2)") * 100).cast("long")
+    b = F.bin(v)
+    ln = F.length(b)
+    e = F.when(v <= 0, F.lit(-1)).otherwise((ln - 1).cast("int"))
+    # guard the casts: substring('' ) -> '' would throw under ANSI
+    b2 = F.when(ln >= 2, F.substring(b, 2, 1)).otherwise(F.lit("0")).cast("int")
+    b3 = F.when(ln >= 3, F.substring(b, 3, 1)).otherwise(F.lit("0")).cast("int")
+    m = (
+        F.when(v <= 0, F.lit(0))
+        .when(ln >= 3, 2 * b2 + b3)
+        .when(ln == 2, b2)
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    return (
+        ensure_parallelism(df.where(F.col(col).isNotNull()))
+        .select(e.alias("e"), m.alias("m"))
+        .groupBy("e", "m")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def ddq_lower_bound_cents() -> Column:
+    """Deterministic representative of bucket (e, m): its LOWER bound in
+    integer cents. ``(4+m) * 2^(e-2)`` for e >= 2 — powers of two and a
+    3-significant-bit multiplier are exactly representable, so the
+    double pow is exact and the cast back to BIGINT is lossless."""
+    return (
+        F.when(F.col("e") < 0, F.lit(0))
+        .when(F.col("e") == 0, F.lit(1))
+        .when(F.col("e") == 1, F.lit(2) + F.col("m"))
+        .otherwise(
+            (
+                (F.lit(4) + F.col("m")).cast("double")
+                * F.pow(F.lit(2.0), (F.col("e") - 2).cast("double"))
+            ).cast("long")
+        )
+        .cast("long")
+    )
+
+
+def ddq_quantiles(
+    sketch: DataFrame, qs: tuple = (0.5, 0.9, 0.99), scale: int = 100
+) -> DataFrame:
+    """(q, n, est_cents, est): rank-based quantile read-off — the first
+    bucket (in (e, m) order) whose cumulative count reaches
+    ``ceil(q * n)``, reported at its lower bound. The sketch side is
+    <= ~256 rows, so the single-partition cumulative window and the
+    tiny cross join are free; every output value is exact integer
+    arithmetic plus ONE double division (est = est_cents / scale)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("e", "m").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        "e",
+        "m",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+        ddq_lower_bound_cents().alias("lb"),
+    )
+    qdf = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    hit = (
+        qdf.crossJoin(cum)
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q")
+        .agg(
+            F.min(F.struct("e", "m", "n", "lb")).alias("s"),
+        )
+    )
+    return hit.select(
+        "q",
+        F.col("s.n").alias("n"),
+        F.col("s.lb").alias("est_cents"),
+        (F.col("s.lb") / F.lit(float(scale))).alias("est"),
+    ).orderBy("q")

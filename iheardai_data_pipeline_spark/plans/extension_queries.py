@@ -3252,3 +3252,82 @@ def x_dedup_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- DDSketch-style quantile sketch (round 6) ---------------------------------------
+
+# Full value oracle: the bucketing is exact integer arithmetic (cents
+# through DECIMAL(18,2); e = len(bin(v)) - 1; two mantissa bits read
+# off the binary string), the rank rule is ceil(q*n) over the exact
+# cumulative counts, and the only float op is the final /100 — so every
+# output cell hash-matches, like the CMS/HLL/Bloom relatives.
+_DDQ_CENTS = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+_DDQ_SKETCH_CTE = f"""
+vals AS (
+  SELECT {_DDQ_CENTS} AS v FROM events WHERE value IS NOT NULL
+),
+bkt AS (
+  SELECT
+    CASE WHEN v <= 0 THEN -1 ELSE CAST(length(bin(v)) - 1 AS INT) END AS e,
+    CASE WHEN v <= 0 THEN 0
+         WHEN length(bin(v)) >= 3
+           THEN 2 * CAST(substr(bin(v), 2, 1) AS INT)
+               + CAST(substr(bin(v), 3, 1) AS INT)
+         WHEN length(bin(v)) = 2 THEN CAST(substr(bin(v), 2, 1) AS INT)
+         ELSE 0 END AS m
+  FROM vals
+),
+sk AS (
+  SELECT e, m, CAST(count(*) AS BIGINT) AS cnt FROM bkt GROUP BY e, m
+),
+lb AS (
+  SELECT e, m, cnt,
+    CAST(CASE WHEN e < 0 THEN 0
+              WHEN e = 0 THEN 1
+              WHEN e = 1 THEN 2 + m
+              ELSE CAST((4 + m)::DOUBLE * power(2.0::DOUBLE, e - 2) AS BIGINT)
+         END AS BIGINT) AS lb,
+    CAST(SUM(cnt) OVER (ORDER BY e, m
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+    CAST(SUM(cnt) OVER () AS BIGINT) AS n
+  FROM sk
+)
+"""
+
+_DDQ_ORACLE = f"""
+WITH {_DDQ_SKETCH_CTE},
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+hit AS (
+  SELECT q, n, e, m, lb,
+         row_number() OVER (PARTITION BY q ORDER BY e, m) AS rn
+  FROM qs JOIN lb ON cum >= CAST(ceil(q * n) AS BIGINT)
+)
+SELECT q, n, lb AS est_cents, lb / 100.0 AS est
+FROM hit WHERE rn = 1
+ORDER BY q
+"""
+
+
+@register(
+    "x_sketch_quantile",
+    oracle=_DDQ_ORACLE,
+    tags=("extension", "sketch"),
+    doc="DDSketch-style quantile sketch (round 6, Masson et al. 2019 "
+    "lineage): log2 buckets + 2 exact mantissa bits as ~256 relational "
+    "rows (bounded, SUM-mergeable like the CMS cells), built from "
+    "integer cents with a binary-STRING exponent (no libm log). "
+    "p50/p90/p99 read off the exact cumulative rank at the bucket "
+    "lower bound — every output value hash-matches the oracle "
+    "(operators/sketch.py:ddq_build/ddq_quantiles). Completes the "
+    "relational sketch family: count (CMS), distinct (HLL), "
+    "membership (Bloom), quantile (this).",
+)
+def x_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.sketch import (
+        ddq_build,
+        ddq_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ddq_quantiles(ddq_build(ev, "value"), qs=(0.5, 0.9, 0.99))

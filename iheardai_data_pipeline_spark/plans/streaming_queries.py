@@ -898,3 +898,82 @@ def t16_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.select(
         "word_idx", "word", F.bit_count("word").cast("int").alias("n_bits")
     )
+
+
+# --- T17 (extension): streaming-maintained quantile sketch --------------------------
+
+# The quantile member of the streaming sketch set: DDQ buckets merge by
+# SUM like the CMS (t15), so micro-batch maintenance is exact but NOT
+# idempotent — each commit is epoch-guarded with its batch_id. The
+# final bucket table (and therefore every quantile read-off) equals the
+# one-shot batch sketch exactly; the oracle is the same as
+# x_sketch_quantile's.
+def _t17_oracle() -> str:
+    from iheardai_data_pipeline_spark.plans.extension_queries import _DDQ_ORACLE
+
+    return _DDQ_ORACLE
+
+
+@register(
+    "t17_stream_quantile",
+    oracle=_t17_oracle(),
+    tags=("streaming", "sketch"),
+    doc="Streaming-maintained quantile sketch (round 6): each "
+    "micro-batch builds its own DDQ bucket table (bounded ~256 rows) "
+    "and SUM-merges it into a keyed store inside foreachBatch, "
+    "epoch-guarded like t15 (sum is exact but not idempotent). The "
+    "final p50/p90/p99 read-offs equal the one-shot batch sketch "
+    "exactly. Completes the streaming sketch set: HLL (max), CMS "
+    "(sum), Bloom (or), quantile (sum).",
+)
+def t17_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from iheardai_data_pipeline_spark.operators.sketch import (
+        ddq_build,
+        ddq_quantiles,
+    )
+    from iheardai_data_pipeline_spark.streaming.sinks import harness_checkpoint_dir
+    from iheardai_data_pipeline_spark.streaming.stores import (
+        TransactionalParquetStore,
+    )
+
+    t17_root = tempfile.mkdtemp(prefix="t17_")
+    store = TransactionalParquetStore(
+        spark,
+        os.path.join(t17_root, "ddq"),
+        key_cols=["e", "m"],
+        order_cols=["cnt"],
+    )
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        part = ddq_build(batch, "value")
+
+        def fn(current: DataFrame | None) -> DataFrame:
+            if current is None:
+                return part
+            return (
+                current.unionByName(part)
+                .groupBy("e", "m")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+
+        store.apply(fn, epoch=int(batch_id))
+
+    stream = read_events_stream(spark, sf_dir)
+    ckpt = harness_checkpoint_dir("t17_ckpt_")
+    try:
+        (
+            stream.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    # ~256 rows: pin them so the store's tmp dir can be reclaimed
+    sketch = store.read().localCheckpoint(eager=True)
+    shutil.rmtree(t17_root, ignore_errors=True)
+    return ddq_quantiles(sketch, qs=(0.5, 0.9, 0.99))

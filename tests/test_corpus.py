@@ -340,3 +340,82 @@ class TestHyperLogLog:
                 .collect()[0]["e"]
             )
             assert 0.5 * n <= est <= 2.0 * n
+
+
+class TestQuantileSketch:
+    """DDQ sketch: exact bucket arithmetic, mergeability, and the
+    relative-error contract of the lower-bound read-off."""
+
+    def _df(self, spark, vals):
+        return spark.createDataFrame([(float(v),) for v in vals], "value double")
+
+    def test_bucket_bounds_and_zero_bucket(self, spark):
+        from iheardai_data_pipeline_spark.operators.sketch import (
+            ddq_build,
+            ddq_lower_bound_cents,
+        )
+        from pyspark.sql import functions as F
+
+        vals = [0.0, 0.01, 0.02, 0.03, 0.5, 1.0, 163.84, 500.0]
+        sk = ddq_build(self._df(spark, vals), "value")
+        rows = sk.select("e", "m", "cnt", ddq_lower_bound_cents().alias("lb")).collect()
+        assert sum(r["cnt"] for r in rows) == len(vals)
+        # zero bucket present; every cents value >= its bucket's lower
+        # bound and < the next bucket's (checked via the 1.25x step)
+        by_bucket = {(r["e"], r["m"]): r["lb"] for r in rows}
+        assert by_bucket.get((-1, 0)) == 0
+        for v in vals:
+            c = round(v * 100)
+            if c <= 0:
+                continue
+            e = c.bit_length() - 1
+            m = (c >> max(e - 2, 0)) - (1 << min(e, 2))
+            lb = by_bucket[(e, m)]
+            assert lb <= c, (v, lb)
+            # upper bound of a (e>=2) bucket is lb + 2^(e-2)
+            width = max(1, 1 << max(e - 2, 0))
+            assert c < lb + width, (v, lb, width)
+
+    def test_merge_equals_one_shot(self, spark):
+        from pyspark.sql import functions as F
+
+        from iheardai_data_pipeline_spark.operators.sketch import ddq_build
+
+        a = [1.0, 2.5, 99.99, 0.0, 7.77] * 3
+        b = [0.5, 2.5, 640.01, 12.34]
+        one = ddq_build(self._df(spark, a + b), "value")
+        merged = (
+            ddq_build(self._df(spark, a), "value")
+            .unionByName(ddq_build(self._df(spark, b), "value"))
+            .groupBy("e", "m")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        assert sorted(map(tuple, one.collect())) == sorted(
+            map(tuple, merged.collect())
+        )
+
+    def test_quantile_relative_error_contract(self, spark):
+        import random
+
+        from iheardai_data_pipeline_spark.operators.sketch import (
+            ddq_build,
+            ddq_quantiles,
+        )
+
+        rng = random.Random(7)
+        vals = [round(rng.uniform(0.01, 500.0), 2) for _ in range(2000)]
+        got = {
+            r["q"]: r["est"]
+            for r in ddq_quantiles(
+                ddq_build(self._df(spark, vals), "value"), qs=(0.5, 0.9, 0.99)
+            ).collect()
+        }
+        s = sorted(vals)
+        import math
+
+        for q in (0.5, 0.9, 0.99):
+            true = s[math.ceil(q * len(s)) - 1]
+            # lower-bound read-off: est <= true, within one bucket width
+            # (gamma = 1.25 -> est >= true / 1.25)
+            assert got[q] <= true + 1e-9, (q, got[q], true)
+            assert got[q] >= true / 1.25 - 0.02, (q, got[q], true)
