@@ -294,8 +294,13 @@ class MinHashBandIndex:
                 .distinct()
             )
             right_prof = prof.select(ic, "sh_set", "n_sh")
-            stored = self._store.read_keys(
-                "bands", bands_inc.select("bkey"), prune=self._prune_probes
+            # scan-all regime (rig-small layouts): plain read() — the
+            # equi-joins below already filter, and read_keys' LEFT SEMI
+            # would embed its key-frame plan a second time
+            stored = (
+                self._store.read_keys("bands", bands_inc.select("bkey"))
+                if self._prune_probes
+                else self._store.read("bands")
             )
             if stored is not None:
                 # REPLAY GUARD: a crash-replayed batch (appended to the
@@ -318,16 +323,21 @@ class MinHashBandIndex:
                     )
                     .select("id_a", "id_b")
                     .distinct()
-                    # candidate pairs are few (banding's whole point) but
-                    # their plan reads store buckets + two joins — pin it
-                    # once: read_keys' bucket collect AND the verify pass
-                    # below would otherwise each re-execute it
-                    .localCheckpoint(eager=True)
                 )
-                idx_prof = self._store.read_keys(
-                    "profiles",
-                    cand.select(F.col("id_b").alias(ic)),
-                    prune=self._prune_probes,
+                if self._prune_probes:
+                    # candidate pairs are few (banding's whole point) but
+                    # their plan reads store buckets + two joins — when
+                    # the profile read PRUNES, its touched-bucket collect
+                    # would re-execute that plan, so pin it once. In the
+                    # scan-all regime nothing collects cand before the
+                    # verify pass, so a checkpoint would only ADD a job.
+                    cand = cand.localCheckpoint(eager=True)
+                idx_prof = (
+                    self._store.read_keys(
+                        "profiles", cand.select(F.col("id_b").alias(ic))
+                    )
+                    if self._prune_probes
+                    else self._store.read("profiles")
                 )
                 if idx_prof is not None:
                     # ONE fused verify pass: index and intra-batch

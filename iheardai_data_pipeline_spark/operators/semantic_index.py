@@ -213,8 +213,12 @@ class SemanticDedupIndex:
             .select("id_a")
         )
         dropped = intra
-        stored = self._store.read_keys(
-            "vectors", assigned.select("centroid_id"), prune=self._prune_probes
+        # scan-all regime (rig-small layouts): plain read() — the
+        # cluster equi-join below already filters (see neardup_index)
+        stored = (
+            self._store.read_keys("vectors", assigned.select("centroid_id"))
+            if self._prune_probes
+            else self._store.read("vectors")
         )
         if stored is not None:
             probe = (
