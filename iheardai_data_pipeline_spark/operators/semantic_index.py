@@ -110,7 +110,7 @@ class SemanticDedupIndex:
         spark: SparkSession,
         path: str,
         corpus: DataFrame,
-        n_centroids: int = 16,
+        n_centroids: int | None = 16,
         threshold: float = 0.4,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
@@ -121,10 +121,24 @@ class SemanticDedupIndex:
         the assignment fold is oracle-portable) and index the corpus.
         The centroid artifact is a bounded collect, exactly like an IVF
         index build; it NEVER changes afterwards (re-centering would
-        silently re-assign old vectors — rebuild instead)."""
+        silently re-assign old vectors — rebuild instead).
+
+        ``n_centroids=None`` applies the IVF sqrt(N) sizing rule
+        (similarity.resolve_n_centroids) — THE scale knob: probe cost
+        per batch vector is its cluster's stored population, so cluster
+        count must grow with the corpus or the within-cluster verify
+        degrades toward corpus-linear (measured: 10x corpus at a FIXED
+        16 clusters -> 1.9x ingest wall on an all-duplicate batch;
+        docs/SCALE.md). The rig entries keep 16 for oracle parity."""
+        from iheardai_data_pipeline_spark.operators.similarity import (
+            resolve_n_centroids,
+        )
+
         os.makedirs(path, exist_ok=True)
+        live = corpus.where(F.col(vec_col).isNotNull())
+        n_centroids = resolve_n_centroids(live, n_centroids)
         cent = _collect_centroids(
-            corpus.where(F.col(vec_col).isNotNull()),
+            live,
             n_centroids,
             id_col,
             vec_col,
