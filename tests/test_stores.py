@@ -572,3 +572,69 @@ def test_multi_relation_meta_pins_layout(spark, tmp_path):
         MultiRelationTransactionalStore(
             spark, str(tmp_path / "m"), relations={"bands": ["bkey"]}
         )
+
+
+def test_multi_relation_concurrent_appends_no_lost_update(spark, tmp_path):
+    """Two writers append_keyed to the SAME store concurrently: the OCC
+    retry must merge both manifests — every appended row survives and
+    versions are strictly sequential."""
+    st = _multi(spark, tmp_path)
+    errs = []
+
+    def write(i):
+        try:
+            from iheardai_data_pipeline_spark.streaming.stores import (
+                MultiRelationTransactionalStore,
+            )
+
+            other = MultiRelationTransactionalStore(
+                spark, str(tmp_path / "m"),
+                relations={"bands": ["bkey"], "profiles": ["doc_id"]},
+            )
+            other.append_keyed(
+                {
+                    "bands": spark.createDataFrame(
+                        [(i, i)], "bkey long, doc_id long"
+                    ),
+                    "profiles": spark.createDataFrame(
+                        [(i, [i])], "doc_id long, sh_set array<long>"
+                    ),
+                }
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=write, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert {r["bkey"] for r in st.read("bands").collect()} == {0, 1, 2, 3}
+    assert {r["doc_id"] for r in st.read("profiles").collect()} == {0, 1, 2, 3}
+    assert st.current_version() == 4
+
+
+def test_multi_relation_append_then_fold_then_compact(spark, tmp_path):
+    """Appends accumulate dir-list entries; a fold (apply_keyed)
+    collapses the touched buckets' lists; compact collapses everything."""
+    st = _multi(spark, tmp_path, n_buckets=2)
+    for i in range(3):
+        st.append_keyed(
+            {
+                "bands": spark.createDataFrame(
+                    [(i, i)], "bkey long, doc_id long"
+                ),
+                "profiles": spark.createDataFrame(
+                    [(i, [i])], "doc_id long, sh_set array<long>"
+                ),
+            }
+        )
+    manifest = st._manifest(st.current_version())
+    assert any(len(v) > 1 for v in manifest["bands"].values())
+    st.compact()
+    manifest = st._manifest(st.current_version())
+    for rel in ("bands", "profiles"):
+        assert all(len(v) == 1 for v in manifest[rel].values())
+    assert st.read("bands").count() == 3
+    assert st.read("profiles").count() == 3
