@@ -349,3 +349,22 @@ def ddq_quantiles(
         F.col("s.lb").alias("est_cents"),
         (F.col("s.lb") / F.lit(float(scale))).alias("est"),
     ).orderBy("q")
+
+
+def hll_registers_grouped(
+    df: DataFrame, key_col: str, group_cols: list[str], p: int = 6
+) -> DataFrame:
+    """Per-GROUP HLL registers: (group..., bucket, max_rank) — the
+    sketch-powered "distinct per dimension" rollup (distinct users per
+    event type / date / segment). State is <= 2^p rows PER GROUP and
+    merges by max exactly like the global sketch, so dimensional
+    rollups of distinct counts stream/partial-agg at any scale where an
+    exact count-distinct would shuffle every key. Estimate per group by
+    ``regs.groupBy(*group_cols).agg(hll_estimate(p))``."""
+    bucket, rank = _hll_parts(F.col(key_col), p)
+    return (
+        ensure_parallelism(df)
+        .select(*group_cols, bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
