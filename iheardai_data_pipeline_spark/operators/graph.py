@@ -336,3 +336,80 @@ def pagerank_fixed(
             .localCheckpoint(eager=True)
         )
     return pr.select("node", F.col("pr").alias("pr_micro"))
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact distributed triangle counting with DEGREE-ORDERED wedge
+    generation (the MapReduce classic — Suri & Vassilvitskii 2011,
+    "Counting Triangles and the Curse of the Last Reducer").
+
+    Input: undirected edges, either orientation, duplicates tolerated
+    (canonicalized + distinct'd here). Output: (node, n_tri) for every
+    node that participates in >= 1 triangle.
+
+    Why orientation matters at 100 TB: naive wedge generation pivots on
+    every vertex and emits sum(deg^2) wedges — a single celebrity
+    vertex ("the last reducer") emits deg^2 of them. Orienting every
+    edge from its lower-(degree, id) endpoint caps every pivot's
+    out-degree at O(sqrt(m)), bounding total wedges by O(m^1.5)
+    regardless of skew, and each triangle is generated EXACTLY once
+    (from its lowest-ordered vertex), so no post-hoc dedup or /3. The
+    plan: one distinct (shuffle on the canonical edge), one degree
+    aggregate, the oriented self-join on the pivot, and one closing
+    semi-equi-join — every join key a vertex id.
+    """
+    u = F.least(F.col(src), F.col(dst))
+    v = F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(u.alias("u"), v.alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient from lower (deg, id) to higher; carry the head's order key
+    # so wedge pairs can be ordered the same way without a re-join
+    ed = (
+        e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    fwd = F.struct(F.col("du").alias("d"), F.col("u").alias("n")) < F.struct(
+        F.col("dv").alias("d"), F.col("v").alias("n")
+    )
+    oriented = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("bd"),
+    )
+    o1 = oriented.select("a", F.col("b").alias("b1"), F.col("bd").alias("bd1"))
+    o2 = oriented.select("a", F.col("b").alias("b2"), F.col("bd").alias("bd2"))
+    lo_first = F.struct(F.col("bd1").alias("d"), F.col("b1").alias("n")) < F.struct(
+        F.col("bd2").alias("d"), F.col("b2").alias("n")
+    )
+    wedges = (
+        o1.join(o2, "a")
+        .where(F.col("b1") != F.col("b2"))
+        # emit each unordered out-neighbor pair once, ordered by the
+        # SAME (deg, id) key the orientation uses — the closing edge,
+        # if present, is oriented lo -> hi by construction
+        .where(lo_first)
+        .select("a", F.col("b1").alias("lo"), F.col("b2").alias("hi"))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("a").alias("lo"), F.col("b").alias("hi")),
+        ["lo", "hi"],
+        "left_semi",
+    )
+    return (
+        tri.select(
+            F.explode(F.array("a", "lo", "hi")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )

@@ -3414,3 +3414,71 @@ def x_sketch_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- triangle counting over the near-dup graph (round 6) ----------------------------
+
+# Exact value oracle: the near-dup pair graph (label-blocked cosine >=
+# 0.2 — the proven x_sim_embedding_dups construction at a triangle-
+# bearing threshold) closed by the naive 3-way join; per-node counts
+# from the three roles. 91 triangles at sf0.01 / 4965 at sf0.1.
+_TRIANGLES_ORACLE = """
+WITH e AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.2
+),
+t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+),
+n AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+  FROM (SELECT a AS node FROM t UNION ALL
+        SELECT b FROM t UNION ALL
+        SELECT c FROM t)
+  GROUP BY node
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total_triangles FROM t)
+SELECT node, n_tri, total_triangles
+FROM n, tot
+ORDER BY n_tri DESC, node
+LIMIT 20
+"""
+
+
+@register(
+    "x_graph_triangles",
+    oracle=_TRIANGLES_ORACLE,
+    tags=("extension", "graph", "similarity"),
+    doc="Exact triangle counting over the embedding near-dup graph "
+    "(round 6): degree-ordered wedge generation (Suri & "
+    "Vassilvitskii's last-reducer fix — every pivot's out-degree "
+    "capped at O(sqrt(m)), each triangle emitted exactly once) over "
+    "the label-blocked cosine>=0.2 pair graph. Per-node triangle "
+    "membership is the cluster-cohesion signal a curation pipeline "
+    "reads (a document in many triangles sits in a tight semantic "
+    "clump); oracle = naive 3-way join, value-exact "
+    "(operators/graph.py:triangle_count).",
+)
+def x_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.graph import triangle_count
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    pairs = similarity.embedding_dup_pairs(emb, threshold=0.2).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    per_node = triangle_count(pairs)
+    total = per_node.agg(
+        (F.sum("n_tri") / 3).cast("long").alias("total_triangles")
+    )
+    return (
+        per_node.crossJoin(F.broadcast(total))
+        .orderBy(F.desc("n_tri"), "node")
+        .limit(20)
+    )

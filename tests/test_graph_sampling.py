@@ -210,3 +210,29 @@ def test_components_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(edges, local_edge_threshold=0, max_iter=2)
+
+
+def test_triangle_count_known_graph(spark):
+    """Hand-checkable graph: one K4 (4 triangles, each node in 3),
+    a pendant edge, and a disconnected triangle."""
+    from iheardai_data_pipeline_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    extra = [(3, 10), (20, 21), (21, 22), (22, 20)]
+    # duplicates + reversed orientation must not change the answer
+    edges = spark.createDataFrame(
+        k4 + extra + [(b, a) for a, b in k4], "src long, dst long"
+    )
+    got = {r["node"]: r["n_tri"] for r in triangle_count(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 20: 1, 21: 1, 22: 1}
+
+
+def test_triangle_count_star_has_none(spark):
+    """A star (maximum-skew hub) has zero triangles — and the oriented
+    plan never pivots on the hub (its (deg,id) order is highest)."""
+    from iheardai_data_pipeline_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 30)], "src long, dst long"
+    )
+    assert triangle_count(edges).count() == 0
