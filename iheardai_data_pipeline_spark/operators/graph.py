@@ -366,6 +366,11 @@ def triangle_count(
         edges.where(F.col(src) != F.col(dst))
         .select(u.alias("u"), v.alias("v"))
         .distinct()
+        # the edge list is referenced by the degree union (twice), the
+        # orientation join, and the closing semi-join — pin it so an
+        # expensive upstream edge construction (e.g. the cosine block
+        # join feeding x_graph_triangles) executes ONCE, not 4x
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("u").alias("node"))
