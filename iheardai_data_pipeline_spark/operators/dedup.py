@@ -963,3 +963,124 @@ def line_dedup(
             ).alias("kept_text"),
         )
     )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT n-gram Jaccard join via PPJoin-style PREFIX FILTERING
+    (Xiao et al. 2008, "Efficient Similarity Joins for Near Duplicate
+    Detection") — the deterministic alternative to both the banded LSH
+    (probabilistic miss) and :func:`ngram_jaccard_pairs`' df cap
+    (which silently ignores pairs that only share hot shingles): this
+    equals the NO-CAP all-pairs answer, guaranteed.
+
+    Theory: Jaccard(A,B) >= t forces overlap >= ceil(t/(1+t)
+    (|A|+|B|)). Order all shingles by ONE global total order and take
+    each set's first ``|X| - ceil(t|X|) + 1`` tokens as its PREFIX: two
+    sets whose prefixes are disjoint cannot reach that overlap (at most
+    min(|A|,|B|) - prefix-excluded tokens remain), so candidates =
+    pairs sharing >= 1 PREFIX token — complete by theorem, not by
+    probability. Ordering rarest-first (df ascending) makes prefixes
+    low-frequency, so posting lists of prefix tokens stay short — the
+    skew control the df cap bought, WITHOUT dropping hot-shingle-only
+    pairs (they are simply found through their rarer prefix tokens).
+    The length filter (t*max(|A|,|B|) <= min(|A|,|B|)) prunes the rest.
+
+    Exactness discipline: ``ceil(t*|X|)`` is INTEGER arithmetic on the
+    threshold's exact decimal fraction ((p*n + q - 1) div q) — a float
+    0.7*20 rounds to 14.000000000000002 and ceil would silently demand
+    one token too many, losing pairs at the boundary. Verification is
+    exact set intersection with half-up Jaccard, same as every dedup
+    gate.
+
+    Shape: postings + df (one partial-agg pass), per-doc global-order
+    rank (one window on the doc key), prefix self-join on the shingle
+    hash (short posting lists by construction), then a candidate-
+    bounded array verify. Three shuffles on 8-byte keys + the verify.
+    """
+    from fractions import Fraction
+
+    fr = Fraction(str(threshold))
+    p, q = fr.numerator, fr.denominator
+
+    from pyspark.sql import Window
+
+    prof = (
+        eval_once(
+            ensure_parallelism(docs.where(F.col(text_col).isNotNull())),
+            sh_set=F.transform(
+                shingle_array(F.col(text_col), n), lambda s: F.xxhash64(s)
+            ),
+        )
+        .filter(F.size("sh_set") > 0)
+        .select(
+            F.col(id_col).alias("d"),
+            "sh_set",
+            F.size("sh_set").alias("n_sh"),
+        )
+        .cache()
+    )
+    postings = prof.select("d", "n_sh", F.explode("sh_set").alias("shingle_h"))
+    df_tbl = postings.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("df"))
+    # global total order = (df asc, shingle_h asc); per-doc rank under it
+    ranked = postings.join(df_tbl, "shingle_h").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("d").orderBy("df", "shingle_h")
+        ),
+    )
+    # prefix length |X| - ceil(t|X|) + 1 with EXACT integer ceil
+    ceil_tn = F.expr(f"CAST(({p} * n_sh + {q} - 1) div {q} AS INT)")
+    prefix = ranked.filter(F.col("rn") <= F.col("n_sh") - ceil_tn + 1).select(
+        "shingle_h", "d", "n_sh"
+    )
+    cand = (
+        prefix.select(
+            "shingle_h", F.col("d").alias("doc_a"), F.col("n_sh").alias("n_a")
+        )
+        .join(
+            prefix.select(
+                "shingle_h", F.col("d").alias("doc_b"), F.col("n_sh").alias("n_b")
+            ),
+            "shingle_h",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # length filter: t * max <= min (exact integer cross-multiply)
+        .filter(
+            F.lit(p) * F.greatest("n_a", "n_b")
+            <= F.lit(q) * F.least("n_a", "n_b")
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            prof.select(F.col("d").alias("doc_a"), F.col("sh_set").alias("set_a")),
+            "doc_a",
+        )
+        .join(
+            prof.select(
+                F.col("d").alias("doc_b"),
+                F.col("sh_set").alias("set_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn("shared", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn(
+            "jaccard",
+            ratio_half_up(
+                F.col("shared"),
+                F.size("set_a") + F.col("n_b") - F.col("shared"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified

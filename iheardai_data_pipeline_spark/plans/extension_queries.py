@@ -3482,3 +3482,43 @@ def x_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_tri"), "node")
         .limit(20)
     )
+
+
+# --- exact similarity join via prefix filtering (round 6) ---------------------------
+
+# Oracle: the NO-CAP exact all-pairs Jaccard answer — strictly stronger
+# than x_dedup_ngram_jaccard's (whose df cap ignores pairs sharing only
+# hot shingles). Prefix filtering is complete BY THEOREM, so the
+# engine's filtered join must reproduce this exactly.
+_PREFIX_FILTER_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       {_JACCARD_SQL} AS jaccard
+FROM shared
+JOIN counts ca ON shared.doc_a = ca.doc_id
+JOIN counts cb ON shared.doc_b = cb.doc_id
+WHERE {_JACCARD_SQL} >= 0.7
+"""
+
+
+@register(
+    "x_dedup_prefix_filter",
+    oracle=_PREFIX_FILTER_ORACLE,
+    tags=("extension", "dedup"),
+    doc="EXACT word-5-gram Jaccard>=0.7 join via PPJoin-style prefix "
+    "filtering (round 6, Xiao et al. 2008): tokens globally ordered "
+    "rarest-first, each doc's |X|-ceil(t|X|)+1 prefix tokens generate "
+    "candidates (complete by theorem — no LSH miss probability, no df "
+    "cap dropping hot-shingle-only pairs), length-filtered with exact "
+    "integer arithmetic, then exact-verified. Oracle = the uncapped "
+    "all-pairs answer (operators/dedup.py:prefix_filter_pairs).",
+)
+def x_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.prefix_filter_pairs(
+        load_table(spark, sf_dir, "documents"), n=5, threshold=0.7
+    )

@@ -243,3 +243,82 @@ def test_incremental_minhash_capped_candidates(spark):
         ).collect()
     }
     assert exact == capped == {10, 20}
+
+
+class TestPrefixFilter:
+    """PPJoin prefix filtering: completeness by theorem — including the
+    hot-shingle-only pairs the df-capped candidate generator drops, and
+    the exact-integer ceil at threshold boundaries."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_equals_bruteforce_on_synthetic_corpus(self, spark):
+        from itertools import combinations
+
+        from iheardai_data_pipeline_spark.operators import dedup
+
+        base = [f"w{i}" for i in range(24)]
+        rows = [
+            (1, " ".join(base)),
+            (2, " ".join(base[:20] + ["x1", "x2", "x3", "x4"])),  # high overlap
+            (3, " ".join(base[:10] + [f"y{i}" for i in range(14)])),
+            (4, " ".join(f"z{i}" for i in range(24))),             # disjoint
+            (5, " ".join(base)),                                   # exact dup of 1
+        ]
+        docs = self._docs(spark, rows)
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.prefix_filter_pairs(docs, threshold=0.5).collect()
+        }
+
+        # brute force with identical shingle/jaccard arithmetic
+        def sh(text):
+            ws = text.split()
+            return {" ".join(ws[i:i + 5]) for i in range(len(ws) - 4)}
+
+        want = {}
+        by_id = {i: sh(t) for i, t in rows}
+        for a, b in combinations(sorted(by_id), 2):
+            inter = len(by_id[a] & by_id[b])
+            union = len(by_id[a] | by_id[b])
+            if union and inter / union >= 0.5:
+                want[(a, b)] = inter / union
+        assert set(got) == set(want)
+
+    def test_finds_hot_shingle_only_pairs_the_df_cap_drops(self, spark):
+        """Two near-identical docs whose EVERY shared shingle is hot
+        (shared by many replicas): the df-capped generator has no
+        sub-cap shingle to block on and silently misses the pair;
+        prefix filtering finds it through the globally-ordered prefix
+        regardless of frequency."""
+        from iheardai_data_pipeline_spark.operators import dedup
+
+        text = " ".join(f"h{i}" for i in range(30))
+        docs = self._docs(
+            spark, [(i, text) for i in range(10)]  # 10 exact replicas
+        )
+        pf = dedup.prefix_filter_pairs(docs, threshold=0.7)
+        assert pf.count() == 45  # all C(10,2) duplicate pairs
+        capped = dedup.ngram_jaccard_pairs(docs, threshold=0.7, max_doc_freq=5)
+        assert capped.count() == 0  # the documented df-cap blind spot
+
+    def test_threshold_boundary_uses_exact_integer_ceil(self, spark):
+        """jaccard EXACTLY at the threshold must be kept: with |A| =
+        |B| = 20 shingles and 14 shared (t = 0.7 -> overlap bound
+        ceil(0.7*20) = 14), a float ceil(14.000000000000002) = 15
+        would shrink the prefix and can drop the pair."""
+        from iheardai_data_pipeline_spark.operators import dedup
+
+        # 24-word docs -> 20 shingles each; first 18 words shared ->
+        # 14 shared shingles; union 26 -> jaccard = 14/26 ~ 0.5385
+        a = [f"s{i}" for i in range(18)]
+        docs = self._docs(
+            spark,
+            [
+                (1, " ".join(a + ["a1", "a2", "a3", "a4", "a5", "a6"])),
+                (2, " ".join(a + ["b1", "b2", "b3", "b4", "b5", "b6"])),
+            ],
+        )
+        got = dedup.prefix_filter_pairs(docs, threshold=14 / 26).collect()
+        assert [(r["doc_a"], r["doc_b"]) for r in got] == [(1, 2)]
