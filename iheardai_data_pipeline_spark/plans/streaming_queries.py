@@ -977,3 +977,96 @@ def t17_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = store.read().localCheckpoint(eager=True)
     shutil.rmtree(t17_root, ignore_errors=True)
     return ddq_quantiles(sketch, qs=(0.5, 0.9, 0.99))
+
+
+# --- T18 (extension): streaming semantic-dedup ingest over the persistent index -----
+
+# The streaming twin of x_dedup_semantic_ingest (every persistent index
+# gets one — t13 is the band index's): the oracle is the ONE-SHOT
+# incremental gate answer rolled up per label, valid for ANY micro-batch
+# split because the index stores kept AND rejected vectors and the probe
+# is replay-guarded (the same split-batch == one-shot contract the batch
+# entry's oracle proves pairwise).
+def _t18_oracle() -> str:
+    from iheardai_data_pipeline_spark.plans.extension_queries import (
+        _SEM_INGEST_ORACLE,
+    )
+
+    return f"""
+WITH kept AS ({_SEM_INGEST_ORACLE})
+SELECT e.label, CAST(count(*) AS BIGINT) AS n_accepted
+FROM kept k JOIN embeddings e USING (vec_id)
+GROUP BY e.label
+ORDER BY e.label
+"""
+
+
+@register(
+    "t18_stream_semantic_neardup",
+    oracle=_t18_oracle(),
+    tags=("streaming", "dedup", "similarity"),
+    doc="Streaming semantic-dedup ingest over the PERSISTENT cluster "
+    "index (round 6): the corpus (vec_id%5==0) bootstraps a "
+    "SemanticDedupIndex once; each micro-batch of incoming vectors "
+    "assigns narrowly against the pinned centroids, probes only its "
+    "touched clusters, and appends itself through the O(batch) "
+    "add-files commit. Accepted counts per label equal the one-shot "
+    "batch gate for ANY micro-batch split — the streaming twin of "
+    "x_dedup_semantic_ingest, as t13 is of x_dedup_indexed_ingest.",
+)
+def t18_stream_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from iheardai_data_pipeline_spark.operators.semantic_index import (
+        SemanticDedupIndex,
+    )
+    from iheardai_data_pipeline_spark.sources.batch import load_table
+    from iheardai_data_pipeline_spark.streaming.sinks import harness_checkpoint_dir
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="t18_", dir=shm)
+    out_dir = os.path.join(root, "accepted")
+    idx = SemanticDedupIndex.bootstrap(
+        spark,
+        os.path.join(root, "idx"),
+        emb.filter(F.col("vec_id") % 5 == 0),
+        n_centroids=16,
+        threshold=0.4,
+    )
+
+    def ingest_batch(batch: DataFrame, batch_id: int) -> None:
+        inc = batch.filter(
+            F.col("embedding").isNotNull() & (F.col("vec_id") % 5 != 0)
+        ).select("vec_id", "label", "embedding")
+        idx.ingest(inc, epoch=int(batch_id)).select(
+            "vec_id", "label"
+        ).write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    ckpt = harness_checkpoint_dir("t18_ckpt_")
+    try:
+        (
+            stream.writeStream.foreachBatch(ingest_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+            .awaitTermination()
+        )
+        res = (
+            spark.read.parquet(out_dir)
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_accepted"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+    return res.orderBy("label")
