@@ -418,3 +418,73 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """The k-CORE of an undirected graph: the maximal subgraph where
+    every surviving node keeps degree >= k — computed by the standard
+    iterative peel (drop sub-k nodes, recompute degrees, repeat to
+    fixpoint). Classic degeneracy primitive (Seidman 1983); over the
+    near-dup graph a node's core membership flags DENSELY duplicated
+    regions (every member near-dups >= k OTHER core members — a much
+    stronger clump signal than pairwise degree).
+
+    Distributed shape: the edge relation is canonicalized + pinned
+    once; each round is one degree partial-agg + two semi-joins
+    (surviving endpoints), with an EAGER localCheckpoint per round so
+    the final action never re-derives the whole chain (the
+    pagerank_fixed discipline). The peel is MONOTONE — the survivor
+    set only shrinks and a stable round is a fixpoint — so iteration
+    stops at the first no-drop round; ``max_rounds`` bounds the driver
+    loop and a non-converged graph RAISES rather than returning a
+    non-core (same contract as connected_components' pointer doubling;
+    real graphs peel in a handful of rounds — each round removes every
+    currently-sub-k node at once).
+
+    Returns (node, degree) for the surviving core, degrees within it.
+    """
+    u = F.least(F.col(src), F.col(dst))
+    v = F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(u.alias("u"), v.alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        e2 = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_before, n_after = e.count(), e2.count()
+        e = e2
+        if n_after == n_before:
+            return (
+                e.select(F.col("u").alias("node"))
+                .unionAll(e.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("degree"))
+            )
+        if n_after == 0:
+            return e.sparkSession.createDataFrame(
+                [], "node long, degree bigint"
+            )
+    raise RuntimeError(
+        f"k-core peel did not converge in {max_rounds} rounds — raise "
+        "max_rounds (each round drops every currently-sub-k node, so "
+        "this means an adversarial onion of >12 layers)"
+    )

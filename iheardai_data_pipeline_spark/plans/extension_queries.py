@@ -3522,3 +3522,74 @@ def x_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.prefix_filter_pairs(
         load_table(spark, sf_dir, "documents"), n=5, threshold=0.7
     )
+
+
+# --- k-core decomposition over the near-dup graph (round 6) -------------------------
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 16) -> str:
+    """Unrolled peel, the pagerank-oracle pattern: each round keeps
+    edges whose BOTH endpoints still have degree >= k. Peeling is
+    monotone, so rounds past the fixpoint are no-ops — the unrolled
+    chain equals the converged core as long as convergence happens
+    within ``rounds`` (verified: round 11 at both SFs; the engine
+    RAISES if its driver loop exceeds the same bound, so a data change
+    that peels deeper fails loudly on both sides rather than
+    diverging). CTEs are MATERIALIZED — each round references its
+    predecessor three times, and inlining would blow up exponentially.
+    """
+    sql = [
+        """WITH e0 AS MATERIALIZED (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25
+)"""
+    ]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        sql.append(
+            f""", n{r} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, count(*) AS c
+    FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+    GROUP BY node) WHERE c >= {k}
+), e{r} AS MATERIALIZED (
+  SELECT u, v FROM {prev}
+  WHERE u IN (SELECT node FROM n{r}) AND v IN (SELECT node FROM n{r})
+)"""
+        )
+        prev = f"e{r}"
+    sql.append(
+        f"""
+SELECT node, CAST(count(*) AS BIGINT) AS degree
+FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+GROUP BY node"""
+    )
+    return "".join(sql)
+
+
+@register(
+    "x_graph_kcore",
+    oracle=_kcore_oracle(),
+    tags=("extension", "graph", "similarity"),
+    doc="k-CORE decomposition (k=2) of the cosine>=0.25 near-dup graph "
+    "(round 6, Seidman 1983): iterative peel — drop sub-k nodes, "
+    "recompute, repeat to fixpoint — with one degree partial-agg + two "
+    "semi-joins per round and eager checkpoints (the pagerank loop "
+    "discipline); non-convergence within the bound RAISES. The 2-core "
+    "drops every tree/pendant: surviving docs sit in CYCLES of mutual "
+    "near-duplication — a stronger clump signal than degree. Oracle = "
+    "the unrolled peel (monotone, so extra rounds are no-ops), exact "
+    "(operators/graph.py:kcore).",
+)
+def x_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.graph import kcore
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    pairs = similarity.embedding_dup_pairs(emb, threshold=0.25).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return kcore(pairs, k=2, max_rounds=16)

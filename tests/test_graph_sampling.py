@@ -236,3 +236,33 @@ def test_triangle_count_star_has_none(spark):
         [(0, i) for i in range(1, 30)], "src long, dst long"
     )
     assert triangle_count(edges).count() == 0
+
+
+def test_kcore_peels_pendants_and_keeps_cycles(spark):
+    """Triangle + pendant chain: the 2-core keeps exactly the triangle
+    (a cascade: dropping the leaf makes its parent sub-k next round)."""
+    from iheardai_data_pipeline_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {r["node"]: r["degree"] for r in kcore(edges, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # k=3: the triangle is only a 2-core — empty result, correct schema
+    empty = kcore(edges, k=3)
+    assert empty.count() == 0 and set(empty.columns) == {"node", "degree"}
+
+
+def test_kcore_nonconvergence_raises(spark):
+    """A long chain peels one layer per round from each end; with
+    max_rounds too small the loop must RAISE, not return a non-core."""
+    import pytest
+
+    from iheardai_data_pipeline_spark.operators.graph import kcore
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(chain, k=2, max_rounds=2)
+    assert kcore(chain, k=2, max_rounds=12).count() == 0  # chain has no 2-core
