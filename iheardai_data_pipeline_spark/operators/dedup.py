@@ -965,6 +965,102 @@ def line_dedup(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT directional shingle-containment join: ordered pairs
+    (doc_a, doc_b) with |A∩B| / |A| >= t — doc_a's n-gram set is
+    (mostly) CONTAINED in doc_b's. The asymmetric complement to
+    :func:`prefix_filter_pairs`' symmetric Jaccard: a short document
+    quoted inside a long one scores containment ~1 while its Jaccard is
+    tiny, so this is the quote/excerpt/subset detector (the substring
+    dedup family's set-semantics sibling, robust to reordering where
+    the span detector is positional).
+
+    Prefix-filter theorem, containment form: |A∩B| >= c := ceil(t|A|)
+    forces A's first |A| - c + 1 tokens under ANY global total order to
+    intersect B (otherwise the shared tokens all sit in A's remaining
+    c - 1 tokens — pigeonhole). So candidates = A-PREFIX tokens joined
+    against B's FULL posting list: complete by theorem, no LSH miss, no
+    df cap. Ordering rarest-first keeps A-prefixes on short posting
+    lists (the hot-token control); the B side is the full index, which
+    is why containment is inherently costlier than the symmetric join —
+    documented, not hidden. The |B| >= ceil(t|A|) length filter and the
+    exact integer ceil ((p*n + q - 1) div q — float 0.8*15 = 12.000...2
+    would over-demand a token) follow prefix_filter_pairs.
+
+    Output: (doc_a, doc_b, containment) with half-up 4-dp containment,
+    ordered pairs (a mutually-near-dup pair appears in both directions,
+    matching the directional semantics).
+    """
+    from fractions import Fraction
+
+    fr = Fraction(str(threshold))
+    p, q = fr.numerator, fr.denominator
+
+    from pyspark.sql import Window
+
+    prof = (
+        eval_once(
+            ensure_parallelism(docs.where(F.col(text_col).isNotNull())),
+            sh_set=F.transform(
+                shingle_array(F.col(text_col), n), lambda s: F.xxhash64(s)
+            ),
+        )
+        .filter(F.size("sh_set") > 0)
+        .select(
+            F.col(id_col).alias("d"),
+            "sh_set",
+            F.size("sh_set").alias("n_sh"),
+        )
+        .cache()
+    )
+    postings = prof.select("d", "n_sh", F.explode("sh_set").alias("shingle_h"))
+    df_tbl = postings.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = postings.join(df_tbl, "shingle_h").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("d").orderBy("df", "shingle_h")),
+    )
+    # A-side prefix under containment: |A| - ceil(t|A|) + 1 tokens
+    ceil_tn = F.expr(f"CAST(({p} * n_sh + {q} - 1) div {q} AS INT)")
+    prefix = ranked.filter(F.col("rn") <= F.col("n_sh") - ceil_tn + 1).select(
+        "shingle_h", F.col("d").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    cand = (
+        prefix.join(
+            postings.select("shingle_h", F.col("d").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "shingle_h",
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        # length filter: |B| >= ceil(t|A|)  <=>  q*n_b >= p*n_a
+        .filter(F.lit(q) * F.col("n_b") >= F.lit(p) * F.col("n_a"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return (
+        cand.join(
+            prof.select(F.col("d").alias("doc_a"), F.col("sh_set").alias("set_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            prof.select(F.col("d").alias("doc_b"), F.col("sh_set").alias("set_b")),
+            "doc_b",
+        )
+        .withColumn("shared", F.size(F.array_intersect("set_a", "set_b")))
+        # exact integer threshold: shared/|A| >= p/q
+        .filter(F.lit(q) * F.col("shared") >= F.lit(p) * F.col("n_a"))
+        .select(
+            "doc_a",
+            "doc_b",
+            ratio_half_up(F.col("shared"), F.col("n_a"), 4).alias("containment"),
+        )
+    )
+
+
 def prefix_filter_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -76,6 +76,7 @@ def _ensure_loaded() -> None:
         "iheardai_data_pipeline_spark.plans.transform_queries_wide",
         "iheardai_data_pipeline_spark.plans.corpus_queries",
         "iheardai_data_pipeline_spark.plans.enrichment_queries",
+        "iheardai_data_pipeline_spark.plans.embedding_queries",
     ):
         importlib.import_module(mod)
     _LOADED = True

@@ -3524,6 +3524,42 @@ def x_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle: exact all ORDERED pairs with |A∩B|/|A| >= 0.8 (5s >= 4n_a in
+# exact integers) — the containment prefix filter is complete by
+# theorem, so the engine must reproduce this exactly.
+_CONTAINMENT_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, {sql_ratio_half_up("s", "ca.n", 4)} AS containment
+FROM shared
+JOIN counts ca ON shared.doc_a = ca.doc_id
+WHERE 5 * s >= 4 * ca.n
+"""
+
+
+@register(
+    "x_dedup_containment",
+    oracle=_CONTAINMENT_ORACLE,
+    tags=("extension", "dedup"),
+    doc="EXACT directional shingle-containment join (|A∩B|/|A| >= 0.8): "
+    "the quote/excerpt/subset detector — a short doc quoted inside a "
+    "long one scores containment ~1 while its Jaccard is tiny, and set "
+    "semantics survive reordering where the positional substring "
+    "detector does not. Containment-form prefix filtering (A-prefix vs "
+    "FULL posting list — complete by theorem, no LSH miss, no df cap), "
+    "exact integer ceil/threshold arithmetic; oracle = the uncapped "
+    "all-ordered-pairs answer (operators/dedup.py:containment_pairs).",
+)
+def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.containment_pairs(
+        load_table(spark, sf_dir, "documents"), n=5, threshold=0.8
+    )
+
+
 # --- k-core decomposition over the near-dup graph (round 6) -------------------------
 
 
