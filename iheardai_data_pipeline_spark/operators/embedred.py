@@ -171,6 +171,7 @@ def comoment_sums(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scale: float | None = None,
 ) -> DataFrame:
     """Upper-triangle co-moment sums over GLOBALLY int8-quantized
     vectors: (i, j, sxy, si, sj, n) for 0 <= i <= j < dim, all BIGINT —
@@ -188,41 +189,64 @@ def comoment_sums(
     relation is d^2-bounded, NEVER corpus-sized. At dim=64 that is 2080
     cells regardless of corpus size; a 1000-executor run ships 2080
     rows to the final reducer.
+
+    ``scale``: None (default) derives the quantization step from the
+    data (amax/127 — the one-shot build). A PINNED float makes the
+    whole computation row-local AND the resulting cells exactly
+    SUM-mergeable across any split of the corpus — per-batch amax
+    would quantize each batch on a different grid, so incremental /
+    streaming maintenance (t19) MUST pin the scale (the same reason
+    pca_project pins it).
     """
     base = ensure_parallelism(embeddings.where(F.col(vec_col).isNotNull()))
-    amax = base.agg(
-        F.max(
-            F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
-        ).alias("__amax")
-    )
-    scaled = base.crossJoin(F.broadcast(amax))
-    q = F.expr(
-        "transform(`{v}`, x -> CASE WHEN __amax > 0 THEN "
-        "CAST(floor(CAST(x AS DOUBLE) / (CAST(__amax AS DOUBLE) / 127.0D) "
-        "+ 0.5D) AS INT) ELSE 0 END)".format(v=vec_col)
-    )
+    if scale is None:
+        amax = base.agg(
+            F.max(
+                F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+            ).alias("__amax")
+        )
+        scaled = base.crossJoin(F.broadcast(amax))
+        q = F.expr(
+            "transform(`{v}`, x -> CASE WHEN __amax > 0 THEN "
+            "CAST(floor(CAST(x AS DOUBLE) / (CAST(__amax AS DOUBLE) / 127.0D) "
+            "+ 0.5D) AS INT) ELSE 0 END)".format(v=vec_col)
+        )
+    else:
+        scaled = base
+        q = F.expr(quantize_global_sql(f"`{vec_col}`", scale, "spark"))
     rows = eval_once(scaled, __q=q)
+    # ONE explode carries both the upper-triangle products and, as
+    # j = -1 marker rows, the per-dimension first moments — so the
+    # corpus is scanned once and everything funnels through a single
+    # (dim^2-bounded) groupBy; deriving the dim sums from a second
+    # explode would re-run the whole quantize subtree (and, in the
+    # data-derived-scale mode, the amax aggregation) per consumer
     pairs = rows.select(
         F.explode(
             F.expr(
                 f"flatten(transform(sequence(0, {dim - 1}), i -> "
+                f"concat("
                 f"transform(sequence(i, {dim - 1}), j -> "
                 f"struct(i AS i, j AS j, "
                 f"CAST(element_at(__q, i + 1) AS BIGINT) * "
-                f"element_at(__q, j + 1) AS xy))))"
+                f"element_at(__q, j + 1) AS xy)), "
+                f"array(struct(i AS i, -1 AS j, "
+                f"CAST(element_at(__q, i + 1) AS BIGINT) AS xy)))))"
             )
         ).alias("p")
     ).select("p.i", "p.j", "p.xy")
-    sxy = pairs.groupBy("i", "j").agg(
-        F.sum("xy").alias("sxy"), F.count(F.lit(1)).alias("n")
+    # cached: referenced by mom + two dim-sum branches, and each
+    # un-pinned reference would re-run the corpus scan (read_keys
+    # lesson); the relation is d^2-bounded, so caching is scale-safe
+    sums = (
+        pairs.groupBy("i", "j")
+        .agg(F.sum("xy").alias("sxy"), F.count(F.lit(1)).alias("n"))
+        .cache()
     )
-    dims = (
-        rows.select(F.posexplode("__q").alias("i", "qv"))
-        .groupBy("i")
-        .agg(F.sum(F.col("qv").cast("bigint")).alias("s"))
-    )
+    dims = sums.filter(F.col("j") == -1).select("i", F.col("sxy").alias("s"))
+    mom = sums.filter(F.col("j") >= 0)
     return (
-        sxy.join(F.broadcast(dims.select("i", F.col("s").alias("si"))), "i")
+        mom.join(F.broadcast(dims.select("i", F.col("s").alias("si"))), "i")
         .join(
             F.broadcast(
                 dims.select(F.col("i").alias("j"), F.col("s").alias("sj"))
@@ -310,10 +334,7 @@ def knn_graph(
     inside the cell; multi-probe assignment is the lever when edges
     near boundaries matter.
     """
-    from iheardai_data_pipeline_spark.operators.similarity import (
-        cosine_similarity,
-        ivf_assign,
-    )
+    from iheardai_data_pipeline_spark.operators.similarity import _dot, _norm, ivf_assign
 
     _, assigned = ivf_assign(
         embeddings.where(F.col(vec_col).isNotNull()),
@@ -321,14 +342,24 @@ def knn_graph(
         id_col=id_col,
         vec_col=vec_col,
     )
-    a = assigned.select(
+    # one norm fold per ROW (not per pair — a pair-side norm would cost
+    # 3 folds per candidate instead of 1), and cache so the self-join's
+    # two branches don't each re-run the argmax assignment (the
+    # prefix_filter_pairs profile-cache pattern; at cluster scale this
+    # is the standard materialize-before-self-join)
+    prof = eval_once(
+        assigned, __invn=F.lit(1.0) / _norm(F.col(vec_col))
+    ).cache()
+    a = prof.select(
         F.col(id_col).alias("__src"),
         F.col(vec_col).alias("__va"),
+        F.col("__invn").alias("__ia"),
         "centroid_id",
     )
-    b = assigned.select(
+    b = prof.select(
         F.col(id_col).alias("__nbr"),
         F.col(vec_col).alias("__vb"),
+        F.col("__invn").alias("__ib"),
         "centroid_id",
     )
     pairs = (
@@ -337,8 +368,129 @@ def knn_graph(
         .select(
             "__src",
             "__nbr",
+            # dot * inva * invb lands within ulps of dot/(na*nb); the
+            # 6-dp rounding BOTH engines rank on absorbs the difference
+            # (the x_sim_embedding_dups parity rule) — re-verified at
+            # all three SFs after this rewrite
             F.round(
-                cosine_similarity(F.col("__va"), F.col("__vb")), 6
+                _dot(F.col("__va"), F.col("__vb"))
+                * F.col("__ia")
+                * F.col("__ib"),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("__src").orderBy(F.desc("sim"), F.asc("__nbr"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__src").alias(id_col),
+            F.col("__nbr").alias("nbr_id"),
+            "rank",
+            "sim",
+        )
+    )
+
+
+def _topn_centroid_expr(cent_vecs: list[list[float]], vec_col: str, nprobe: int):
+    """Row-local TOP-``nprobe`` max-cosine centroid ids as one ordered
+    array expression — the multi-assignment generalization of
+    similarity._argmax_centroid_expr (same literal matrix, same
+    per-centroid 1/|c| constants, same scores-array-built-once
+    discipline). Ordering is (score desc, centroid id asc): the struct
+    sort key is (-score, id), so ties break to the lower id exactly
+    like the argmax's strict > and the oracle's ORDER BY s DESC, cid."""
+    import math
+
+    n = len(cent_vecs)
+    cents = "array(" + ",".join(
+        "array(" + ",".join(f"{x!r}D" for x in c) + ")" for c in cent_vecs
+    ) + ")"
+    invn = "array(" + ",".join(
+        f"{1.0 / math.sqrt(sum(x * x for x in c))!r}D" for c in cent_vecs
+    ) + ")"
+    scores = f"""
+        transform(sequence(0, {n - 1}), i ->
+          aggregate(zip_with(`{vec_col}`, element_at({cents}, i + 1),
+                             (a, b) -> CAST(a AS DOUBLE) * b),
+                    0.0D, (p, v) -> p + v) * element_at({invn}, i + 1))
+    """
+    return F.expr(
+        f"""
+        slice(
+          transform(
+            array_sort(zip_with({scores}, sequence(0, {n - 1}),
+                                (s, i) -> struct(-s AS negs, i AS i))),
+            x -> x.i),
+          1, {nprobe})
+        """
+    )
+
+
+def knn_graph_multiprobe(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`knn_graph` with MULTI-ASSIGNMENT: every vector lives in
+    its top-``nprobe`` cells, and candidates are pairs sharing ANY
+    cell — the standard lever against the single-probe variant's only
+    recall loss (true neighbors split by a cell boundary). Pair work
+    scales by ~nprobe^2 (each vector appears in nprobe cells), the
+    documented price of boundary recall; everything else — exact
+    in-cell cosine, round-6-then-rank parity, (sim desc, id asc)
+    ties — matches knn_graph, and the output schema is identical so
+    the two are drop-in interchangeable.
+    """
+    from iheardai_data_pipeline_spark.operators.similarity import (
+        _collect_centroids,
+        _dot,
+        _norm,
+    )
+
+    base = ensure_parallelism(embeddings.where(F.col(vec_col).isNotNull()))
+    cent = _collect_centroids(base, n_centroids, id_col, vec_col, "first")
+    cells = (
+        eval_once(
+            base.select(id_col, vec_col),
+            __invn=F.lit(1.0) / _norm(F.col(vec_col)),
+            __cells=_topn_centroid_expr([v for _, v in cent], vec_col, nprobe),
+        )
+        .select(
+            id_col, vec_col, "__invn", F.explode("__cells").alias("cell")
+        )
+        .cache()
+    )
+    a = cells.select(
+        F.col(id_col).alias("__src"),
+        F.col(vec_col).alias("__va"),
+        F.col("__invn").alias("__ia"),
+        "cell",
+    )
+    b = cells.select(
+        F.col(id_col).alias("__nbr"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__invn").alias("__ib"),
+        "cell",
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("__src") != F.col("__nbr"))
+        # a pair sharing BOTH probed cells must be scored once
+        .select("__src", "__nbr", "__va", "__vb", "__ia", "__ib")
+        .dropDuplicates(["__src", "__nbr"])
+        .select(
+            "__src",
+            "__nbr",
+            F.round(
+                _dot(F.col("__va"), F.col("__vb"))
+                * F.col("__ia")
+                * F.col("__ib"),
+                6,
             ).alias("sim"),
         )
     )

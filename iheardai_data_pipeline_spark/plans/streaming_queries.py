@@ -1070,3 +1070,119 @@ def t18_stream_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(root, ignore_errors=True)
     return res.orderBy("label")
+
+
+# --- T19 (extension): streaming PCA co-moment maintenance ---------------------------
+
+# The streaming twin of x_embed_pca_cov's build half. The one design
+# constraint that makes it exact: the quantization scale is PINNED
+# (plans/pca_artifact.py) — a per-batch amax would put every micro-batch
+# on a different integer grid and the moments would not merge. With the
+# pinned grid, each batch's (i, j, sxy, si, sj, n) cells are plain
+# BIGINTs and micro-batch maintenance is an epoch-guarded SUM-merge
+# (the t15/t17 pattern), so the final store equals the one-shot
+# pinned-scale co-moments for ANY micro-batch split — which is the
+# whole story of maintaining a PCA basis over an append-only corpus
+# without ever rescanning it.
+def _t19_oracle() -> str:
+    from iheardai_data_pipeline_spark.operators.embedred import (
+        quantize_global_sql,
+    )
+    from iheardai_data_pipeline_spark.plans.pca_artifact import PCA_SCALE
+
+    qsql = quantize_global_sql("embedding::DOUBLE[]", PCA_SCALE, "duckdb")
+    return f"""
+WITH q AS (
+  SELECT vec_id, {qsql} AS qv FROM embeddings WHERE embedding IS NOT NULL
+),
+qx AS (
+  SELECT vec_id, CAST(t.i - 1 AS INT) AS i, qv[t.i] AS qq
+  FROM q, unnest(generate_series(1, 64)) t(i)
+),
+mom AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(sum(CAST(a.qq AS BIGINT) * b.qq) AS BIGINT) AS sxy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM qx a JOIN qx b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+),
+ds AS (SELECT i, CAST(sum(qq) AS BIGINT) AS s FROM qx GROUP BY i)
+SELECT mom.i, mom.j, mom.sxy, sa.s AS si, sb.s AS sj, mom.n
+FROM mom JOIN ds sa ON mom.i = sa.i JOIN ds sb ON mom.j = sb.i
+"""
+
+
+@register(
+    "t19_stream_pca_cov",
+    oracle=_t19_oracle(),
+    tags=("streaming", "embedding"),
+    doc="Streaming-maintained PCA co-moments: each micro-batch of "
+    "embeddings quantizes on the PINNED artifact grid (per-batch "
+    "scales would not merge), computes its own 2080-cell BIGINT "
+    "co-moment table, and SUM-merges it into a keyed store inside "
+    "foreachBatch, epoch-guarded like t15/t17. The final cells equal "
+    "the one-shot pinned-scale comoment_sums for any micro-batch "
+    "split — a PCA basis maintained over an append-only corpus "
+    "without rescans (operators/embedred.py:comoment_sums).",
+)
+def t19_stream_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from iheardai_data_pipeline_spark.operators.embedred import comoment_sums
+    from iheardai_data_pipeline_spark.plans.pca_artifact import PCA_SCALE
+    from iheardai_data_pipeline_spark.sources.batch import load_table
+    from iheardai_data_pipeline_spark.streaming.sinks import harness_checkpoint_dir
+    from iheardai_data_pipeline_spark.streaming.stores import (
+        TransactionalParquetStore,
+    )
+
+    emb_schema = load_table(spark, sf_dir, "embeddings").schema
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="t19_", dir=shm)
+    store = TransactionalParquetStore(
+        spark,
+        os.path.join(root, "mom"),
+        key_cols=["i", "j"],
+        order_cols=["sxy"],
+    )
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        part = comoment_sums(batch, dim=64, scale=PCA_SCALE)
+
+        def fn(current: DataFrame | None) -> DataFrame:
+            if current is None:
+                return part
+            return (
+                current.unionByName(part)
+                .groupBy("i", "j")
+                .agg(
+                    F.sum("sxy").alias("sxy"),
+                    F.sum("si").alias("si"),
+                    F.sum("sj").alias("sj"),
+                    F.sum("n").alias("n"),
+                )
+            )
+
+        store.apply(fn, epoch=int(batch_id))
+
+    stream = (
+        spark.readStream.schema(emb_schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    ckpt = harness_checkpoint_dir("t19_ckpt_")
+    try:
+        (
+            stream.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+            .awaitTermination()
+        )
+        # 2080 rows: pin them so the store's tmp dir can be reclaimed
+        res = store.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+    return res.select("i", "j", "sxy", "si", "sj", "n")

@@ -132,3 +132,72 @@ def test_containment_below_threshold_excluded(spark):
     b = "w1 w2 w3 w4 w5 w6 w7 zz"
     out = containment_pairs(_docs(spark, [(1, a), (2, b)]), n=5, threshold=0.8)
     assert out.where(F.col("doc_a") == 1).count() == 0
+
+
+def test_comoment_sums_pinned_scale_merges_exactly(spark):
+    # the t19 contract: with a PINNED scale, per-split co-moment cells
+    # SUM-merge to exactly the one-shot answer for ANY split
+    rows = [(i, [float(i) * 0.3, 2.0 - i, float(i % 3)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    one = {
+        (r["i"], r["j"]): r
+        for r in embedred.comoment_sums(df, dim=3, scale=0.5).collect()
+    }
+    a = embedred.comoment_sums(
+        df.where("vec_id < 4"), dim=3, scale=0.5
+    ).collect()
+    b = embedred.comoment_sums(
+        df.where("vec_id >= 4"), dim=3, scale=0.5
+    ).collect()
+    merged: dict = {}
+    for r in list(a) + list(b):
+        k = (r["i"], r["j"])
+        if k not in merged:
+            merged[k] = dict(sxy=0, si=0, sj=0, n=0)
+        for c in ("sxy", "si", "sj", "n"):
+            merged[k][c] += r[c]
+    assert set(merged) == set(one)
+    for k, m in merged.items():
+        for c in ("sxy", "si", "sj", "n"):
+            assert m[c] == one[k][c], (k, c)
+
+
+def test_comoment_sums_per_batch_scale_does_not_merge(spark):
+    # the reason t19 MUST pin the scale: data-derived per-split scales
+    # put splits on different grids, so the summed cells diverge from
+    # the one-shot answer on data whose amax differs across splits
+    rows = [(0, [100.0, 1.0]), (1, [100.0, 2.0]), (2, [10.0, 3.0]), (3, [10.0, 4.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    one = {
+        (r["i"], r["j"]): r["sxy"]
+        for r in embedred.comoment_sums(df, dim=2).collect()
+    }
+    a = embedred.comoment_sums(df.where("vec_id < 2"), dim=2).collect()
+    b = embedred.comoment_sums(df.where("vec_id >= 2"), dim=2).collect()
+    merged: dict = {}
+    for r in list(a) + list(b):
+        merged[(r["i"], r["j"])] = merged.get((r["i"], r["j"]), 0) + r["sxy"]
+    assert merged != one
+
+
+def test_multiprobe_finds_boundary_neighbor_single_probe_misses(spark):
+    # ids 1 and 2 seed two near-orthogonal-ish cells; 3 and 4 are
+    # nearly identical to each other but land in DIFFERENT primary
+    # cells (3 -> cell of 1, 4 -> cell of 2). Single-probe never pairs
+    # them; top-2 assignment finds the pair through the shared second
+    # cell.
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.6, 0.8]),
+        (3, [0.9272, 0.3746]),   # 22deg: nearer centroid 1 (boundary ~26.5deg)
+        (4, [0.8660, 0.5000]),   # 30deg: nearer centroid 2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    single = embedred.knn_graph(df, k=2, n_centroids=2)
+    multi = embedred.knn_graph_multiprobe(df, k=2, n_centroids=2, nprobe=2)
+    s_pairs = {(r["vec_id"], r["nbr_id"]) for r in single.collect()}
+    m_pairs = {(r["vec_id"], r["nbr_id"]) for r in multi.collect()}
+    assert (3, 4) not in s_pairs  # split by the cell boundary
+    assert (3, 4) in m_pairs and (4, 3) in m_pairs
+    # multi-assignment candidates are a superset of single-probe's
+    assert s_pairs <= m_pairs or all(p in m_pairs for p in s_pairs)
