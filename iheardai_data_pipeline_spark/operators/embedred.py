@@ -235,13 +235,18 @@ def comoment_sums(
             )
         ).alias("p")
     ).select("p.i", "p.j", "p.xy")
-    # cached: referenced by mom + two dim-sum branches, and each
+    # eagerly pinned: referenced by mom + two dim-sum branches, and each
     # un-pinned reference would re-run the corpus scan (read_keys
-    # lesson); the relation is d^2-bounded, so caching is scale-safe
+    # lesson); the relation is d^2-bounded, so pinning is scale-safe.
+    # localCheckpoint, NOT cache(): this runs once per micro-batch in
+    # t19's foreachBatch, and cache entries live in the catalog until an
+    # explicit unpersist — checkpoint blocks are freed by the context
+    # cleaner when the frame goes out of scope, so repeated calls don't
+    # accumulate session-lifetime state
     sums = (
         pairs.groupBy("i", "j")
         .agg(F.sum("xy").alias("sxy"), F.count(F.lit(1)).alias("n"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     dims = sums.filter(F.col("j") == -1).select("i", F.col("sxy").alias("s"))
     mom = sums.filter(F.col("j") >= 0)
@@ -343,13 +348,15 @@ def knn_graph(
         vec_col=vec_col,
     )
     # one norm fold per ROW (not per pair — a pair-side norm would cost
-    # 3 folds per candidate instead of 1), and cache so the self-join's
-    # two branches don't each re-run the argmax assignment (the
-    # prefix_filter_pairs profile-cache pattern; at cluster scale this
-    # is the standard materialize-before-self-join)
+    # 3 folds per candidate instead of 1), and eagerly pin so the
+    # self-join's two branches don't each re-run the argmax assignment
+    # (the prefix_filter_pairs profile-cache pattern; at cluster scale
+    # this is the standard materialize-before-self-join). localCheckpoint
+    # rather than cache(): blocks are context-cleaner-freed when the
+    # frame is dropped, so repeated calls don't accumulate cache entries
     prof = eval_once(
         assigned, __invn=F.lit(1.0) / _norm(F.col(vec_col))
-    ).cache()
+    ).localCheckpoint(eager=True)
     a = prof.select(
         F.col(id_col).alias("__src"),
         F.col(vec_col).alias("__va"),
@@ -463,7 +470,7 @@ def knn_graph_multiprobe(
         .select(
             id_col, vec_col, "__invn", F.explode("__cells").alias("cell")
         )
-        .cache()
+        .localCheckpoint(eager=True)
     )
     a = cells.select(
         F.col(id_col).alias("__src"),

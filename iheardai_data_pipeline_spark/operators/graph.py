@@ -441,50 +441,134 @@ def kcore(
     the final action never re-derives the whole chain (the
     pagerank_fixed discipline). The peel is MONOTONE — the survivor
     set only shrinks and a stable round is a fixpoint — so iteration
-    stops at the first no-drop round; ``max_rounds`` bounds the driver
-    loop and a non-converged graph RAISES rather than returning a
-    non-core (same contract as connected_components' pointer doubling;
-    real graphs peel in a handful of rounds — each round removes every
-    currently-sub-k node at once).
+    stops at the first no-drop round; ``max_rounds`` bounds the number
+    of DROPPING rounds (the no-drop detection round is allowed on top,
+    so ``max_rounds`` here and ``rounds`` in an unrolled oracle fail at
+    the SAME peel depth) and a non-converged graph RAISES rather than
+    returning a non-core (same contract as connected_components'
+    pointer doubling; real graphs peel in a handful of rounds — each
+    round removes every currently-sub-k node at once). Edge counts are
+    carried forward round-to-round: ONE count action per round, not a
+    recount of the already-counted previous relation.
 
     Returns (node, degree) for the surviving core, degrees within it.
     """
+    e = _canonical_edges(edges, src, dst)
+    core, _n = _peel_to_core(e, k, max_rounds, n_edges=e.count())
+    return _degrees(core)
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge canonicalization (u < v, loops dropped, distinct),
+    eagerly pinned — every peel consumer re-reads checkpoint blocks, not
+    the upstream pair-generation plan."""
     u = F.least(F.col(src), F.col(dst))
     v = F.greatest(F.col(src), F.col(dst))
-    e = (
+    return (
         edges.where(F.col(src) != F.col(dst))
         .select(u.alias("u"), v.alias("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
-        deg = (
-            e.select(F.col("u").alias("node"))
-            .unionAll(e.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("degree"))
-        )
+
+
+def _degrees(e: DataFrame) -> DataFrame:
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def _peel_to_core(
+    e: DataFrame, k: int, max_rounds: int, n_edges: int
+) -> tuple[DataFrame, int]:
+    """Peel an already-canonicalized, pinned edge relation to its k-core
+    fixpoint. ``n_edges`` is the caller's already-known count of ``e``
+    (carried forward so each round costs ONE count action). Returns the
+    converged (edge_frame, edge_count); raises past ``max_rounds``
+    dropping rounds."""
+    n_before = n_edges
+    if n_before == 0:
+        return e, 0
+    # max_rounds dropping rounds + 1 no-drop detection round: an
+    # unrolled oracle with `rounds = max_rounds` no-op peels past its
+    # fixpoint, so engine and oracle diverge only at peel depths where
+    # BOTH fail loudly (the engine raises; the oracle's e_rounds would
+    # be unconverged but the engine never silently returns one)
+    for _ in range(max_rounds + 1):
+        deg = _degrees(e)
         keep = deg.filter(F.col("degree") >= k).select("node")
         e2 = (
             e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .localCheckpoint(eager=True)
         )
-        n_before, n_after = e.count(), e2.count()
+        n_after = e2.count()
         e = e2
-        if n_after == n_before:
-            return (
-                e.select(F.col("u").alias("node"))
-                .unionAll(e.select(F.col("v").alias("node")))
-                .groupBy("node")
-                .agg(F.count(F.lit(1)).alias("degree"))
-            )
-        if n_after == 0:
-            return e.sparkSession.createDataFrame(
-                [], "node long, degree bigint"
-            )
+        if n_after == n_before or n_after == 0:
+            return e, n_after
+        n_before = n_after
     raise RuntimeError(
-        f"k-core peel did not converge in {max_rounds} rounds — raise "
-        "max_rounds (each round drops every currently-sub-k node, so "
-        "this means an adversarial onion of >12 layers)"
+        f"k-core peel did not converge in {max_rounds} dropping rounds — "
+        "raise max_rounds (each round drops every currently-sub-k node, "
+        "so this means an adversarial onion of deeper layering)"
     )
+
+
+def coreness(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_k: int = 64,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """CORE NUMBER per node: the largest k for which the node survives
+    in the k-core (Seidman 1983 degeneracy decomposition) — the standard
+    per-node density artifact (kcore(k) answers one threshold; coreness
+    ranks every node). Over the near-dup graph, coreness is the
+    graded clump-depth signal a curation pipeline thresholds AFTER
+    seeing the distribution, without re-running the peel per k.
+
+    Shape: cores are NESTED (the k-core of the (k-1)-core IS the graph's
+    k-core), so one pass peels k = 2, 3, ... each STARTING FROM the
+    previous core's already-pinned edge relation — total work is the sum
+    of per-level peels over monotonically shrinking relations, not
+    max_k independent full peels. Nodes present in the (k-1)-core but
+    not the k-core get coreness k-1 (an anti-join on the two pinned node
+    sets); the loop ends when a core empties. ``max_k`` bounds the
+    driver loop at the graph's degeneracy + 1 levels and RAISES beyond
+    (the kcore non-convergence contract); per-level peel rounds are
+    bounded by ``max_rounds`` the same way kcore's are.
+
+    Returns (node, coreness) for every non-isolated node (coreness >= 1).
+    """
+    e = _canonical_edges(edges, src, dst)
+    n = e.count()
+    spark = e.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], "node long, coreness int")
+    out: list[DataFrame] = []
+    # every endpoint of a non-empty canonical edge set has degree >= 1:
+    # the 1-core is the whole (loop-free) graph
+    prev_nodes = _degrees(e).select("node").localCheckpoint(eager=True)
+    for k in range(2, max_k + 2):
+        e, n = _peel_to_core(e, k, max_rounds, n_edges=n)
+        nodes_k = _degrees(e).select("node").localCheckpoint(eager=True)
+        out.append(
+            prev_nodes.join(nodes_k, "node", "left_anti").select(
+                "node", F.lit(k - 1).alias("coreness")
+            )
+        )
+        prev_nodes = nodes_k
+        if n == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"coreness exceeded max_k={max_k} levels — the graph's "
+            "degeneracy is higher than the bound; raise max_k"
+        )
+    from functools import reduce
+
+    return reduce(DataFrame.unionAll, out)

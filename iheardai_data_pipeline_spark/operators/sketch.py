@@ -256,8 +256,11 @@ def ddq_build(df: DataFrame, col: str, scale: int = 100) -> DataFrame:
     "DDSketch: a fast and fully-mergeable quantile sketch").
 
     Bucketing is EXACT INTEGER arithmetic shared bit-for-bit with the
-    DuckDB twin: values scale to integer cents through DECIMAL(18,2)
-    (order-independent, no float rounding), and a positive v lands in
+    DuckDB twin: values scale to integer units of 1/``scale`` through a
+    DECIMAL(18, log10(scale)) cast (order-independent, no float
+    rounding; ``scale`` must be a power of ten so the decimal cast is
+    exact — pass the same value to :func:`ddq_quantiles` so the
+    read-off divides back on the same grid), and a positive v lands in
     bucket ``e = floor(log2 v)`` (the length of ``bin(v)`` minus one —
     a string length, no libm log) with 2 extra mantissa bits
     ``m ∈ [0,4)`` read straight off the binary string's 2nd/3rd chars
@@ -268,7 +271,10 @@ def ddq_build(df: DataFrame, col: str, scale: int = 100) -> DataFrame:
     partial-agg mergeability as the CMS, so the streaming twin (t17)
     sum-merges micro-batches exactly (epoch-guarded, like t15).
     """
-    v = F.round(F.col(col).cast("decimal(18,2)") * 100).cast("long")
+    digits = len(str(scale)) - 1
+    if scale <= 0 or 10**digits != scale:
+        raise ValueError(f"scale must be a power of ten, got {scale}")
+    v = F.round(F.col(col).cast(f"decimal(18,{digits})") * scale).cast("long")
     b = F.bin(v)
     ln = F.length(b)
     e = F.when(v <= 0, F.lit(-1)).otherwise((ln - 1).cast("int"))

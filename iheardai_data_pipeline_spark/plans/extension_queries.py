@@ -3629,3 +3629,85 @@ def x_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     return kcore(pairs, k=2, max_rounds=16)
+
+
+def _coreness_oracle(k_max: int = 8, rounds: int = 12) -> str:
+    """Unrolled coreness decomposition: cores are NESTED, so level k's
+    peel starts from level (k-1)'s converged edge set — the same
+    incremental shape the engine uses. Each level unrolls ``rounds``
+    peels (monotone: rounds past the fixpoint are no-ops) and the final
+    SELECT appends a node=-1 SENTINEL row if any level's last two
+    rounds still differ — the engine never emits node=-1, so an
+    unconverged oracle hash-mismatches loudly instead of silently
+    returning a non-core (the kcore-contract ADVICE fix). coreness =
+    max level whose core still contains the node; every endpoint of the
+    loop-free graph is in the 1-core."""
+    sql = [
+        """WITH l1 AS MATERIALIZED (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25
+)"""
+    ]
+    prev = "l1"
+    finals = {1: "l1"}
+    guards = []
+    for k in range(2, k_max + 2):
+        for r in range(1, rounds + 1):
+            cur = f"k{k}r{r}"
+            sql.append(
+                f""", {cur}n AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, count(*) AS c
+    FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+    GROUP BY node) WHERE c >= {k}
+), {cur} AS MATERIALIZED (
+  SELECT u, v FROM {prev}
+  WHERE u IN (SELECT node FROM {cur}n) AND v IN (SELECT node FROM {cur}n)
+)"""
+            )
+            prev = cur
+        finals[k] = prev
+        guards.append(
+            f"(SELECT count(*) FROM k{k}r{rounds - 1}) <> "
+            f"(SELECT count(*) FROM k{k}r{rounds})"
+        )
+    mem = " UNION ALL ".join(
+        f"SELECT u AS node, {k} AS k FROM {c} "
+        f"UNION ALL SELECT v, {k} FROM {c}"
+        for k, c in finals.items()
+    )
+    sql.append(
+        f""", mem AS ({mem})
+SELECT node, CAST(max(k) AS INT) AS coreness FROM mem GROUP BY node
+UNION ALL
+SELECT CAST(-1 AS BIGINT), -1 WHERE {" OR ".join(guards)}"""
+    )
+    return "".join(sql)
+
+
+@register(
+    "x_graph_coreness",
+    oracle=_coreness_oracle(),
+    tags=("extension", "graph", "similarity"),
+    doc="Full CORENESS decomposition of the cosine>=0.25 near-dup graph "
+    "(round 7): core NUMBER per node — the graded clump-depth signal a "
+    "curation pipeline thresholds after seeing the distribution, where "
+    "kcore(k) answers only one threshold. Cores are nested, so one "
+    "pass peels k=2,3,... each level starting from the previous core's "
+    "pinned edge relation (total work = sum over shrinking relations, "
+    "not max_k full peels); one count action per peel round (the r6 "
+    "double-count fix). Oracle = unrolled nested peel with a "
+    "convergence SENTINEL row per level (operators/graph.py:coreness).",
+)
+def x_graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.graph import coreness
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    pairs = similarity.embedding_dup_pairs(emb, threshold=0.25).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return coreness(pairs, max_k=8, max_rounds=12)

@@ -719,8 +719,9 @@ ORDER BY e.est DESC, k.user_id LIMIT 20
     "unbounded stream, and because sum is the CMS merge, the final "
     "cells and every estimate equal the one-shot batch sketch exactly. "
     "Unlike t14's max-merge (naturally idempotent), sum double-counts "
-    "a crash-replayed batch, so each commit also records its epoch as "
-    "a depth=-1 marker row and already-merged epochs are skipped — "
+    "a crash-replayed batch, so each commit records its epoch in the "
+    "OCC commit marker (TransactionalParquetStore.apply's epoch guard) "
+    "and already-merged epochs are skipped — "
     "exactly-once even though the store commits independently of the "
     "stream checkpoint. The frequency twin of t14's sketch.",
 )

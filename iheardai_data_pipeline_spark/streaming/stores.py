@@ -69,9 +69,12 @@ def _occ_current_version(commits_dir: str) -> int:
 
 def _occ_committed_epochs(commits_dir: str) -> set:
     """Epochs recorded by already-committed versions (see ``apply``'s
-    ``epoch`` param). One tiny JSON read per retained version — vacuum
-    bounds the scan; a long-retention deployment would fold the set
-    forward into each new marker instead."""
+    ``epoch`` param) PLUS epochs retired into ``_epochs/`` by vacuum —
+    so the idempotence window is the store's whole history, not just
+    the marker-retention window (a replay of an epoch older than
+    ``vacuum(keep=...)`` must still no-op, or t15/t17/t19's sum-folds
+    would double-count). One tiny JSON read per retained version plus
+    one per retired epoch."""
     out: set = set()
     for f in os.listdir(commits_dir):
         if not f.isdigit():
@@ -83,7 +86,58 @@ def _occ_committed_epochs(commits_dir: str) -> set:
             continue
         if e is not None:
             out.add(e)
+    epochs_dir = os.path.join(commits_dir, "_epochs")
+    if os.path.isdir(epochs_dir):
+        for f in os.listdir(epochs_dir):
+            if f.startswith("."):
+                continue
+            try:
+                with open(os.path.join(epochs_dir, f)) as fh:
+                    e = json.load(fh).get("epoch")
+            except (OSError, json.JSONDecodeError):
+                continue
+            if e is not None:
+                out.add(e)
     return out
+
+
+def _occ_retire_epochs(commits_dir: str, versions: list) -> None:
+    """Fold the epoch records of about-to-be-pruned commit markers into
+    the durable ``_epochs/`` sidecar BEFORE vacuum unlinks them, so
+    retention never shrinks the idempotence window. One tiny
+    content-addressed file per retired epoch, published with the same
+    write→fsync→exclusive-link protocol as the markers (a reader never
+    sees a half-written record; a concurrent retire of the same epoch
+    resolves by EEXIST). A deployment whose epochs are monotone
+    per-writer batch ids would compact these to a max-per-writer record
+    (Delta's txn appId model); the sidecar keeps arbitrary epoch values
+    correct."""
+    import hashlib
+
+    epochs_dir = os.path.join(commits_dir, "_epochs")
+    for v in versions:
+        try:
+            with open(os.path.join(commits_dir, str(v))) as fh:
+                e = json.load(fh).get("epoch")
+        except (OSError, json.JSONDecodeError):
+            continue
+        if e is None:
+            continue
+        os.makedirs(epochs_dir, exist_ok=True)
+        digest = hashlib.md5(
+            json.dumps(e, sort_keys=True, default=str).encode()
+        ).hexdigest()
+        tmp = os.path.join(epochs_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump({"epoch": e}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, os.path.join(epochs_dir, digest))
+        except FileExistsError:
+            pass
+        finally:
+            os.unlink(tmp)
 
 
 def _occ_try_claim(commits_dir: str, version: int, payload: dict) -> bool:
@@ -265,6 +319,9 @@ class TransactionalParquetStore:
             int(f) for f in os.listdir(self._commits_dir()) if f.isdigit()
         )
         live = versions[-keep:]
+        _occ_retire_epochs(
+            self._commits_dir(), [v for v in versions if v not in live]
+        )
         referenced = set()
         for v in versions:
             d = self._snapshot_dir(v)
@@ -642,6 +699,9 @@ class BucketedTransactionalStore:
             int(f) for f in os.listdir(self._commits_dir()) if f.isdigit()
         )
         live = set(versions[-keep:])
+        _occ_retire_epochs(
+            self._commits_dir(), [v for v in versions if v not in live]
+        )
         referenced: set[str] = set()
         for v in versions:
             manifest = self._manifest(v) or {}
@@ -1152,6 +1212,9 @@ class MultiRelationTransactionalStore:
             int(f) for f in os.listdir(self._commits_dir()) if f.isdigit()
         )
         live = set(versions[-keep:])
+        _occ_retire_epochs(
+            self._commits_dir(), [v for v in versions if v not in live]
+        )
         referenced: set[str] = set()
         for v in versions:
             manifest = self._manifest(v) or {}

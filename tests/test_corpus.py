@@ -419,3 +419,37 @@ class TestQuantileSketch:
             # (gamma = 1.25 -> est >= true / 1.25)
             assert got[q] <= true + 1e-9, (q, got[q], true)
             assert got[q] >= true / 1.25 - 0.02, (q, got[q], true)
+
+
+    def test_scale_drives_the_bucket_grid(self, spark):
+        """scale=1000 buckets on the milli grid: 0.123 and 0.1 land in
+        DIFFERENT buckets (123 vs 100 milli-units) where the cents grid
+        would merge them (12 cents vs 10 — same octave+mantissa cell is
+        not guaranteed, so use values that the cents grid provably
+        merges: 0.001 and 0.002 both round to 0 cents)."""
+        from iheardai_data_pipeline_spark.operators.sketch import (
+            ddq_build,
+            ddq_quantiles,
+        )
+
+        df = self._df(spark, [0.001, 0.002])
+        cents = ddq_build(df, "value", scale=100).collect()
+        assert {(r["e"], r["m"]) for r in cents} == {(-1, 0)}  # both -> 0 cents
+        milli = ddq_build(df, "value", scale=1000).collect()
+        assert {(r["e"], r["m"]) for r in milli} == {(0, 0), (1, 0)}  # 1, 2
+        # read-off divides back on the same grid
+        est = {
+            r["q"]: r["est"]
+            for r in ddq_quantiles(
+                ddq_build(df, "value", scale=1000), qs=(0.5,), scale=1000
+            ).collect()
+        }
+        assert est[0.5] == 0.001
+
+    def test_non_power_of_ten_scale_rejected(self, spark):
+        import pytest
+
+        from iheardai_data_pipeline_spark.operators.sketch import ddq_build
+
+        with pytest.raises(ValueError, match="power of ten"):
+            ddq_build(self._df(spark, [1.0]), "value", scale=60)

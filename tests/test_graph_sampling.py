@@ -266,3 +266,59 @@ def test_kcore_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         kcore(chain, k=2, max_rounds=2)
     assert kcore(chain, k=2, max_rounds=12).count() == 0  # chain has no 2-core
+
+
+def test_kcore_allows_max_rounds_dropping_rounds(spark):
+    """max_rounds bounds DROPPING rounds; the no-drop detection round is
+    free on top — a graph that peels in exactly max_rounds rounds
+    converges instead of raising (so an unrolled oracle with
+    rounds == max_rounds no-ops past the same fixpoint)."""
+    from iheardai_data_pipeline_spark.operators.graph import kcore
+
+    # triangle + 3-link tail: the tail peels one node per round
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)],
+        "src long, dst long",
+    )
+    got = {r["node"] for r in kcore(edges, k=2, max_rounds=3).collect()}
+    assert got == {1, 2, 3}
+
+
+def test_coreness_known_graph(spark):
+    """K4 sharing a vertex with a triangle, plus a pendant: coreness is
+    3 on the K4, 2 on the triangle's other nodes, 1 on the pendant."""
+    from iheardai_data_pipeline_spark.operators.graph import coreness
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    tri = [(4, 5), (5, 6), (4, 6)]
+    pend = [(6, 7)]
+    edges = spark.createDataFrame(k4 + tri + pend, "src long, dst long")
+    got = {r["node"]: r["coreness"] for r in coreness(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 2, 6: 2, 7: 1}
+
+
+def test_coreness_matches_kcore_membership(spark):
+    """coreness(node) >= k  <=>  node in kcore(k) — cross-checked on a
+    mixed graph for every k up to the degeneracy."""
+    from iheardai_data_pipeline_spark.operators.graph import coreness, kcore
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 3), (5, 6), (9, 10)],
+        "src long, dst long",
+    )
+    cz = {r["node"]: r["coreness"] for r in coreness(edges).collect()}
+    for k in (1, 2, 3):
+        core_nodes = {r["node"] for r in kcore(edges, k=k).collect()}
+        assert core_nodes == {n for n, c in cz.items() if c >= k}, k
+
+
+def test_coreness_exceeding_max_k_raises(spark):
+    import pytest
+
+    from iheardai_data_pipeline_spark.operators.graph import coreness
+
+    k4 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="max_k"):
+        coreness(k4, max_k=2)

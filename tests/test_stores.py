@@ -638,3 +638,53 @@ def test_multi_relation_append_then_fold_then_compact(spark, tmp_path):
         assert all(len(v) == 1 for v in manifest[rel].values())
     assert st.read("bands").count() == 3
     assert st.read("profiles").count() == 3
+
+
+def test_vacuum_preserves_epoch_idempotence(spark, tmp_path):
+    """Replay of an epoch whose commit marker vacuum has PRUNED must
+    still no-op: vacuum retires pruned markers' epochs into the durable
+    _epochs/ sidecar, so retention never shrinks the idempotence window
+    (a sum-fold like t15/t17 would double-count otherwise)."""
+    st = TransactionalParquetStore(
+        spark, str(tmp_path / "vep"), key_cols=["k"], order_cols=["seq"]
+    )
+    upd = spark.createDataFrame([("a", 1, "x")], SCHEMA)
+
+    def fn(current):
+        if current is None:
+            return upd
+        return (
+            current.unionByName(upd)
+            .groupBy("k", "v")
+            .agg(F.sum("seq").alias("seq"))
+            .select("k", "seq", "v")
+        )
+
+    for ep in (1, 2, 3, 4):
+        st.apply(fn, epoch=ep)
+    assert st.read().collect()[0]["seq"] == 4
+    st.vacuum(keep=1, grace_seconds=0.0)  # prunes markers for epochs 1-3
+    st.apply(fn, epoch=1)  # replay of a pruned epoch: must still skip
+    assert st.read().collect()[0]["seq"] == 4
+    st.apply(fn, epoch=5)  # a genuinely new epoch still merges
+    assert st.read().collect()[0]["seq"] == 5
+    # retire survives a second vacuum (epochs re-fold transitively)
+    st.vacuum(keep=1, grace_seconds=0.0)
+    st.apply(fn, epoch=2)
+    assert st.read().collect()[0]["seq"] == 5
+
+
+def test_multi_relation_vacuum_preserves_epochs(spark, tmp_path):
+    """Same contract on the multi-relation store's append path."""
+    st = _multi(spark, tmp_path, "mvep")
+    bands = spark.createDataFrame([(1, "b1")], "doc_id long, bkey string")
+    profs = spark.createDataFrame([(1, "p")], "doc_id long, text string")
+    upd = {"bands": bands.select("bkey", "doc_id"), "profiles": profs}
+    for ep in ("e1", "e2", "e3"):
+        st.append_keyed(upd, epoch=ep)
+    assert st.read("profiles").count() == 3
+    st.vacuum(keep=1, grace_seconds=0.0)
+    st.append_keyed(upd, epoch="e1")  # pruned-marker epoch: no-op
+    assert st.read("profiles").count() == 3
+    st.append_keyed(upd, epoch="e4")
+    assert st.read("profiles").count() == 4
