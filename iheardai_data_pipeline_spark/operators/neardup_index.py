@@ -89,7 +89,12 @@ class MinHashBandIndex:
     ``append(docs)`` indexes documents unconditionally (corpus
     bootstrap); ``ingest(batch)`` gates a batch against everything
     indexed so far (and its own lower-id peers), appends ALL batch docs
-    to the index, and returns the surviving rows.
+    to the index, and returns the surviving rows; ``delete(ids, seq)``
+    retracts documents with tombstone rows under the M1/M2
+    last-write-wins contract (greatest seq wins, delete wins ties) —
+    a retracted doc stops matching probes, and re-ingesting it with a
+    higher seq is the upsert path. ``compact()`` reclaims superseded
+    and tombstoned rows.
 
     The LSH parameters are part of the on-disk layout (mixing two
     bandings in one index silently loses candidates), so the creator
@@ -165,6 +170,12 @@ class MinHashBandIndex:
         # is cheaper than running it. Large layouts (buckets_for_corpus
         # sizing) MUST prune — that is what makes probes O(batch).
         self._prune_probes = self._store.n_buckets > 64
+        # delete/tombstone fast-path flag: until the first delete(), no
+        # tombstone rows exist and the probe path skips the LWW collapse
+        # entirely — the append-only hot path pays ZERO for the upsert
+        # capability. Once set, the flag stays (LWW over all-live rows
+        # is a no-op, and clearing it would race a concurrent delete).
+        self._flag_path = os.path.join(path, "_has_tombstones")
 
     # -- row-local derivations (no shuffle) -----------------------------------
 
@@ -241,9 +252,47 @@ class MinHashBandIndex:
             .select("id_a", "id_b", "jaccard")
         )
 
+    def _versioned(self, prof3: DataFrame, seq: int) -> DataFrame:
+        """Profile rows stamped with their LWW version: (id, sh_set,
+        n_sh, seq, live=true). ``seq`` is the caller's monotone write
+        sequence — the reference's ``excluded.seq > current.seq`` upsert
+        ordering (enhanced_kpi_consumer.py:395-434), here applied to the
+        index's own state."""
+        return prof3.select(
+            self.id_col,
+            "sh_set",
+            "n_sh",
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(True).alias("live"),
+        )
+
+    def _latest_live(self, prof_rows: DataFrame) -> DataFrame:
+        """LWW collapse of multi-version profile rows to (id, sh_set,
+        n_sh) of the CURRENT live version per doc: greatest seq wins;
+        on a seq tie the tombstone wins (deterministic, delete-biased —
+        the conservative resolution for a retraction race). Rows of one
+        doc share a bucket (profiles are keyed by id), so this is exact
+        under bucket-pruned reads."""
+        ic = self.id_col
+        order = F.struct(
+            F.col("seq"), F.when(F.col("live"), F.lit(0)).otherwise(F.lit(1))
+        )
+        latest = prof_rows.groupBy(ic).agg(
+            F.max_by(F.struct("sh_set", "n_sh", "live"), order).alias("s")
+        )
+        return latest.filter(F.col("s.live")).select(
+            ic,
+            F.col("s.sh_set").alias("sh_set"),
+            F.col("s.n_sh").alias("n_sh"),
+        )
+
+    @property
+    def _has_tombstones(self) -> bool:
+        return os.path.exists(self._flag_path)
+
     # -- public API -----------------------------------------------------------
 
-    def append(self, docs: DataFrame, epoch=None) -> None:
+    def append(self, docs: DataFrame, epoch=None, seq: int = 0) -> None:
         """Index documents unconditionally (corpus bootstrap / trusted
         sources). ONE atomic OCC commit for both relations; profiles
         computed once. Plain append, not LWW merge: a doc's profile is
@@ -256,14 +305,51 @@ class MinHashBandIndex:
             self._store.append_keyed(
                 {
                     "bands": self._band_rows(prof),
-                    "profiles": prof.select(self.id_col, "sh_set", "n_sh"),
+                    "profiles": self._versioned(
+                        prof.select(self.id_col, "sh_set", "n_sh"), seq
+                    ),
                 },
                 epoch=epoch,
             )
         finally:
             prof.unpersist()
 
-    def ingest(self, batch: DataFrame, epoch=None) -> DataFrame:
+    def delete(self, ids: DataFrame, seq: int, epoch=None) -> None:
+        """Retract documents by id: appends TOMBSTONE profile rows
+        (null profile, live=false) in one O(batch) commit — the M1/M2
+        last-write-wins contract applied to the index (the reference's
+        signature semantics ARE upsert). A deleted doc stops matching
+        probes immediately: its band rows still generate candidates,
+        but verification joins only LIVE latest profiles, so every such
+        candidate dies exactly (bands are a candidate generator, never
+        a correctness surface). Physical rows are reclaimed by
+        :meth:`compact`. Re-ingesting the id later with a HIGHER seq
+        makes it live again (upsert = delete + ingest).
+
+        ``seq`` must exceed every seq previously written for these ids
+        (ties resolve to the tombstone). ``epoch`` = idempotent-commit
+        marker, as on ingest."""
+        ic = self.id_col
+        try:
+            with open(self._flag_path, "x"):
+                pass
+        except FileExistsError:
+            pass
+        tomb = ids.select(
+            F.col(ic),
+            F.lit(None).cast("array<bigint>").alias("sh_set"),
+            F.lit(None).cast("int").alias("n_sh"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(False).alias("live"),
+        )
+        empty_bands = ids.select(
+            F.lit(None).cast("bigint").alias("bkey"), F.col(ic)
+        ).limit(0)
+        self._store.append_keyed(
+            {"bands": empty_bands, "profiles": tomb}, epoch=epoch
+        )
+
+    def ingest(self, batch: DataFrame, epoch=None, seq: int = 0) -> DataFrame:
         """Gate ``batch`` against the index + lower-id batch peers,
         append ALL batch docs (kept and rejected — see module doc),
         return the surviving rows with every original column.
@@ -339,6 +425,12 @@ class MinHashBandIndex:
                     if self._prune_probes
                     else self._store.read("profiles")
                 )
+                if idx_prof is not None and self._has_tombstones:
+                    # LWW collapse only once a delete() has ever
+                    # happened: deleted/superseded versions stop
+                    # matching here (their band rows above only made
+                    # candidates, which this inner join now starves)
+                    idx_prof = self._latest_live(idx_prof)
                 if idx_prof is not None:
                     # ONE fused verify pass: index and intra-batch
                     # candidate id_b spaces are disjoint (the guard
@@ -363,7 +455,9 @@ class MinHashBandIndex:
             self._store.append_keyed(
                 {
                     "bands": bands_inc,
-                    "profiles": prof.select(ic, "sh_set", "n_sh"),
+                    "profiles": self._versioned(
+                        prof.select(ic, "sh_set", "n_sh"), seq
+                    ),
                 },
                 epoch=epoch,
             )
@@ -378,14 +472,58 @@ class MinHashBandIndex:
         un-epoched batch re-appended — results never depend on them;
         this reclaims the space and the small files). One read+rewrite
         through the commit protocol — run it on the maintenance
-        cadence, not the ingest path."""
+        cadence, not the ingest path.
+
+        With tombstones present, compaction is also the VACUUM of the
+        upsert model: profiles collapse to the latest LIVE version per
+        doc, and bands are REBUILT from those live profiles (band rows
+        carry no version, so anti-joining stale ones out is impossible
+        — regeneration from the surviving profiles is exact and the
+        rebuild is a row-local signature recompute, no corpus shuffle).
+        Both land in ONE atomic commit, so no read ever sees bands
+        without their profiles. Caveat, documented like commit-marker
+        retention: compaction physically drops tombstone rows, so a
+        STALE write replayed afterwards with a lower seq than a
+        compacted-away tombstone would resurrect the doc — retire
+        deletes only after the at-least-once replay window."""
         ic = self.id_col
 
         def fold(rel: str, current: DataFrame, upd) -> DataFrame:
-            keys = ["bkey", ic] if rel == "bands" else [ic]
-            return current.dropDuplicates(keys)
+            if rel == "profiles":
+                if not self._has_tombstones:
+                    return current.dropDuplicates([ic])
+                return self._versioned_latest_rows(current)
+            if not self._has_tombstones:
+                return current.dropDuplicates(["bkey", ic])
+            # rebuild bands from the store's live profiles (read inside
+            # the fold: the OCC retry re-reads, so a lost race refolds
+            # against the new base — never a pinned stale frame)
+            live = self._latest_live(self._store.read("profiles"))
+            return self._band_rows(
+                live.select(
+                    ic, _minhash_from_set(F.col("sh_set"), self.k).alias("sig")
+                )
+            )
 
         self._store.apply_keyed_all_buckets(fold)
+
+    def _versioned_latest_rows(self, prof_rows: DataFrame) -> DataFrame:
+        """Full 5-column live-latest rows (compaction keeps the version
+        stamp so later writes still LWW against the survivors)."""
+        ic = self.id_col
+        order = F.struct(
+            F.col("seq"), F.when(F.col("live"), F.lit(0)).otherwise(F.lit(1))
+        )
+        latest = prof_rows.groupBy(ic).agg(
+            F.max_by(F.struct("sh_set", "n_sh", "seq", "live"), order).alias("s")
+        )
+        return latest.filter(F.col("s.live")).select(
+            ic,
+            F.col("s.sh_set").alias("sh_set"),
+            F.col("s.n_sh").alias("n_sh"),
+            F.col("s.seq").alias("seq"),
+            F.col("s.live").alias("live"),
+        )
 
     def vacuum(self, keep: int = 2, grace_seconds: float = 3600.0) -> None:
         self._store.vacuum(keep, grace_seconds)

@@ -95,14 +95,22 @@ class SemanticDedupIndex:
                 f"{meta['threshold']}; got {threshold}"
             )
         self.centroids: list[list[float]] = meta["centroids"]
+        # two relations, one commit log: "vectors" (cluster-keyed — the
+        # probe side) and "ids" (id-keyed — the delete-path lookup: a
+        # retraction arrives with only the id, and the tombstone must
+        # land in the SAME cluster bucket as the row it kills or a
+        # pruned probe of that cluster would never see it)
         self._store = MultiRelationTransactionalStore(
             spark,
             os.path.join(path, "state"),
-            relations={"vectors": ["centroid_id"]},
+            relations={"vectors": ["centroid_id"], "ids": [id_col]},
             n_buckets=n_buckets,
         )
         # prune-vs-scan rule — see MinHashBandIndex._prune_probes
         self._prune_probes = self._store.n_buckets > 64
+        # tombstone fast-path flag — see MinHashBandIndex (append-only
+        # ingest pays zero for the upsert capability until a delete)
+        self._flag_path = os.path.join(path, "_has_tombstones")
 
     @classmethod
     def bootstrap(
@@ -182,16 +190,96 @@ class SemanticDedupIndex:
     def _cos(self, a, b):
         return _dot(a, b) / (_norm(a) * _norm(b))
 
+    @property
+    def _has_tombstones(self) -> bool:
+        return os.path.exists(self._flag_path)
+
+    def _updates(self, assigned: DataFrame, seq: int) -> dict:
+        """Both relations' rows for one batch, stamped with the LWW
+        version (seq, live=true)."""
+        ic, vc = self.id_col, self.vec_col
+        s = F.lit(seq).cast("long").alias("seq")
+        live = F.lit(True).alias("live")
+        return {
+            "vectors": assigned.select(ic, vc, "centroid_id", s, live),
+            "ids": assigned.select(ic, "centroid_id", s, live),
+        }
+
+    def _latest_live(self, rows: DataFrame, cols: list[str]) -> DataFrame:
+        """LWW collapse per vec id: greatest seq wins, tombstone wins
+        ties (delete-biased — the conservative retraction-race
+        resolution); returns live rows projected to ``cols``. Exact
+        under pruned reads: a tombstone is written into the SAME
+        cluster bucket as the version it kills, so whatever subset of
+        clusters a probe reads, every stale row it sees is accompanied
+        by its killer."""
+        ic = self.id_col
+        order = F.struct(
+            F.col("seq"), F.when(F.col("live"), F.lit(0)).otherwise(F.lit(1))
+        )
+        payload = [c for c in cols if c != ic]
+        if "live" not in payload:
+            payload.append("live")
+        latest = rows.groupBy(ic).agg(
+            F.max_by(F.struct(*payload), order).alias("s")
+        )
+        return latest.filter(F.col("s.live")).select(
+            ic, *[F.col(f"s.{c}").alias(c) for c in cols if c != ic]
+        )
+
     # -- public API ---------------------------------------------------------------
 
-    def append(self, batch: DataFrame, epoch=None) -> None:
+    def append(self, batch: DataFrame, epoch=None, seq: int = 0) -> None:
         """Index vectors unconditionally (corpus bootstrap / trusted
         sources). One atomic O(batch) add-files commit."""
         self._store.append_keyed(
-            {"vectors": self._assigned(batch)}, epoch=epoch
+            self._updates(self._assigned(batch), seq), epoch=epoch
         )
 
-    def ingest(self, batch: DataFrame, epoch=None) -> DataFrame:
+    def delete(self, ids: DataFrame, seq: int, epoch=None) -> None:
+        """Retract vectors by id under the M1/M2 last-write-wins
+        contract (the band-index delete's embedding sibling). The
+        retraction arrives with only the id, so the OLD cluster comes
+        from a bucket-pruned lookup of the "ids" relation; the
+        tombstone then lands in that cluster's bucket, where it starves
+        the probe join exactly. One atomic O(batch) commit; physical
+        reclamation happens in :meth:`compact` (same stale-replay
+        caveat as the band index). Deleting an unknown id is a no-op.
+
+        Scale note: cost = the ids-relation buckets the delete batch
+        hashes to, plus one batch-sized commit — never the corpus."""
+        ic = self.id_col
+        try:
+            with open(self._flag_path, "x"):
+                pass
+        except FileExistsError:
+            pass
+        key_frame = ids.select(ic)
+        lookup = (
+            self._store.read_keys("ids", key_frame)
+            if self._prune_probes
+            else self._store.read("ids")
+        )
+        if lookup is None:
+            return
+        old = self._latest_live(lookup, [ic, "centroid_id"]).join(
+            F.broadcast(key_frame), ic, "left_semi"
+        )
+        s = F.lit(seq).cast("long").alias("seq")
+        dead = F.lit(False).alias("live")
+        # null vector typed to match the stored rows (schema-only read
+        # — one parquet footer, no data scan)
+        vtype = self._store.read("vectors").schema[self.vec_col].dataType
+        vec_null = F.lit(None).cast(vtype).alias(self.vec_col)
+        self._store.append_keyed(
+            {
+                "vectors": old.select(ic, vec_null, "centroid_id", s, dead),
+                "ids": old.select(ic, "centroid_id", s, dead),
+            },
+            epoch=epoch,
+        )
+
+    def ingest(self, batch: DataFrame, epoch=None, seq: int = 0) -> DataFrame:
         """Gate ``batch`` against the index + lower-id same-cluster
         batch peers, append ALL batch vectors, return surviving rows
         with every original column.
@@ -234,6 +322,10 @@ class SemanticDedupIndex:
             if self._prune_probes
             else self._store.read("vectors")
         )
+        if stored is not None and self._has_tombstones:
+            # LWW collapse only once a delete() has ever happened —
+            # retracted/superseded versions stop matching here
+            stored = self._latest_live(stored, [ic, vc, "centroid_id"])
         if stored is not None:
             probe = (
                 # REPLAY GUARD (see neardup_index.ingest): a replayed
@@ -256,15 +348,28 @@ class SemanticDedupIndex:
         survivors = batch.join(
             dropped.distinct().withColumnRenamed("id_a", ic), ic, "left_anti"
         ).localCheckpoint(eager=True)
-        self._store.append_keyed({"vectors": assigned}, epoch=epoch)
+        self._store.append_keyed(self._updates(assigned, seq), epoch=epoch)
         return survivors
 
     def compact(self) -> None:
-        """Fold append-dir lists + drop replayed duplicate rows."""
+        """Fold append-dir lists + drop replayed duplicate rows; with
+        tombstones present, also the VACUUM of the upsert model — each
+        relation collapses to the live latest version per id (the
+        tombstone and every version it kills drop together; compaction
+        sees whole relations, so the collapse is global). Same
+        stale-replay caveat as the band index's compact."""
         ic = self.id_col
+        vc = self.vec_col
 
         def fold(rel: str, current: DataFrame, upd) -> DataFrame:
-            return current.dropDuplicates([ic])
+            if not self._has_tombstones:
+                return current.dropDuplicates([ic])
+            cols = (
+                [ic, vc, "centroid_id", "seq", "live"]
+                if rel == "vectors"
+                else [ic, "centroid_id", "seq", "live"]
+            )
+            return self._latest_live(current, cols)
 
         self._store.apply_keyed_all_buckets(fold)
 

@@ -240,6 +240,98 @@ def x_dedup_indexed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# Fresh-build oracle for the tombstone/upsert path: batch1 (doc_id%5 in
+# (1,2)) is gated against the FULL corpus (doc_id%5==0) + lower-id
+# batch1 peers; then corpus docs with doc_id%10==0 are DELETED; batch2
+# (doc_id%5 in (3,4)) is gated against the surviving corpus + ALL
+# batch1 docs (appended regardless of their own gate fate) + lower-id
+# batch2 peers. The oracle is what a fresh index built on each step's
+# LOGICAL state answers — so it proves the tombstones make deleted docs
+# stop matching without disturbing anything else. Same LSH-probabilistic
+# caveat as _INC_MINHASH_ORACLE (measured min-j comfortably above the
+# S-curve knee at both driver SFs).
+_INDEXED_UPDATE_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN counts ca ON shared.doc_a = ca.doc_id
+  JOIN counts cb ON shared.doc_b = cb.doc_id
+  WHERE {_JACCARD_SQL} >= 0.7
+)
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.doc_id % 5 IN (1, 2)
+  AND NOT EXISTS (
+    SELECT 1 FROM near
+    WHERE near.doc_a = d.doc_id
+      AND (near.doc_b % 5 = 0
+           OR (near.doc_b % 5 IN (1, 2) AND near.doc_b < d.doc_id))
+  )
+UNION ALL
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.doc_id % 5 IN (3, 4)
+  AND NOT EXISTS (
+    SELECT 1 FROM near
+    WHERE near.doc_a = d.doc_id
+      AND ((near.doc_b % 5 = 0 AND near.doc_b % 10 <> 0)
+           OR near.doc_b % 5 IN (1, 2)
+           OR (near.doc_b % 5 IN (3, 4) AND near.doc_b < d.doc_id))
+  )
+"""
+
+
+@register(
+    "x_dedup_indexed_update",
+    oracle=_INDEXED_UPDATE_ORACLE,
+    tags=("extension", "dedup", "sketch"),
+    doc="Tombstone/UPSERT path of the persistent band index (round 7): "
+    "bootstrap corpus (doc_id%5==0, seq 1), gated batch1 ingest (seq "
+    "2), DELETE of doc_id%10==0 via O(batch) tombstone rows (seq 3 — "
+    "the reference's M1/M2 last-write-wins upsert contract applied to "
+    "the index), gated batch2 ingest (seq 4). Deleted docs stop "
+    "matching immediately: their band rows still generate candidates "
+    "but verification joins only LIVE latest profiles. Layout sized "
+    "by the index's own buckets_for_corpus rule (pruned 64/256-bucket "
+    "layouts are pinned by parametrized unit tests — at rig corpus "
+    "sizes the rule correctly picks scan-all); oracle = fresh-build "
+    "answers on each step's logical state (operators/neardup_index."
+    "py:MinHashBandIndex.delete).",
+)
+def x_dedup_indexed_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.neardup_index import MinHashBandIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    b1 = docs.filter((F.col("doc_id") % 5).isin(1, 2)).select(
+        "doc_id", "source", "text"
+    )
+    b2 = docs.filter((F.col("doc_id") % 5).isin(3, 4)).select(
+        "doc_id", "source", "text"
+    )
+    deleted = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="bandupd_", dir=shm)
+    try:
+        idx = MinHashBandIndex(
+            spark, root, threshold=0.7, expected_docs=docs.count()
+        )
+        idx.append(corpus, seq=1)
+        k1 = idx.ingest(b1, seq=2).select("doc_id", "source")
+        idx.delete(deleted, seq=3)
+        k2 = idx.ingest(b2, seq=4).select("doc_id", "source")
+        return k1.unionByName(k2).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # Full value oracle for the SimHash sketch: with the md5-portable word
 # hash the sketch is deterministic and ANSI-SQL-expressible, and the
 # pigeonhole banding is exhaustive, so the engine's banded equi-join
@@ -3250,6 +3342,120 @@ def x_dedup_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             cent.select("vec_id", "centroid_id"), "vec_id"
         ).localCheckpoint(eager=True)
         return res
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# Fresh-build oracle for the semantic index's tombstone/upsert path:
+# same centroid/assignment/cosine arithmetic as _SEM_INGEST_ORACLE,
+# with the gate's visible set changing between batches — batch1
+# (vec_id%5 in (1,2)) sees the full corpus (vec_id%5==0) + lower-id
+# batch1 peers; vec_id%10==0 is then DELETED; batch2 (vec_id%5 in
+# (3,4)) sees the surviving corpus + ALL batch1 vectors + lower-id
+# batch2 peers. Within-cluster candidates only, as the index is
+# specified. Centroids come from the FULL corpus (pinned before any
+# delete — the index never re-centers).
+_SEM_UPDATE_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND vec_id % 5 = 0
+),
+inc AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND vec_id % 5 <> 0
+),
+allv AS (
+  SELECT * FROM corpus UNION ALL SELECT * FROM inc
+),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         embedding::DOUBLE[] AS cvec,
+         1.0 / sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                                (a, b) -> a + b)) AS invn
+  FROM (SELECT vec_id, embedding FROM corpus ORDER BY vec_id LIMIT 16)
+),
+scores AS (
+  SELECT e.vec_id, c.cid,
+         list_reduce(list_transform(range(1, 65),
+             i -> e.embedding[i]::DOUBLE * c.cvec[i]), (a, b) -> a + b) * c.invn AS s
+  FROM allv e, cent c
+),
+assign AS (
+  SELECT vec_id, CAST(cid AS INT) AS centroid_id FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM scores
+  ) WHERE rn = 1
+),
+vn AS (
+  SELECT a.vec_id, a.centroid_id, v.embedding::DOUBLE[] AS v,
+         sqrt(list_reduce(list_transform(v.embedding::DOUBLE[], x -> x * x),
+                          (x, y) -> x + y)) AS nrm,
+         CASE WHEN v.vec_id % 5 = 0 THEN 0
+              WHEN v.vec_id % 5 IN (1, 2) THEN 1 ELSE 2 END AS g,
+         (v.vec_id % 10 = 0) AS del
+  FROM assign a JOIN allv v USING (vec_id)
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM vn b JOIN vn u
+    ON u.centroid_id = b.centroid_id
+   AND u.vec_id <> b.vec_id
+   AND ((b.g = 1 AND (u.g = 0 OR (u.g = 1 AND u.vec_id < b.vec_id)))
+     OR (b.g = 2 AND ((u.g = 0 AND NOT u.del) OR u.g = 1
+                      OR (u.g = 2 AND u.vec_id < b.vec_id))))
+   AND list_reduce(list_transform(range(1, 65), i -> u.v[i] * b.v[i]),
+                   (x, y) -> x + y) / (u.nrm * b.nrm) >= 0.4
+  WHERE b.g <> 0
+)
+SELECT i.vec_id FROM inc i
+WHERE i.vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
+@register(
+    "x_dedup_semantic_update",
+    oracle=_SEM_UPDATE_ORACLE,
+    tags=("extension", "dedup", "similarity", "sketch"),
+    doc="Tombstone/UPSERT path of the persistent semantic index (round "
+    "7): bootstrap corpus (vec_id%5==0, seq 1), gated batch1 ingest "
+    "(seq 2), DELETE of vec_id%10==0 (seq 3 — the retraction arrives "
+    "with only the id; the old cluster comes from a bucket-pruned "
+    "lookup of the id-keyed relation so the tombstone lands in the "
+    "SAME cluster bucket it must starve), gated batch2 ingest (seq 4). "
+    "Oracle = fresh-build answers on each step's logical state "
+    "(operators/semantic_index.py:SemanticDedupIndex.delete).",
+)
+def x_dedup_semantic_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.semantic_index import (
+        SemanticDedupIndex,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    corpus = emb.filter(F.col("vec_id") % 5 == 0)
+    b1 = emb.filter((F.col("vec_id") % 5).isin(1, 2)).select(
+        "vec_id", "embedding"
+    )
+    b2 = emb.filter((F.col("vec_id") % 5).isin(3, 4)).select(
+        "vec_id", "embedding"
+    )
+    deleted = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="semupd_", dir=shm)
+    try:
+        idx = SemanticDedupIndex.bootstrap(
+            spark, root, corpus, n_centroids=16, threshold=0.4
+        )
+        k1 = idx.ingest(b1, seq=2).select("vec_id")
+        idx.delete(deleted, seq=3)
+        k2 = idx.ingest(b2, seq=4).select("vec_id")
+        return k1.unionByName(k2).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -187,3 +187,71 @@ def test_probe_pruning_holds_at_second_bucket_count(spark, tmp_path):
     )
     # 16 band keys -> at most 16 of the 256 stored buckets are readable
     assert len(touched) <= 16 < len(manifest)
+
+
+# --- tombstone / upsert contract (round 7) ------------------------------------------
+
+
+@pytest.mark.parametrize("n_buckets", [64, 256])
+def test_delete_makes_doc_stop_matching(spark, tmp_path, n_buckets):
+    """A retracted doc must stop gating probes at BOTH layouts: scan-all
+    (64, plain read) and pruned (256, read_keys point lookups)."""
+    path = str(tmp_path / f"del{n_buckets}")
+    idx = MinHashBandIndex(spark, path, threshold=0.7, n_buckets=n_buckets)
+    idx.append(_docs(spark, [(100, BASE), (101, OTHER)]), seq=1)
+    idx.delete(_docs(spark, [(100, "")]).select("doc_id"), seq=2)
+    # near-dup of the DELETED doc survives; near-dup of the live one dies
+    kept = idx.ingest(
+        _docs(spark, [(1, BASE + " extra"), (2, OTHER + " more")]), seq=3
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {1}
+
+
+def test_delete_then_reingest_is_upsert(spark, tmp_path):
+    """Re-ingesting a deleted id with a HIGHER seq makes the NEW text
+    live (LWW): probes match the new version, never the old."""
+    path = str(tmp_path / "ups")
+    idx = MinHashBandIndex(spark, path, threshold=0.7)
+    idx.append(_docs(spark, [(100, BASE)]), seq=1)
+    idx.delete(spark.createDataFrame([(100,)], "doc_id long"), seq=2)
+    # old text no longer matches...
+    assert idx.ingest(_docs(spark, [(1, BASE + " pad")]), seq=3).count() == 1
+    # ...re-ingest 100 with NEW text (survives: nothing matches UNIQ)
+    assert idx.ingest(_docs(spark, [(100, UNIQ)]), seq=4).count() == 1
+    # the new version gates; the old one stays dead
+    kept = idx.ingest(
+        _docs(spark, [(5, UNIQ + " tail"), (6, OTHER)]), seq=5
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {6}
+
+
+@pytest.mark.parametrize("n_buckets", [64, 256])
+def test_delete_is_epoch_idempotent_and_compact_reclaims(spark, tmp_path, n_buckets):
+    path = str(tmp_path / f"didem{n_buckets}")
+    idx = MinHashBandIndex(spark, path, threshold=0.7, n_buckets=n_buckets)
+    idx.append(_docs(spark, [(100, BASE), (101, OTHER)]), seq=1)
+    ids = spark.createDataFrame([(100,)], "doc_id long")
+    idx.delete(ids, seq=2, epoch="d1")
+    idx.delete(ids, seq=2, epoch="d1")  # replay: one tombstone row
+    prof = idx._store.read("profiles")
+    assert prof.filter(~F.col("live")).count() == 1
+    # replayed ingest: same survivors, rows not duplicated
+    batch = _docs(spark, [(1, BASE + " extra"), (2, OTHER + " more")])
+    k1 = {r["doc_id"] for r in idx.ingest(batch, epoch="e1", seq=3).collect()}
+    k2 = {r["doc_id"] for r in idx.ingest(batch, epoch="e1", seq=3).collect()}
+    assert k1 == k2 == {1}
+    # compact: tombstone + superseded rows physically gone, bands rebuilt
+    idx.compact()
+    prof = idx._store.read("profiles")
+    assert prof.filter(~F.col("live")).count() == 0
+    assert prof.filter(F.col("doc_id") == 100).count() == 0
+    bands = idx._store.read("bands")
+    assert bands.filter(F.col("doc_id") == 100).count() == 0
+    # post-compact probes still gate exactly (101 live, 100 gone)
+    kept = idx.ingest(
+        _docs(spark, [(7, BASE + " zz"), (8, OTHER + " q")]), seq=4
+    )
+    # 7 matches doc 1 (BASE-like, live in index); 8 matches 101
+    assert kept.count() == 0
+    kept = idx.ingest(_docs(spark, [(9, " ".join(f"z{i}" for i in range(30)))]), seq=5)
+    assert kept.count() == 1

@@ -117,3 +117,67 @@ def test_probe_reads_only_touched_clusters(spark, tmp_path):
         idx._store._manifest(idx._store.current_version()) or {}
     ).get("vectors")
     assert len(buckets) == 1 < len(manifest)
+
+
+# --- tombstone / upsert contract (round 7) ------------------------------------------
+
+
+@pytest.mark.parametrize("n_buckets", [64, 256])
+def test_delete_makes_vector_stop_matching(spark, tmp_path, n_buckets):
+    """A retracted vector must stop gating probes at BOTH layouts; the
+    tombstone lands in the OLD cluster bucket via the ids-relation
+    lookup, so pruned reads see it."""
+    path = str(tmp_path / f"sdel{n_buckets}")
+    corpus = _vecs(spark, [(0, A), (1, B)])
+    idx = SemanticDedupIndex.bootstrap(
+        spark, path, corpus, n_centroids=2, threshold=0.9,
+        n_buckets=n_buckets,
+    )
+    idx.delete(spark.createDataFrame([(0,)], "vec_id long"), seq=2)
+    kept = idx.ingest(_vecs(spark, [(10, A2), (11, B2)]), seq=3)
+    # A2 matched only the deleted 0 -> survives; B2 dies on live 1
+    assert {r["vec_id"] for r in kept.collect()} == {10}
+
+
+def test_delete_then_reingest_is_upsert_semantic(spark, tmp_path):
+    """delete + re-ingest with a new embedding: the NEW vector gates
+    (possibly in a DIFFERENT cluster), the old one stays dead."""
+    path = str(tmp_path / "sups")
+    corpus = _vecs(spark, [(0, A), (1, B)])
+    idx = SemanticDedupIndex.bootstrap(
+        spark, path, corpus, n_centroids=2, threshold=0.9
+    )
+    idx.delete(spark.createDataFrame([(0,)], "vec_id long"), seq=2)
+    # re-ingest id 0 pointing in C's direction (assigns to B's cluster
+    # or wherever argmax lands — the point is the OLD cluster rows die)
+    assert idx.ingest(_vecs(spark, [(0, C)]), seq=3).count() == 1
+    kept = idx.ingest(_vecs(spark, [(10, A2), (11, C)]), seq=4)
+    # A2: old version of 0 is dead -> survives; 11 dies on new 0 (=C)
+    assert {r["vec_id"] for r in kept.collect()} == {10}
+
+
+def test_semantic_delete_idempotent_and_compact_reclaims(spark, tmp_path):
+    path = str(tmp_path / "sidem")
+    corpus = _vecs(spark, [(0, A), (1, B)])
+    idx = SemanticDedupIndex.bootstrap(
+        spark, path, corpus, n_centroids=2, threshold=0.9
+    )
+    ids = spark.createDataFrame([(0,)], "vec_id long")
+    idx.delete(ids, seq=2, epoch="d1")
+    idx.delete(ids, seq=2, epoch="d1")  # replay: one tombstone
+    assert idx._store.read("vectors").filter(~F.col("live")).count() == 1
+    # deleting an unknown id is a no-op
+    idx.delete(spark.createDataFrame([(99,)], "vec_id long"), seq=3)
+    assert idx._store.read("vectors").filter(~F.col("live")).count() == 1
+    batch = _vecs(spark, [(10, A2), (11, B2)])
+    k1 = {r["vec_id"] for r in idx.ingest(batch, epoch="e1", seq=4).collect()}
+    k2 = {r["vec_id"] for r in idx.ingest(batch, epoch="e1", seq=4).collect()}
+    assert k1 == k2 == {10}
+    idx.compact()
+    vec = idx._store.read("vectors")
+    assert vec.filter(~F.col("live")).count() == 0
+    assert vec.filter(F.col("vec_id") == 0).count() == 0
+    assert idx._store.read("ids").filter(F.col("vec_id") == 0).count() == 0
+    # post-compact gate still exact
+    kept = idx.ingest(_vecs(spark, [(20, B2), (21, C)]), seq=5)
+    assert {r["vec_id"] for r in kept.collect()} == {21}
