@@ -3460,6 +3460,134 @@ def x_dedup_semantic_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# Full value oracle for the DATA-SIZED cluster count (round 7 — the
+# VERDICT r6 item: un-pin the 16-cluster rig constant from the timed
+# path). Same centroid/assignment/cosine arithmetic as
+# _SEM_INGEST_ORACLE, but the centroid count is COMPUTED the way
+# bootstrap(n_centroids=None) computes it: max(16, min(65536,
+# isqrt(corpus_count))). IEEE sqrt is correctly rounded, so
+# floor(sqrt(n)) == isqrt(n) for every n < 2^52 — the SQL twin is
+# exact, not approximately so. The 3/4-corpus split keeps the rule
+# ABOVE the 16-clamp at both driver SFs (19 clusters at sf0.01, 38 at
+# sf0.1), so the timed path genuinely exercises data-sized clusters;
+# n_clusters rides in the output so the hash gate pins the sizing rule
+# itself, not just the survivor set.
+_SEM_SQRT_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND vec_id % 4 <> 3
+),
+inc AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND vec_id % 4 = 3
+),
+allv AS (
+  SELECT * FROM corpus UNION ALL SELECT * FROM inc
+),
+nc AS (
+  SELECT GREATEST(16, LEAST(65536,
+           CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS k
+  FROM corpus
+),
+cent AS (
+  SELECT CAST(rn - 1 AS INT) AS cid, cvec,
+         1.0 / sqrt(list_reduce(list_transform(cvec, x -> x * x),
+                                (a, b) -> a + b)) AS invn
+  FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) AS rn,
+           embedding::DOUBLE[] AS cvec
+    FROM corpus
+  ), nc
+  WHERE rn <= nc.k
+),
+scores AS (
+  SELECT e.vec_id, c.cid,
+         list_reduce(list_transform(range(1, 65),
+             i -> e.embedding[i]::DOUBLE * c.cvec[i]), (a, b) -> a + b) * c.invn AS s
+  FROM allv e, cent c
+),
+assign AS (
+  SELECT vec_id, CAST(cid AS INT) AS centroid_id FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM scores
+  ) WHERE rn = 1
+),
+vn AS (
+  SELECT a.vec_id, a.centroid_id, v.embedding::DOUBLE[] AS v,
+         sqrt(list_reduce(list_transform(v.embedding::DOUBLE[], x -> x * x),
+                          (x, y) -> x + y)) AS nrm,
+         (v.vec_id % 4 = 3) AS is_inc
+  FROM assign a JOIN allv v USING (vec_id)
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM vn b JOIN vn u
+    ON b.is_inc
+   AND u.centroid_id = b.centroid_id
+   AND (NOT u.is_inc OR u.vec_id < b.vec_id)
+   AND u.vec_id <> b.vec_id
+   AND list_reduce(list_transform(range(1, 65), i -> u.v[i] * b.v[i]),
+                   (x, y) -> x + y) / (u.nrm * b.nrm) >= 0.4
+)
+SELECT i.vec_id, a.centroid_id, CAST(nc.k AS BIGINT) AS n_clusters
+FROM inc i JOIN assign a USING (vec_id), nc
+WHERE i.vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
+@register(
+    "x_dedup_semantic_sqrt",
+    oracle=_SEM_SQRT_ORACLE,
+    tags=("extension", "dedup", "similarity", "sketch"),
+    doc="Semantic-dedup index under the sqrt(N) cluster-sizing rule "
+    "(round 7): bootstrap(n_centroids=None) sizes the cluster count "
+    "from the corpus (similarity.resolve_n_centroids — IVF's balanced-"
+    "list rule, clamped to [16, 65536]), so probe work per batch "
+    "vector stays ~sqrt(corpus) instead of corpus/16. The 3/4-corpus "
+    "split keeps the rule above the clamp at both driver SFs (19 / 38 "
+    "clusters), the oracle COMPUTES the same count (floor(sqrt) == "
+    "isqrt below 2^52), and n_clusters rides in the hashed output so "
+    "the sizing rule itself is value-gated "
+    "(operators/semantic_index.py:SemanticDedupIndex.bootstrap).",
+)
+def x_dedup_semantic_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.semantic_index import (
+        SemanticDedupIndex,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    corpus = emb.filter(F.col("vec_id") % 4 != 3)
+    incoming = emb.filter(F.col("vec_id") % 4 == 3).select(
+        "vec_id", "embedding"
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="semsqrt_", dir=shm)
+    try:
+        idx = SemanticDedupIndex.bootstrap(
+            spark, root, corpus, n_centroids=None, threshold=0.4
+        )
+        kept = idx.ingest(incoming).select("vec_id")
+        cent = idx._assigned(
+            kept.join(emb, "vec_id").select("vec_id", "embedding")
+        )
+        return (
+            kept.join(cent.select("vec_id", "centroid_id"), "vec_id")
+            .withColumn(
+                "n_clusters", F.lit(len(idx.centroids)).cast("long")
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # --- DDSketch-style quantile sketch (round 6) ---------------------------------------
 
 # Full value oracle: the bucketing is exact integer arithmetic (cents
