@@ -962,6 +962,113 @@ def x_sim_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bounded oracle for the PERSISTENT serving path (round 7 — the read
+# half of the index story): the persistent top-k must be at least as
+# good as the in-memory ivfpq_search it mirrors. With the same pinned
+# artifacts and parameters the two paths run IDENTICAL arithmetic
+# (assignment at append time vs query time, same ADC fold, same
+# re-rank), so not_worse is deterministic — and recall_ok re-pins the
+# absolute floor vs the exact brute-force top-10.
+_INDEX_TOPK_ORACLE = """
+SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok, TRUE AS not_worse_than_inmem
+"""
+
+
+@register(
+    "x_sim_index_topk",
+    oracle=_INDEX_TOPK_ORACLE,
+    tags=("extension", "similarity", "approximate"),
+    doc="PERSISTENT ANN serving gate (round 7): the corpus is indexed "
+    "once into a PersistentAnnIndex — normalized vectors AND their PQ "
+    "codes cluster-keyed under one OCC commit log, IVF centroids + "
+    "codebooks pinned as the shipped artifact — then topk() probes 4 "
+    "of 16 lists by reading ONLY those clusters' buckets, ADC-ranks "
+    "the stored 8-byte codes, and exact-re-ranks the n/5 shortlist's "
+    "vectors. Gated two ways: recall>=0.5 vs the exact cosine top-10, "
+    "AND not-worse-than the in-memory ivfpq_search on the same "
+    "artifacts (row-identical by construction — a divergence anywhere "
+    "in the persisted layout flips it). Bucket pruning is pinned by "
+    "test_ann_index.py (operators/ann_index.py:PersistentAnnIndex).",
+)
+def x_sim_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators import pq
+    from iheardai_data_pipeline_spark.operators.ann_index import (
+        PersistentAnnIndex,
+    )
+    from iheardai_data_pipeline_spark.plans.ann_artifact import (
+        IVF_CENTROIDS,
+        IVFPQ_BOOKS,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    n = emb.count()
+    qid, qvec = _probe_vector(emb)
+    key = os.path.basename(os.path.normpath(sf_dir))
+    centroids = IVF_CENTROIDS.get(key)
+    books = IVFPQ_BOOKS.get(key)
+    if centroids is None or books is None:
+        # unknown SF: train the artifacts in-query (index-build scope,
+        # same recipe as tools/regen_ann_artifacts.py)
+        norm = pq.normalize_rows(emb)
+        centroids = [
+            v
+            for _, v in similarity._collect_centroids(
+                norm, 16, "vec_id", "embedding", "first"
+            )
+        ]
+        books = pq.pq_train(norm, m=8, k=16, iters=1, allow_fewer=True)
+    shortlist = max(100, n // 5)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="annidx_", dir=shm)
+    try:
+        idx = PersistentAnnIndex.bootstrap(
+            spark, root, emb, centroids=centroids, books=books
+        )
+        got = idx.topk(
+            qvec, k=10, nprobe=4, shortlist=shortlist, exclude_id=qid
+        ).select("vec_id")
+        inmem = pq.ivfpq_search(
+            emb,
+            qvec,
+            k=10,
+            n_centroids=16,
+            nprobe=4,
+            shortlist=shortlist,
+            exclude_id=qid,
+            seed_mode="first",
+            centroids=centroids,
+            books=books,
+        ).select("vec_id")
+        exact = similarity.cosine_topk_bruteforce(
+            emb, qvec, k=10, exclude_id=qid
+        ).select("vec_id")
+        hp = got.join(exact, "vec_id", "left_semi").agg(
+            F.count(F.lit(1)).alias("__hp")
+        )
+        hm = inmem.join(exact, "vec_id", "left_semi").agg(
+            F.count(F.lit(1)).alias("__hm")
+        )
+        return (
+            hp.crossJoin(hm)
+            .select(
+                F.lit(10).cast("long").alias("k"),
+                (F.col("__hp") >= 5).alias("recall_ok"),
+                (F.col("__hp") >= F.col("__hm")).alias(
+                    "not_worse_than_inmem"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # --- text analysis ---------------------------------------------------------------
 
 _STOPWORDS_SQL = ", ".join(f"'{w}'" for w in text.QUALITY_STOPWORDS)
