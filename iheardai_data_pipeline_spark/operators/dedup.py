@@ -641,12 +641,91 @@ def simhash_near_pairs(
     return pairs
 
 
+def bloom_prefilter_flags(
+    rows: DataFrame,
+    bloom: DataFrame | list[int],
+    key_col: str,
+    m: int = 4096,
+    k: int = 6,
+    flag_col: str = "__maybe_present",
+) -> DataFrame:
+    """Annotate ``rows`` with a ROW-LOCAL Bloom membership flag — no
+    shuffle, no per-key join.
+
+    The relational Bloom (``sketch.bloom_build``'s <=m distinct bit
+    rows) folds to its dense m/64-word bitmap (``bloom_pack_words``),
+    which rides to every task as ONE broadcast row holding an
+    array<bigint> — the shipped-sketch pattern (centroids, codebooks),
+    sized by ``m`` alone, never by the corpus. Each row then tests its
+    ``k`` bit positions against that array in an unrolled column
+    expression (k is a small build-time constant; unrolling keeps the
+    whole test inside whole-stage codegen).
+
+    Contract (Bloom's own): ``flag_col`` FALSE is definite absence — a
+    key the filter has seen NEVER probes FALSE; TRUE is "maybe", at the
+    standard (1 - e^(-kn/m))^k false-positive rate. Downstream may
+    therefore skip exact membership work for FALSE rows without
+    changing any answer.
+
+    ``bloom`` accepts the sketch at any maintenance stage: the raw bit
+    relation (``bloom_build``), the packed-word relation
+    (``bloom_pack_words``), or the fully collected ``list[int]`` word
+    array — the driver-side serving artifact (centroid/codebook
+    class: sized by the filter constant ``m``, never the data).
+    Relational forms densify through a BOUNDED driver collect (<= m/64
+    rows); serving loops should collect ONCE at index load and pass
+    the list, so repeated batches pay zero Spark jobs for the filter.
+    The dense-in-Spark alternative (element_at over a collected map)
+    is O(words^2) in one task and was measured 67s at m=2^21 — the
+    collect is milliseconds."""
+    from functools import reduce
+    from operator import and_
+
+    from iheardai_data_pipeline_spark.operators.sketch import (
+        _bloom_bit,
+        bloom_pack_words,
+    )
+
+    n_words = (m + 63) // 64
+    if isinstance(bloom, DataFrame):
+        packed = (
+            bloom
+            if "word_idx" in bloom.columns
+            else bloom_pack_words(bloom, m)
+        )
+        arr = [0] * n_words
+        for r in packed.collect():
+            arr[int(r["word_idx"])] = int(r["word"])
+    else:
+        arr = list(bloom) + [0] * (n_words - len(bloom))
+    words = rows.sparkSession.createDataFrame(
+        [(arr,)], "__bloom_words array<bigint>"
+    )
+    bit_cols = {
+        f"__bb{i}": _bloom_bit(F.lit(i), F.col(key_col), m) for i in range(k)
+    }
+    flagged = eval_once(rows.crossJoin(F.broadcast(words)), **bit_cols)
+    checks = [
+        F.expr(
+            f"(element_at(__bloom_words, CAST(__bb{i} div 64 AS INT) + 1) & "
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(__bb{i}, 64) AS INT))) != 0"
+        )
+        for i in range(k)
+    ]
+    return flagged.withColumn(flag_col, reduce(and_, checks)).drop(
+        "__bloom_words", *bit_cols
+    )
+
+
 def incremental_dedup(
     incoming: DataFrame,
     corpus_fingerprints: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     fp_col: str = "fingerprint",
+    bloom: DataFrame | list[int] | None = None,
+    bloom_m: int = 4096,
+    bloom_k: int = 6,
 ) -> DataFrame:
     """Incremental-ingest dedup: keep only incoming docs whose normalized
     fingerprint is absent from the existing corpus index AND unique
@@ -658,18 +737,68 @@ def incremental_dedup(
     bucket on fingerprint so re-ingest joins shuffle-free), and the
     intra-batch window shares the anti-join's key. Never rescans the
     corpus text.
-    """
+
+    ``bloom`` (the corpus fingerprints' ``sketch.bloom_build`` relation,
+    built once when the index is maintained) engages the classic
+    pre-filter: every incoming row tests its fingerprint against the
+    broadcast bitmap ROW-LOCALLY (:func:`bloom_prefilter_flags`), and
+    only rows probing TRUE — the true-duplicate fraction plus the
+    filter's false-positive rate — continue into the corpus anti-join.
+    Rows probing FALSE are DEFINITELY new (no false negatives), so they
+    bypass the probe entirely, and the survivor set is IDENTICAL by
+    the Bloom contract (pinned in tests/test_dedup_edges.py).
+
+    Plan order: the intra-batch keeper window runs FIRST — equivalent
+    either way (corpus membership is an fp-level predicate, so it
+    commutes with the per-fp min-id keeper), but window-first means
+    the batch is shuffled exactly once on fp and the suspects'
+    anti-join REUSES that exchange (the filter preserves hash(fp)
+    partitioning), instead of the post-join union forcing a second
+    full-batch shuffle. The flag itself is computed BEFORE that
+    exchange: the union's two branches share only the exchange
+    execution (Catalyst re-runs post-exchange operators per branch),
+    so putting the k-hash probe upstream of it makes the md5 work run
+    once and ride through as one boolean. At 100 TB the win compounds:
+    the anti-join's probe side is the suspect fraction of the batch,
+    so against a bucketed fingerprint index (the production layout —
+    the index side never re-shuffles) the join repartitions and
+    sort-merges ~(dup_rate + fp_rate) of the batch rather than all of
+    it, and a bucket-pruned index read touches only the suspects'
+    buckets. Measured (200k batch, 10% dups, bucketed 200k-fp index,
+    m=2^21 passed as the collected word list: suspect fraction 0.106):
+    total shuffle write 18.5 -> 10.2 MB (-45%; the residual is the
+    keeper window's own batch exchange, which the suspects' anti-join
+    reuses), anti-join probe side 200k -> 21.2k rows (-89%);
+    docs/SCALE.md."""
     from pyspark.sql import Window
 
     hashed = incoming.withColumn(fp_col, fingerprint_md5(F.col(text_col)))
-    fresh = hashed.join(
-        corpus_fingerprints.select(F.col(fp_col)), fp_col, "left_anti"
-    )
     w = Window.partitionBy(fp_col).orderBy(id_col)
-    return (
-        fresh.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+
+    def keeper(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    if bloom is None:
+        return keeper(hashed).join(
+            corpus_fingerprints.select(F.col(fp_col)), fp_col, "left_anti"
+        )
+    flagged = keeper(
+        bloom_prefilter_flags(hashed, bloom, fp_col, m=bloom_m, k=bloom_k)
+    )
+    definite_new = flagged.filter(~F.col("__maybe_present")).drop(
+        "__maybe_present"
+    )
+    suspects = flagged.filter(F.col("__maybe_present")).drop(
+        "__maybe_present"
+    )
+    return definite_new.unionByName(
+        suspects.join(
+            corpus_fingerprints.select(F.col(fp_col)), fp_col, "left_anti"
+        )
     )
 
 

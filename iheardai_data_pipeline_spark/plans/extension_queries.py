@@ -1869,6 +1869,36 @@ def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_dedup_incremental_bloom",
+    oracle=_INCR_DEDUP_ORACLE,
+    tags=("extension", "dedup", "incremental", "sketch"),
+    doc="Bloom-prefiltered incremental dedup (round 7): the corpus "
+    "fingerprint index also maintains its Bloom sketch "
+    "(sketch.bloom_build — <=m relational bit rows, folded to one "
+    "broadcast m/64-word bitmap), and every incoming row tests its "
+    "fingerprint ROW-LOCALLY before the anti-join; only rows probing "
+    "TRUE (true dups + the (1-e^(-kn/m))^k false-positive rate) enter "
+    "the shuffled corpus probe, rows probing FALSE are definitely new "
+    "and bypass it. The oracle is x_dedup_incremental's, UNCHANGED — "
+    "the no-false-negative contract makes the survivor set identical, "
+    "which is exactly what this gate pins "
+    "(operators/dedup.py:incremental_dedup, bloom_prefilter_flags).",
+)
+def x_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.sketch import bloom_build
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0).select(
+        text.fingerprint_md5(F.col("text")).alias("fingerprint")
+    ).distinct()
+    bloom = bloom_build(corpus, "fingerprint", m=4096, k=6)
+    incoming = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "lang", "text")
+    return dedup.incremental_dedup(
+        incoming, corpus, bloom=bloom, bloom_m=4096, bloom_k=6
+    ).select("doc_id", "lang", "fingerprint")
+
+
 # --- int8 embedding quantization --------------------------------------------------
 
 _QUANT_ORACLE = """

@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import pytest
+from pyspark.sql import functions as F
+
 from iheardai_data_pipeline_spark.operators.dedup import (
     exact_duplicate_groups,
     ngram_jaccard_pairs,
@@ -322,3 +325,82 @@ class TestPrefixFilter:
         )
         got = dedup.prefix_filter_pairs(docs, threshold=14 / 26).collect()
         assert [(r["doc_a"], r["doc_b"]) for r in got] == [(1, 2)]
+
+
+# --- Bloom-prefiltered incremental dedup (round 7) ----------------------------------
+
+
+class TestBloomPrefilter:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @pytest.mark.parametrize("m,k", [(64, 3), (4096, 6)])
+    def test_survivors_identical_with_and_without_bloom(self, spark, m, k):
+        """The Bloom path must be a pure optimization: tiny m (heavy
+        false positives -> most rows still take the anti-join) and
+        roomy m (most new rows bypass it) both reproduce the plain
+        survivor set exactly."""
+        from iheardai_data_pipeline_spark.operators import dedup
+        from iheardai_data_pipeline_spark.operators.sketch import bloom_build
+        from iheardai_data_pipeline_spark.operators.text import fingerprint_md5
+
+        corpus_docs = self._docs(
+            spark, [(i, f"doc number {i % 20}") for i in range(40)]
+        )
+        corpus = corpus_docs.select(
+            fingerprint_md5(F.col("text")).alias("fingerprint")
+        ).distinct()
+        incoming = self._docs(
+            spark,
+            # overlaps corpus (i%20 collides), intra-batch dupes, and new
+            [(100 + i, f"doc number {i % 30}") for i in range(60)]
+            + [(200, "fresh one"), (201, "fresh one"), (202, "fresh two")],
+        )
+        plain = sorted(
+            tuple(r)
+            for r in dedup.incremental_dedup(incoming, corpus)
+            .select("doc_id", "fingerprint")
+            .collect()
+        )
+        bloom = bloom_build(corpus, "fingerprint", m=m, k=k)
+        bloomed = sorted(
+            tuple(r)
+            for r in dedup.incremental_dedup(
+                incoming, corpus, bloom=bloom, bloom_m=m, bloom_k=k
+            )
+            .select("doc_id", "fingerprint")
+            .collect()
+        )
+        assert bloomed == plain
+
+    def test_no_false_negatives_on_members(self, spark):
+        """Every indexed fingerprint must probe TRUE — the contract
+        that makes the anti-join bypass safe."""
+        from iheardai_data_pipeline_spark.operators.dedup import (
+            bloom_prefilter_flags,
+        )
+        from iheardai_data_pipeline_spark.operators.sketch import bloom_build
+
+        keys = spark.createDataFrame(
+            [(f"key-{i}",) for i in range(200)], "fingerprint string"
+        )
+        bloom = bloom_build(keys, "fingerprint", m=512, k=4)
+        flags = bloom_prefilter_flags(keys, bloom, "fingerprint", m=512, k=4)
+        assert flags.filter(~F.col("__maybe_present")).count() == 0
+
+    def test_empty_corpus_bloom_rejects_everything(self, spark):
+        """An empty filter flags every row FALSE (definitely new): the
+        whole batch bypasses the anti-join and only the intra-batch
+        keeper window applies."""
+        from iheardai_data_pipeline_spark.operators import dedup
+        from iheardai_data_pipeline_spark.operators.sketch import bloom_build
+
+        empty = spark.createDataFrame([], "fingerprint string")
+        bloom = bloom_build(empty, "fingerprint", m=256, k=4)
+        incoming = self._docs(
+            spark, [(1, "aa"), (2, "aa"), (3, "bb")]
+        )
+        kept = dedup.incremental_dedup(
+            incoming, empty, bloom=bloom, bloom_m=256, bloom_k=4
+        )
+        assert {r["doc_id"] for r in kept.collect()} == {1, 3}
