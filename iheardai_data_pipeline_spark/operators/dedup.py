@@ -712,9 +712,13 @@ def bloom_prefilter_flags(
         )
         for i in range(k)
     ]
-    return flagged.withColumn(flag_col, reduce(and_, checks)).drop(
-        "__bloom_words", *bit_cols
-    )
+    # A NULL key hashes to NULL bit positions, turning every check NULL;
+    # coalesce to FALSE: a null fingerprint can never equal any corpus
+    # fingerprint, so "definitely absent" reproduces the plain anti-join
+    # path's keep-behavior exactly (NULL != NULL under SQL join equality).
+    return flagged.withColumn(
+        flag_col, F.coalesce(reduce(and_, checks), F.lit(False))
+    ).drop("__bloom_words", *bit_cols)
 
 
 def incremental_dedup(

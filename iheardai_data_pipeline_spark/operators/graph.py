@@ -454,8 +454,8 @@ def kcore(
     Returns (node, degree) for the surviving core, degrees within it.
     """
     e = _canonical_edges(edges, src, dst)
-    core, _n = _peel_to_core(e, k, max_rounds, n_edges=e.count())
-    return _degrees(core)
+    _core, _n, deg = _peel_to_core(e, k, max_rounds, n_edges=e.count())
+    return deg
 
 
 def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -483,15 +483,23 @@ def _degrees(e: DataFrame) -> DataFrame:
 
 def _peel_to_core(
     e: DataFrame, k: int, max_rounds: int, n_edges: int
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, DataFrame]:
     """Peel an already-canonicalized, pinned edge relation to its k-core
     fixpoint. ``n_edges`` is the caller's already-known count of ``e``
-    (carried forward so each round costs ONE count action). Returns the
-    converged (edge_frame, edge_count); raises past ``max_rounds``
-    dropping rounds."""
-    n_before = n_edges
-    if n_before == 0:
-        return e, 0
+    (so an empty input costs zero actions). Returns the converged
+    (edge_frame, edge_count, degree_frame) — the degree frame is the
+    fixpoint's own degrees, handed back so callers never recompute it
+    (kcore returns it; coreness derives the level's node set from it).
+    Raises past ``max_rounds`` dropping rounds.
+
+    Convergence is detected on the DEGREE frame (one tiny count over
+    the sub-k nodes) BEFORE the next edge relation is built, so the
+    final no-drop round costs one aggregate action — never a
+    checkpoint-rewrite of an identical frame (the r7 detection-round
+    fat: ~2 actions + 1 checkpoint write per coreness level)."""
+    n_after = n_edges
+    if n_after == 0:
+        return e, 0, _degrees(e)
     # max_rounds dropping rounds + 1 no-drop detection round: an
     # unrolled oracle with `rounds = max_rounds` no-op peels past its
     # fixpoint, so engine and oracle diverge only at peel depths where
@@ -499,6 +507,8 @@ def _peel_to_core(
     # be unconverged but the engine never silently returns one)
     for _ in range(max_rounds + 1):
         deg = _degrees(e)
+        if deg.filter(F.col("degree") < k).limit(1).count() == 0:
+            return e, n_after, deg
         keep = deg.filter(F.col("degree") >= k).select("node")
         e2 = (
             e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
@@ -507,9 +517,8 @@ def _peel_to_core(
         )
         n_after = e2.count()
         e = e2
-        if n_after == n_before or n_after == 0:
-            return e, n_after
-        n_before = n_after
+        if n_after == 0:
+            return e, 0, _degrees(e)
     raise RuntimeError(
         f"k-core peel did not converge in {max_rounds} dropping rounds — "
         "raise max_rounds (each round drops every currently-sub-k node, "
@@ -554,8 +563,8 @@ def coreness(
     # the 1-core is the whole (loop-free) graph
     prev_nodes = _degrees(e).select("node").localCheckpoint(eager=True)
     for k in range(2, max_k + 2):
-        e, n = _peel_to_core(e, k, max_rounds, n_edges=n)
-        nodes_k = _degrees(e).select("node").localCheckpoint(eager=True)
+        e, n, deg = _peel_to_core(e, k, max_rounds, n_edges=n)
+        nodes_k = deg.select("node").localCheckpoint(eager=True)
         out.append(
             prev_nodes.join(nodes_k, "node", "left_anti").select(
                 "node", F.lit(k - 1).alias("coreness")

@@ -58,6 +58,16 @@ from iheardai_data_pipeline_spark.streaming.stores import (
     MultiRelationTransactionalStore,
 )
 
+# On-disk layout version, persisted in the meta JSON. Bump whenever the
+# relation schemas change incompatibly. History:
+#   (absent) — r6 layout: 3-column profiles (id, sh_set, n_sh)
+#   2        — r7 layout: 5-column versioned profiles (+seq, +live)
+# An index written under an older layout REFUSES to open: parquet reads
+# over mixed-width files either fail on the missing columns or surface
+# old rows with live=NULL, which _latest_live would silently drop —
+# the entire pre-upgrade corpus would vanish from the dedup gate.
+FORMAT_VERSION = 2
+
 
 def buckets_for_corpus(
     expected_docs: int, bands: int = 16, target_rows_per_bucket: int = 250_000
@@ -129,11 +139,28 @@ class MinHashBandIndex:
         self.id_col = id_col
         self.text_col = text_col
         os.makedirs(path, exist_ok=True)
-        meta = {"n": n, "k": k, "bands": bands, "threshold": threshold}
+        meta = {
+            "format": FORMAT_VERSION,
+            "n": n,
+            "k": k,
+            "bands": bands,
+            "threshold": threshold,
+        }
         meta_path = os.path.join(path, "_lsh_meta.json")
         if os.path.exists(meta_path):
             with open(meta_path) as fh:
                 persisted = json.load(fh)
+            if persisted.get("format") != FORMAT_VERSION:
+                old = persisted.get(
+                    "format", "1 (pre-versioned, 3-column profiles)"
+                )
+                raise ValueError(
+                    f"index at {path} uses on-disk format {old}; this "
+                    f"build reads format {FORMAT_VERSION}. Opening would "
+                    "mix profile schemas in one relation and silently "
+                    "drop pre-upgrade rows from the gate — rebuild the "
+                    "index (re-append the corpus into a fresh path)."
+                )
             if persisted != meta:
                 raise ValueError(
                     f"index at {path} was created with {persisted}; got {meta} "
@@ -299,7 +326,13 @@ class MinHashBandIndex:
         a pure function of its text, so re-appends are identical rows
         and both the ordering window and the dedup would be wasted
         shuffles per batch. ``epoch`` (e.g. a
-        foreachBatch batch_id) makes the commit idempotent."""
+        foreachBatch batch_id) makes the commit idempotent.
+
+        UPSERT CONTRACT: re-appending an id that is already LIVE with
+        DIFFERENT text (no intervening :meth:`delete`) is UNSUPPORTED —
+        without a tombstone no LWW collapse runs and both versions stay
+        probe-able. Replace = ``delete(ids, seq=s)`` then
+        ``append/ingest(batch, seq=s+1)``."""
         prof = self._profiles(docs).cache()
         try:
             self._store.append_keyed(

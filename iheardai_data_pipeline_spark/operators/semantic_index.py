@@ -57,6 +57,15 @@ from iheardai_data_pipeline_spark.streaming.stores import (
     MultiRelationTransactionalStore,
 )
 
+# On-disk layout version, persisted in the meta JSON (same contract as
+# neardup_index.FORMAT_VERSION). History:
+#   (absent) — r6 layout: one 3-column "vectors" relation, no versions
+#   2        — r7 layout: versioned vectors (+seq, +live) + "ids" relation
+# Older layouts refuse to open: a mixed-schema relation either fails on
+# the missing columns or reads old rows with live=NULL, which
+# _latest_live silently drops — the pre-upgrade corpus would vanish.
+FORMAT_VERSION = 2
+
 
 class SemanticDedupIndex:
     """Persistent cluster-pruned cosine near-dup gate over a growing
@@ -89,6 +98,15 @@ class SemanticDedupIndex:
             )
         with open(meta_path) as fh:
             meta = json.load(fh)
+        if meta.get("format") != FORMAT_VERSION:
+            old = meta.get("format", "1 (pre-versioned, unversioned rows)")
+            raise ValueError(
+                f"index at {path} uses on-disk format {old}; this build "
+                f"reads format {FORMAT_VERSION}. Rebuild the index "
+                "(bootstrap a fresh path from the corpus) — opening "
+                "would mix row schemas and drop pre-upgrade rows from "
+                "the gate."
+            )
         if abs(meta["threshold"] - threshold) > 1e-12:
             raise ValueError(
                 f"index at {path} was created with threshold="
@@ -153,6 +171,7 @@ class SemanticDedupIndex:
             "first",
         )
         meta = {
+            "format": FORMAT_VERSION,
             "threshold": threshold,
             "centroids": [v for _, v in cent],
         }
@@ -231,7 +250,18 @@ class SemanticDedupIndex:
 
     def append(self, batch: DataFrame, epoch=None, seq: int = 0) -> None:
         """Index vectors unconditionally (corpus bootstrap / trusted
-        sources). One atomic O(batch) add-files commit."""
+        sources). One atomic O(batch) add-files commit.
+
+        UPSERT CONTRACT: re-appending an id that is already LIVE (no
+        intervening :meth:`delete`) is UNSUPPORTED — seq alone does not
+        give upsert semantics. Without a tombstone no LWW collapse runs
+        (the append-only fast path), so both versions gate probes; and
+        if the new vector lands in a DIFFERENT cluster, a pruned read
+        of the old cluster's bucket sees only the stale version and
+        resurrects it (the "tombstone lands in the same bucket"
+        exactness argument holds only for delete-mediated upserts).
+        To replace a live vector: ``delete(ids, seq=s)`` then
+        ``append(batch, seq=s+1)``."""
         self._store.append_keyed(
             self._updates(self._assigned(batch), seq), epoch=epoch
         )
@@ -290,7 +320,11 @@ class SemanticDedupIndex:
         clusters' stored rows, which is what the cluster blocking is
         for. ``epoch`` makes the append idempotent; the gate itself is
         replay-exact either way (the probe anti-joins the batch's own
-        ids)."""
+        ids).
+
+        Same UPSERT CONTRACT as :meth:`append`: ingesting an id that is
+        already live without an intervening :meth:`delete` is
+        unsupported — route replacements through delete + ingest."""
         ic = self.id_col
         vc = self.vec_col
         assigned = self._assigned(batch).localCheckpoint(eager=True)

@@ -67,14 +67,41 @@ def _occ_current_version(commits_dir: str) -> int:
     return max(versions, default=0)
 
 
+# Retired-epoch records are IMMUTABLE once published (write→fsync→
+# exclusive-link, never modified), so their contents can be cached for
+# the process lifetime: epochs_dir -> (filenames already read, epochs).
+# Without this every epoch-guarded commit re-reads every retired record
+# — O(total epochs ever vacuumed) JSON opens per commit, unbounded for
+# a long-lived stream. A fresh process just starts with a cold cache.
+_RETIRED_EPOCH_CACHE: dict = {}
+
+
+def _read_epoch_record(path: str) -> list:
+    """One retired-epoch record: either the r7 single-epoch shape
+    ``{"epoch": e}`` or the folded shape ``{"epochs": [...]}``."""
+    try:
+        with open(path) as fh:
+            rec = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return []
+    if "epochs" in rec:
+        return list(rec["epochs"])
+    e = rec.get("epoch")
+    return [] if e is None else [e]
+
+
 def _occ_committed_epochs(commits_dir: str) -> set:
     """Epochs recorded by already-committed versions (see ``apply``'s
     ``epoch`` param) PLUS epochs retired into ``_epochs/`` by vacuum —
     so the idempotence window is the store's whole history, not just
     the marker-retention window (a replay of an epoch older than
     ``vacuum(keep=...)`` must still no-op, or t15/t17/t19's sum-folds
-    would double-count). One tiny JSON read per retained version plus
-    one per retired epoch."""
+    would double-count). Cost per call: one tiny JSON read per RETAINED
+    version (bounded by ``vacuum(keep=...)``) + a listdir of the
+    retired sidecar; retired records are immutable so each is read at
+    most once per process (``_RETIRED_EPOCH_CACHE``), and vacuum folds
+    each pruning pass's epochs into ONE record, so the sidecar grows
+    with vacuum invocations, not epochs."""
     out: set = set()
     for f in os.listdir(commits_dir):
         if not f.isdigit():
@@ -88,56 +115,65 @@ def _occ_committed_epochs(commits_dir: str) -> set:
             out.add(e)
     epochs_dir = os.path.join(commits_dir, "_epochs")
     if os.path.isdir(epochs_dir):
+        seen, cached = _RETIRED_EPOCH_CACHE.setdefault(
+            epochs_dir, (set(), set())
+        )
         for f in os.listdir(epochs_dir):
-            if f.startswith("."):
+            if f.startswith(".") or f in seen:
                 continue
-            try:
-                with open(os.path.join(epochs_dir, f)) as fh:
-                    e = json.load(fh).get("epoch")
-            except (OSError, json.JSONDecodeError):
-                continue
-            if e is not None:
-                out.add(e)
+            epochs = _read_epoch_record(os.path.join(epochs_dir, f))
+            # a record is immutable AND complete once linked into place,
+            # so it is safe to remember the filename even on a read that
+            # yielded nothing (corrupt/foreign files stay skipped)
+            seen.add(f)
+            cached.update(epochs)
+        out |= cached
     return out
 
 
 def _occ_retire_epochs(commits_dir: str, versions: list) -> None:
     """Fold the epoch records of about-to-be-pruned commit markers into
     the durable ``_epochs/`` sidecar BEFORE vacuum unlinks them, so
-    retention never shrinks the idempotence window. One tiny
-    content-addressed file per retired epoch, published with the same
+    retention never shrinks the idempotence window. ALL of one pruning
+    pass's epochs land in ONE content-addressed record ``{"epochs":
+    [...]}`` — the sidecar's file count grows with vacuum invocations,
+    not with epochs, keeping ``_occ_committed_epochs``'s listdir
+    bounded for a long-lived stream. Published with the same
     write→fsync→exclusive-link protocol as the markers (a reader never
-    sees a half-written record; a concurrent retire of the same epoch
-    resolves by EEXIST). A deployment whose epochs are monotone
-    per-writer batch ids would compact these to a max-per-writer record
-    (Delta's txn appId model); the sidecar keeps arbitrary epoch values
-    correct."""
+    sees a half-written record; two vacuums racing over the same
+    version set fold identical lists and resolve by EEXIST; records
+    are immutable once linked, which is what licenses the read-side
+    cache). A deployment whose epochs are monotone per-writer batch
+    ids would compact further to a max-per-writer record (Delta's txn
+    appId model); the sidecar keeps arbitrary epoch values correct."""
     import hashlib
 
     epochs_dir = os.path.join(commits_dir, "_epochs")
-    for v in versions:
+    epochs = []
+    for v in sorted(versions):
         try:
             with open(os.path.join(commits_dir, str(v))) as fh:
                 e = json.load(fh).get("epoch")
         except (OSError, json.JSONDecodeError):
             continue
-        if e is None:
-            continue
-        os.makedirs(epochs_dir, exist_ok=True)
-        digest = hashlib.md5(
-            json.dumps(e, sort_keys=True, default=str).encode()
-        ).hexdigest()
-        tmp = os.path.join(epochs_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            json.dump({"epoch": e}, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            os.link(tmp, os.path.join(epochs_dir, digest))
-        except FileExistsError:
-            pass
-        finally:
-            os.unlink(tmp)
+        if e is not None:
+            epochs.append(e)
+    if not epochs:
+        return
+    os.makedirs(epochs_dir, exist_ok=True)
+    payload = json.dumps({"epochs": epochs}, sort_keys=True, default=str)
+    digest = hashlib.md5(payload.encode()).hexdigest()
+    tmp = os.path.join(epochs_dir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, os.path.join(epochs_dir, digest))
+    except FileExistsError:
+        pass
+    finally:
+        os.unlink(tmp)
 
 
 def _occ_try_claim(commits_dir: str, version: int, payload: dict) -> bool:

@@ -354,7 +354,12 @@ class TestBloomPrefilter:
             spark,
             # overlaps corpus (i%20 collides), intra-batch dupes, and new
             [(100 + i, f"doc number {i % 30}") for i in range(60)]
-            + [(200, "fresh one"), (201, "fresh one"), (202, "fresh two")],
+            + [(200, "fresh one"), (201, "fresh one"), (202, "fresh two")]
+            # NULL text -> NULL fingerprint: every bloom bit-check is
+            # NULL; the flag must coalesce to FALSE (definitely new,
+            # since NULL never equals a corpus fp under join equality)
+            # or these rows vanish from the bloom path only.
+            + [(300, None), (301, None)],
         )
         plain = sorted(
             tuple(r)

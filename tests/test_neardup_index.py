@@ -255,3 +255,27 @@ def test_delete_is_epoch_idempotent_and_compact_reclaims(spark, tmp_path, n_buck
     assert kept.count() == 0
     kept = idx.ingest(_docs(spark, [(9, " ".join(f"z{i}" for i in range(30)))]), seq=5)
     assert kept.count() == 1
+
+
+def test_pre_versioned_layout_refuses_to_open(spark, tmp_path):
+    """An index persisted under the r6 3-column layout (meta without a
+    format field) must refuse to open — reading mixed profile schemas
+    would silently drop the pre-upgrade corpus from the gate."""
+    import json
+
+    path = str(tmp_path / "old_idx")
+    os.makedirs(path)
+    with open(os.path.join(path, "_lsh_meta.json"), "w") as fh:
+        json.dump({"n": 5, "k": 64, "bands": 16, "threshold": 0.7}, fh)
+    with pytest.raises(ValueError, match="on-disk format"):
+        MinHashBandIndex(spark, path)
+
+
+def test_format_version_round_trips(spark, tmp_path):
+    """A freshly created index persists the format version and reopens
+    cleanly with matching parameters."""
+    path = str(tmp_path / "new_idx")
+    MinHashBandIndex(spark, path)
+    MinHashBandIndex(spark, path)  # reopen: no raise
+    with pytest.raises(ValueError, match="one banding per index"):
+        MinHashBandIndex(spark, path, bands=8)

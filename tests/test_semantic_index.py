@@ -181,3 +181,18 @@ def test_semantic_delete_idempotent_and_compact_reclaims(spark, tmp_path):
     # post-compact gate still exact
     kept = idx.ingest(_vecs(spark, [(20, B2), (21, C)]), seq=5)
     assert {r["vec_id"] for r in kept.collect()} == {21}
+
+
+def test_pre_versioned_layout_refuses_to_open(spark, tmp_path):
+    """A semantic index persisted under the r6 unversioned layout (meta
+    without a format field) must refuse to open rather than mix row
+    schemas and drop pre-upgrade rows from the gate."""
+    import json
+    import os
+
+    path = str(tmp_path / "old_sem")
+    os.makedirs(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as fh:
+        json.dump({"threshold": 0.4, "centroids": [[1.0, 0.0, 0.0, 0.0]]}, fh)
+    with pytest.raises(ValueError, match="on-disk format"):
+        SemanticDedupIndex(spark, path)

@@ -688,3 +688,42 @@ def test_multi_relation_vacuum_preserves_epochs(spark, tmp_path):
     assert st.read("profiles").count() == 3
     st.append_keyed(upd, epoch="e4")
     assert st.read("profiles").count() == 4
+
+
+def test_retired_epochs_fold_to_one_record_and_survive_cold_cache(
+    spark, tmp_path
+):
+    """One vacuum pass folds ALL its pruned epochs into ONE sidecar
+    record (file count grows with vacuums, not epochs), and a cold
+    process (fresh _RETIRED_EPOCH_CACHE) still reads the full set —
+    the cache is an optimization, never the source of truth."""
+    import os as _os
+
+    from iheardai_data_pipeline_spark.streaming import stores as st_mod
+
+    st = TransactionalParquetStore(
+        spark, str(tmp_path / "fold"), key_cols=["k"], order_cols=["seq"]
+    )
+    upd = spark.createDataFrame([("a", 1, "x")], SCHEMA)
+
+    def fn(current):
+        if current is None:
+            return upd
+        return (
+            current.unionByName(upd)
+            .groupBy("k", "v")
+            .agg(F.sum("seq").alias("seq"))
+            .select("k", "seq", "v")
+        )
+
+    for ep in range(1, 7):
+        st.apply(fn, epoch=ep)
+    st.vacuum(keep=1, grace_seconds=0.0)  # retires epochs 1-5 together
+    epochs_dir = _os.path.join(st._commits_dir(), "_epochs")
+    records = [f for f in _os.listdir(epochs_dir) if not f.startswith(".")]
+    assert len(records) == 1  # folded, not one file per epoch
+    # simulate a fresh process: drop the in-process cache entirely
+    st_mod._RETIRED_EPOCH_CACHE.clear()
+    for ep in range(1, 6):
+        st.apply(fn, epoch=ep)  # every retired epoch must still no-op
+    assert st.read().collect()[0]["seq"] == 6
