@@ -125,3 +125,174 @@ def test_append_epoch_idempotent_and_compact(spark, tmp_path):
     idx.compact()
     assert idx._store.read("codes").filter(F.col("vec_id") == 5000).count() == 1
     assert idx._store.read("vectors").filter(F.col("vec_id") == 5000).count() == 1
+
+
+def test_topk_batch_row_identical_to_per_query_loop(spark, tmp_path):
+    """The batch serve must be a pure distribution of the per-query
+    path: for a frame of queries, (query_id, vec_id, l2_dist) rows
+    equal each query's own topk() output — including the normalize,
+    centroid-ranking, ADC and re-rank arithmetic and every tie-break.
+    exclude_self=True must equal per-query exclude_id=query_id."""
+    corpus = _corpus(spark)
+    cents, books = _artifacts(spark, corpus)
+    idx = PersistentAnnIndex.bootstrap(
+        spark, str(tmp_path / "annb"), corpus, centroids=cents, books=books
+    )
+    qrows = [
+        (0, _unit(0)),
+        (1, [0.0, 1.0, 0.3, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (2, _unit(2, 0.25)),
+        (107, [x * 0.99 for x in _unit(1)]),
+    ]
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in qrows],
+        "query_id long, embedding array<float>",
+    )
+    got = sorted(
+        tuple(r)
+        for r in idx.topk_batch(queries, k=5, nprobe=2, shortlist=20).collect()
+    )
+    want = sorted(
+        (qid, r["vec_id"], r["l2_dist"])
+        for qid, qv in qrows
+        for r in idx.topk(qv, k=5, nprobe=2, shortlist=20).collect()
+    )
+    assert got == want
+    # exclude_self == per-query exclude_id=query_id
+    got_x = sorted(
+        tuple(r)
+        for r in idx.topk_batch(
+            queries, k=5, nprobe=2, shortlist=20, exclude_self=True
+        ).collect()
+    )
+    want_x = sorted(
+        (qid, r["vec_id"], r["l2_dist"])
+        for qid, qv in qrows
+        for r in idx.topk(
+            qv, k=5, nprobe=2, shortlist=20, exclude_id=qid
+        ).collect()
+    )
+    assert got_x == want_x
+
+
+def test_topk_batch_excludes_null_and_zero_queries(spark, tmp_path):
+    corpus = _corpus(spark)
+    cents, books = _artifacts(spark, corpus)
+    idx = PersistentAnnIndex.bootstrap(
+        spark, str(tmp_path / "annz"), corpus, centroids=cents, books=books
+    )
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in _unit(0)]), (1, None), (2, [0.0] * DIMS)],
+        "query_id long, embedding array<float>",
+    )
+    out = idx.topk_batch(queries, k=3, nprobe=1, shortlist=10).collect()
+    assert {r["query_id"] for r in out} == {0}
+
+
+def test_topk_batch_probes_buckets_not_whole_store(spark, tmp_path):
+    """The codes side of the batch join must read ONLY the batch's
+    probed clusters' buckets (pruned layout) — never the whole store."""
+    corpus = _corpus(spark)
+    cents, books = _artifacts(spark, corpus)
+    idx = PersistentAnnIndex.bootstrap(
+        spark, str(tmp_path / "annp"), corpus,
+        centroids=cents, books=books, n_buckets=256,
+    )
+    assert idx._prune_probes
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in _unit(3)])],
+        "query_id long, embedding array<float>",
+    )
+    out = idx.topk_batch(queries, k=3, nprobe=1, shortlist=10)
+    buckets = {
+        f.split("__bucket=")[1].split("/")[0]
+        for f in out.inputFiles()
+        if "__bucket=" in f
+    }
+    manifest = (idx._store._manifest(idx._store.current_version()) or {}).get(
+        "codes"
+    )
+    # one probed cluster -> codes+vectors buckets of that cluster only
+    assert len(buckets) == 1 < len(manifest)
+    got = out.collect()
+    assert got and all(300 <= r["vec_id"] < 400 for r in got)
+
+
+def test_delete_makes_vector_stop_serving_and_upsert(spark, tmp_path):
+    corpus = _corpus(spark)
+    cents, books = _artifacts(spark, corpus)
+    idx = PersistentAnnIndex.bootstrap(
+        spark, str(tmp_path / "annd"), corpus, centroids=cents, books=books
+    )
+    q = [0.0, 1.0, 0.3, 0.0, 0.0, 0.0, 0.0, 0.0]
+    idx.append(_vecs(spark, [(9999, q)]), seq=1)
+    assert idx.topk(q, k=1, nprobe=1, shortlist=20).collect()[0]["vec_id"] == 9999
+    ids = spark.createDataFrame([(9999,)], "vec_id long")
+    idx.delete(ids, seq=2)
+    top = idx.topk(q, k=1, nprobe=1, shortlist=20).collect()
+    assert top[0]["vec_id"] != 9999
+    # batch path honors the tombstone too
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in q])], "query_id long, embedding array<float>"
+    )
+    bt = idx.topk_batch(queries, k=1, nprobe=1, shortlist=20).collect()
+    assert bt[0]["vec_id"] != 9999
+    # delete + re-append with a higher seq = the upsert path
+    idx.append(_vecs(spark, [(9999, q)]), seq=3)
+    assert idx.topk(q, k=1, nprobe=1, shortlist=20).collect()[0]["vec_id"] == 9999
+    # compact reclaims superseded + tombstoned rows, serve unchanged
+    idx.compact()
+    assert (
+        idx._store.read("vectors").filter(F.col("vec_id") == 9999).count() == 1
+    )
+    assert idx.topk(q, k=1, nprobe=1, shortlist=20).collect()[0]["vec_id"] == 9999
+
+
+def test_delete_unknown_id_noop_and_deleting_all_starves(spark, tmp_path):
+    corpus = _corpus(spark)
+    cents, books = _artifacts(spark, corpus)
+    idx = PersistentAnnIndex.bootstrap(
+        spark, str(tmp_path / "anndu"), corpus, centroids=cents, books=books
+    )
+    idx.delete(spark.createDataFrame([(123456,)], "vec_id long"), seq=1)
+    got = idx.topk(_unit(3), k=3, nprobe=1, shortlist=10).collect()
+    assert len(got) == 3
+
+
+def test_bootstrap_race_loser_appends_nothing_extra(spark, tmp_path):
+    """A second bootstrap with IDENTICAL artifacts (crash-retry / race
+    loser) must not duplicate the corpus: the bootstrap append is
+    epoch-guarded. Different artifacts must raise — never append a
+    corpus encoded against codebooks the index was not built with."""
+    corpus = _corpus(spark)
+    cents, books = _artifacts(spark, corpus)
+    path = str(tmp_path / "annr")
+    idx = PersistentAnnIndex.bootstrap(
+        spark, path, corpus, centroids=cents, books=books
+    )
+    n0 = idx._store.read("codes").count()
+    idx2 = PersistentAnnIndex.bootstrap(
+        spark, path, corpus, centroids=cents, books=books
+    )
+    assert idx2._store.read("codes").count() == n0  # no duplicate corpus
+    other_cents = [[float(i == d) for i in range(DIMS)] for d in range(4)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different artifacts"):
+        PersistentAnnIndex.bootstrap(
+            spark, path, corpus, centroids=other_cents, books=books
+        )
+
+
+def test_pre_versioned_layout_refuses_to_open(spark, tmp_path):
+    import json
+    import os
+
+    path = str(tmp_path / "annold")
+    os.makedirs(path)
+    with open(os.path.join(path, "_ann_meta.json"), "w") as fh:
+        json.dump({"centroids": [[1.0, 0.0]], "books": [[[0.0]]]}, fh)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="on-disk format"):
+        PersistentAnnIndex(spark, path)
