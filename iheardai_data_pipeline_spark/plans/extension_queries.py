@@ -601,19 +601,93 @@ def _probe_vector(emb: DataFrame) -> tuple[int, list[float]]:
     return int(row["vec_id"]), [float(x) for x in row["embedding"]]
 
 
+# Full value oracle for the IVF top-k read path (round 8 — closes the
+# catalog's last rows-only entry): with deterministic seed centroids
+# (first 16 by id, refine_iters=0 — Lloyd stays benchmarked under
+# x_sim_pq_train's monotonicity contract and x_sim_ivf_recall's gate)
+# every stage is ANSI-SQL-expressible with IDENTICAL left-fold float
+# arithmetic: the probe ranking (top-4 centroids by cosine to the min-
+# vec_id query, ties by cid — the engine's driver-side sorted((-sim,
+# i))), the proven _IVF_ASSIGN_ORACLE argmax assignment, and the exact
+# within-list cosine ranking (dot / (nrm * qn), one division, qn
+# computed from the query row by the same fold the driver runs).
+_IVF_TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+         sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                          (a, b) -> a + b)) AS qn
+  FROM embeddings ORDER BY vec_id LIMIT 1
+),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         embedding::DOUBLE[] AS cvec,
+         1.0 / sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                                (a, b) -> a + b)) AS invn,
+         sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                          (a, b) -> a + b)) AS cnrm
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           row_number() OVER (
+             ORDER BY list_reduce(list_transform(range(1, 65),
+                        i -> q.qv[i] * c.cvec[i]), (a, b) -> a + b)
+                      / (q.qn * c.cnrm) DESC, c.cid ASC) AS rn
+    FROM cent c, q
+  ) WHERE rn <= 4
+),
+scores AS (
+  SELECT e.vec_id, c.cid,
+         list_reduce(list_transform(range(1, 65),
+             i -> e.embedding[i]::DOUBLE * c.cvec[i]), (a, b) -> a + b) * c.invn AS s
+  FROM embeddings e, cent c
+),
+assign AS (
+  SELECT vec_id, cid AS centroid_id FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM scores
+  ) WHERE rn = 1
+),
+sel AS (
+  SELECT e.vec_id,
+         list_reduce(list_transform(range(1, 65),
+             i -> e.embedding[i]::DOUBLE * q.qv[i]), (a, b) -> a + b)
+           / (sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                               (a, b) -> a + b)) * q.qn) AS sim
+  FROM embeddings e
+  JOIN assign a USING (vec_id)
+  JOIN probe p ON a.centroid_id = p.cid, q
+  WHERE e.vec_id <> q.qid
+)
+SELECT vec_id, round(sim, 6) AS sim FROM (
+  SELECT vec_id, sim,
+         row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM sel
+) WHERE rn <= 10
+ORDER BY vec_id
+"""
+
+
 @register(
     "x_sim_ivf_topk",
-    oracle=None,  # approximate by design (probes a subset of lists)
+    oracle=_IVF_TOPK_ORACLE,
     tags=("extension", "similarity"),
-    doc="IVF approximate top-10 (16 lists, one deterministic Lloyd "
-    "refinement, nprobe=4): vectors partitioned by nearest centroid, "
-    "query probes 4 lists — the 100 TB scale path.",
+    doc="IVF approximate top-10 (16 deterministic seed lists, nprobe=4): "
+    "vectors partitioned by nearest centroid, query probes 4 lists — "
+    "the 100 TB scale path. FULLY value-oracled (round 8): probe "
+    "ranking, argmax assignment, and within-list cosine ranking all "
+    "replicate in ANSI SQL with identical left-fold float arithmetic "
+    "(was the catalog's one rows-only entry while it trained Lloyd "
+    "in-query; the Lloyd benchmark lives in x_sim_pq_train and the "
+    "refined-centroid recall gate in x_sim_ivf_recall).",
 )
 def x_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qid, qvec = _probe_vector(emb)
     return similarity.ivf_topk(
-        emb, qvec, k=10, n_centroids=16, nprobe=4, exclude_id=qid, refine_iters=1
+        emb, qvec, k=10, n_centroids=16, nprobe=4, exclude_id=qid, refine_iters=0
     )
 
 
@@ -990,6 +1064,34 @@ SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok, TRUE AS not_worse_than_inmem
     "in the persisted layout flips it). Bucket pruning is pinned by "
     "test_ann_index.py (operators/ann_index.py:PersistentAnnIndex).",
 )
+def _ann_serving_artifacts(spark, sf_dir: str, emb: DataFrame):
+    """Pinned per-SF serving artifacts (plans/ann_artifact.py), or the
+    in-query index-build fallback for unknown SFs (same recipe as
+    tools/regen_ann_artifacts.py) — shared by the persistent-index
+    entries."""
+    import os
+
+    from iheardai_data_pipeline_spark.operators import pq
+    from iheardai_data_pipeline_spark.plans.ann_artifact import (
+        IVF_CENTROIDS,
+        IVFPQ_BOOKS,
+    )
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    centroids = IVF_CENTROIDS.get(key)
+    books = IVFPQ_BOOKS.get(key)
+    if centroids is None or books is None:
+        norm = pq.normalize_rows(emb)
+        centroids = [
+            v
+            for _, v in similarity._collect_centroids(
+                norm, 16, "vec_id", "embedding", "first"
+            )
+        ]
+        books = pq.pq_train(norm, m=8, k=16, iters=1, allow_fewer=True)
+    return centroids, books
+
+
 def x_sim_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
@@ -999,30 +1101,13 @@ def x_sim_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iheardai_data_pipeline_spark.operators.ann_index import (
         PersistentAnnIndex,
     )
-    from iheardai_data_pipeline_spark.plans.ann_artifact import (
-        IVF_CENTROIDS,
-        IVFPQ_BOOKS,
-    )
 
     emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
     )
     n = emb.count()
     qid, qvec = _probe_vector(emb)
-    key = os.path.basename(os.path.normpath(sf_dir))
-    centroids = IVF_CENTROIDS.get(key)
-    books = IVFPQ_BOOKS.get(key)
-    if centroids is None or books is None:
-        # unknown SF: train the artifacts in-query (index-build scope,
-        # same recipe as tools/regen_ann_artifacts.py)
-        norm = pq.normalize_rows(emb)
-        centroids = [
-            v
-            for _, v in similarity._collect_centroids(
-                norm, 16, "vec_id", "embedding", "first"
-            )
-        ]
-        books = pq.pq_train(norm, m=8, k=16, iters=1, allow_fewer=True)
+    centroids, books = _ann_serving_artifacts(spark, sf_dir, emb)
     shortlist = max(100, n // 5)
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     root = tempfile.mkdtemp(prefix="annidx_", dir=shm)
@@ -1067,6 +1152,176 @@ def x_sim_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# Bounded oracle for BATCH ANN serving (round 8): with pinned artifacts
+# the serve is deterministic, and topk_batch is BY CONSTRUCTION the
+# same arithmetic as per-query topk() — the flag compares the two
+# multisets exactly (exceptAll both ways), so any divergence anywhere
+# in the distributed path (row-local centroid ranking, in-Spark ADC
+# table, window tie-breaks, tombstone handling) flips it and fails the
+# hash compare. Recall is inherited transitively: per-query topk() is
+# gated by x_sim_index_topk against the exact top-10.
+_INDEX_BATCH_TOPK_ORACLE = """
+SELECT CAST(8 AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+       CAST(40 AS BIGINT) AS n_result_rows, TRUE AS batch_equals_per_query
+"""
+
+
+@register(
+    "x_sim_index_batch_topk",
+    oracle=_INDEX_BATCH_TOPK_ORACLE,
+    tags=("extension", "similarity", "approximate"),
+    doc="BATCH ANN serving (round 8): PersistentAnnIndex.topk_batch "
+    "serves a FRAME of 8 query vectors in one distributed plan — "
+    "centroid ranking and the per-query ADC lookup table as row-local "
+    "expressions against one broadcast artifact row, codes/vectors "
+    "reads bucket-pruned to the batch's DISTINCT probed clusters, "
+    "per-query shortlists and final top-5 via query-keyed windows. "
+    "No per-query driver loop (the last driver-side bottleneck class). "
+    "Gated: results must be row-identical (exceptAll both ways, "
+    "multiset-exact incl. distances and tie-breaks) to per-query "
+    "topk() calls with exclude_id=query_id; bucket pruning pinned by "
+    "test_ann_index.py:test_topk_batch_probes_buckets_not_whole_store "
+    "(operators/ann_index.py:PersistentAnnIndex.topk_batch).",
+)
+def x_sim_index_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.ann_index import (
+        PersistentAnnIndex,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    n = emb.count()
+    centroids, books = _ann_serving_artifacts(spark, sf_dir, emb)
+    shortlist = max(100, n // 5)
+    # deterministic query set: the 8 smallest vec_ids (bounded collect —
+    # the per-query reference loop needs driver-side vectors anyway)
+    qrows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    queries = spark.createDataFrame(
+        qrows, "query_id long, embedding array<float>"
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="annbatch_", dir=shm)
+    try:
+        idx = PersistentAnnIndex.bootstrap(
+            spark, root, emb, centroids=centroids, books=books
+        )
+        got = idx.topk_batch(
+            queries, k=5, nprobe=4, shortlist=shortlist, exclude_self=True
+        )
+        per_query = None
+        for qid, qvec in qrows:
+            one = idx.topk(
+                qvec, k=5, nprobe=4, shortlist=shortlist, exclude_id=qid
+            ).select(
+                F.lit(qid).cast("long").alias("query_id"),
+                "vec_id",
+                "l2_dist",
+            )
+            per_query = one if per_query is None else per_query.unionByName(one)
+        diff = (
+            got.exceptAll(per_query).count()
+            + per_query.exceptAll(got).count()
+        )
+        n_rows = got.count()
+        return spark.createDataFrame(
+            [(len(qrows), 5, n_rows, diff == 0)],
+            "n_queries long, k long, n_result_rows long, "
+            "batch_equals_per_query boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# Bounded oracle for the ANN index LWW/tombstone path (round 8 —
+# x_dedup_indexed_update's serving sibling): the 4-step workflow
+# (bootstrap seq 0 -> epoch-replayed append seq 2 -> tombstone delete
+# seq 3 -> append seq 4) must serve EXACTLY what a fresh index built on
+# the final logical state serves. Multiset-exact equality: a replayed
+# un-guarded append (duplicate rows), a tombstone that fails to starve
+# its cluster, or a lost LWW race all flip the flag.
+_INDEX_UPDATE_ORACLE = """
+SELECT CAST(10 AS BIGINT) AS k, TRUE AS serve_equals_fresh_build,
+       TRUE AS deleted_ids_absent
+"""
+
+
+@register(
+    "x_sim_index_update",
+    oracle=_INDEX_UPDATE_ORACLE,
+    tags=("extension", "similarity", "approximate"),
+    doc="LWW delete/tombstone path of the persistent ANN index (round "
+    "8): bootstrap on vec_id%2==0, epoch-guarded append of vec_id%4==1 "
+    "REPLAYED (idempotence on the timed path — duplicate rows would "
+    "break the equality gate), O(batch) tombstone DELETE of "
+    "vec_id%10==0 (the id-keyed lookup relation routes each tombstone "
+    "into the exact cluster bucket it must starve — the reference's "
+    "M1/M2 last-write-wins contract, greatest seq wins, delete wins "
+    "ties), append of vec_id%4==3, then topk serve. Gated: the served "
+    "top-10 is multiset-identical to a FRESH index built on the final "
+    "logical state (all vectors minus the deleted), and no deleted id "
+    "appears (operators/ann_index.py:PersistentAnnIndex.delete).",
+)
+def x_sim_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.ann_index import (
+        PersistentAnnIndex,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    n = emb.count()
+    qid, qvec = _probe_vector(emb)
+    centroids, books = _ann_serving_artifacts(spark, sf_dir, emb)
+    shortlist = max(100, n // 5)
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    b1 = emb.filter(F.col("vec_id") % 4 == 1)
+    b2 = emb.filter(F.col("vec_id") % 4 == 3)
+    deleted = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id")
+    final_state = emb.filter(F.col("vec_id") % 10 != 0)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="annupd_", dir=shm)
+    root2 = tempfile.mkdtemp(prefix="annupd_fresh_", dir=shm)
+    try:
+        idx = PersistentAnnIndex.bootstrap(
+            spark, root, corpus, centroids=centroids, books=books
+        )
+        idx.append(b1, seq=2, epoch="b1")
+        idx.append(b1, seq=2, epoch="b1")  # replay: must no-op
+        idx.delete(deleted, seq=3)
+        idx.append(b2, seq=4)
+        got = idx.topk(
+            qvec, k=10, nprobe=4, shortlist=shortlist, exclude_id=qid
+        )
+        fresh = PersistentAnnIndex.bootstrap(
+            spark, root2, final_state, centroids=centroids, books=books
+        )
+        want = fresh.topk(
+            qvec, k=10, nprobe=4, shortlist=shortlist, exclude_id=qid
+        )
+        diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+        n_deleted_served = got.filter(F.col("vec_id") % 10 == 0).count()
+        return spark.createDataFrame(
+            [(10, diff == 0, n_deleted_served == 0)],
+            "k long, serve_equals_fresh_build boolean, "
+            "deleted_ids_absent boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(root2, ignore_errors=True)
 
 
 # --- text analysis ---------------------------------------------------------------
