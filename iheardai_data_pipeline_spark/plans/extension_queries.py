@@ -2154,6 +2154,105 @@ def x_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "fingerprint")
 
 
+# Persistent-fingerprint-index oracle (round 8): the one-shot
+# incremental answer (the proven _INCR_DEDUP_ORACLE, nulls excluded so
+# cross-batch null policy can't diverge) + the Bloom-maintenance gate
+# as a pinned TRUE column — the engine compares the incrementally-
+# appended bit relation against a one-shot bloom_build over all stored
+# fingerprints (union+distinct merge algebra, exact by construction;
+# the comparison runs ON the correctness path so a maintenance bug
+# fails the hash compare).
+_INDEXED_EXACT_ORACLE = f"""
+WITH corpus AS (
+  SELECT DISTINCT md5({_NORM_SQL}) AS fingerprint
+  FROM documents WHERE doc_id % 3 <> 0 AND text IS NOT NULL
+),
+incoming AS (
+  SELECT doc_id, lang, md5({_NORM_SQL}) AS fingerprint
+  FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
+),
+fresh AS (
+  SELECT i.* FROM incoming i
+  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fingerprint = i.fingerprint)
+)
+SELECT doc_id, lang, fingerprint, TRUE AS bloom_bitexact FROM fresh
+QUALIFY ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+"""
+
+
+@register(
+    "x_dedup_indexed_exact",
+    oracle=_INDEXED_EXACT_ORACLE,
+    tags=("extension", "dedup", "incremental", "sketch"),
+    doc="Persistent exact-dedup fingerprint index (round 8): corpus "
+    "fingerprints AND their Bloom sketch live as two relations of one "
+    "OCC commit log (FingerprintIndex — the production state behind "
+    "x_dedup_incremental_bloom). Bootstrap on doc_id%3<>0, then the "
+    "incoming docs (doc_id%3=0) ingest in TWO id-ordered batches: each "
+    "batch pre-filters row-locally against the driver-cached packed "
+    "words, anti-joins only its suspects against the (bucket-prunable) "
+    "fingerprint relation, and commits its survivors' fingerprints + "
+    "bits atomically. Oracle = the one-shot incremental answer, plus "
+    "the bloom_bitexact gate: the incrementally-maintained bit "
+    "relation must equal a one-shot bloom_build over all stored "
+    "fingerprints (operators/fingerprint_index.py:FingerprintIndex).",
+)
+def x_dedup_indexed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.fingerprint_index import (
+        FingerprintIndex,
+    )
+    from iheardai_data_pipeline_spark.operators.sketch import bloom_build
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    corpus = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    incoming = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "lang", "text"
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="fpidx_", dir=shm)
+    try:
+        idx = FingerprintIndex(
+            spark, root, expected_docs=docs.count()
+        )
+        idx.append(corpus)
+        hi = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+        cuts = [0, hi // 2 + 1, hi + 1]
+        out = None
+        for lo, up in zip(cuts, cuts[1:]):
+            batch = incoming.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < up)
+            )
+            kept = idx.ingest(batch).select("doc_id", "lang", "fingerprint")
+            out = kept if out is None else out.unionByName(kept)
+        # Bloom-maintenance gate: incrementally-appended bits ==
+        # one-shot build over all stored fingerprints, exact
+        stored_bits = (
+            idx._store.read("bloom_bits").select("bit").dropDuplicates(["bit"])
+        )
+        one_shot = bloom_build(
+            idx._store.read("fingerprints").select("fingerprint").distinct(),
+            "fingerprint",
+            m=idx.m,
+            k=idx.k,
+        )
+        diff = (
+            stored_bits.exceptAll(one_shot).count()
+            + one_shot.exceptAll(stored_bits).count()
+        )
+        return (
+            out.withColumn("bloom_bitexact", F.lit(diff == 0))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # --- int8 embedding quantization --------------------------------------------------
 
 _QUANT_ORACLE = """

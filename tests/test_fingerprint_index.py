@@ -1,0 +1,163 @@
+"""FingerprintIndex: split-batch ingest must reproduce the one-shot
+incremental_dedup answer, the incrementally-maintained Bloom bits must
+be bit-equal a one-shot build over all stored fingerprints, probes must
+be bucket-pruned, and replays must be result-idempotent. The corpus-
+scale oracle equivalence runs in test_catalog_oracle
+(x_dedup_indexed_exact at sf0.01)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iheardai_data_pipeline_spark.operators.dedup import incremental_dedup
+from iheardai_data_pipeline_spark.operators.fingerprint_index import (
+    FingerprintIndex,
+)
+from iheardai_data_pipeline_spark.operators.text import fingerprint_md5
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _corpus_rows():
+    return [(i, f"corpus doc {i % 15}") for i in range(30)]
+
+
+def _incoming_rows():
+    # overlaps corpus fps, intra- and cross-batch dupes, fresh docs
+    return (
+        [(100 + i, f"corpus doc {i % 25}") for i in range(50)]
+        + [(200, "fresh alpha"), (201, "fresh alpha"), (202, "fresh beta")]
+        + [(300, "fresh alpha"), (301, "fresh gamma")]  # lands in batch 2
+    )
+
+
+def _split(rows, cut):
+    return (
+        [r for r in rows if r[0] < cut],
+        [r for r in rows if r[0] >= cut],
+    )
+
+
+def _one_shot(spark, corpus_rows, incoming_rows):
+    corpus = (
+        _docs(spark, corpus_rows)
+        .select(fingerprint_md5(F.col("text")).alias("fingerprint"))
+        .distinct()
+    )
+    return sorted(
+        tuple(r)
+        for r in incremental_dedup(_docs(spark, incoming_rows), corpus)
+        .select("doc_id", "fingerprint")
+        .collect()
+    )
+
+
+@pytest.mark.parametrize("n_buckets", [None, 256])
+def test_split_batches_equal_one_shot(spark, tmp_path, n_buckets):
+    idx = FingerprintIndex(
+        spark, str(tmp_path / f"fpi{n_buckets}"), n_buckets=n_buckets
+    )
+    idx.append(_docs(spark, _corpus_rows()))
+    b1, b2 = _split(_incoming_rows(), 250)
+    got = []
+    for rows in (b1, b2):
+        kept = idx.ingest(_docs(spark, rows)).select("doc_id", "fingerprint")
+        got.extend(tuple(r) for r in kept.collect())
+    assert sorted(got) == _one_shot(spark, _corpus_rows(), _incoming_rows())
+
+
+def test_bloom_bits_bit_equal_one_shot_build(spark, tmp_path):
+    """After split ingests, the persisted bit relation (distinct) must
+    equal bloom_build over ALL stored fingerprints in one shot — the
+    union+distinct merge algebra, and the words() packing of it."""
+    from iheardai_data_pipeline_spark.operators.sketch import (
+        bloom_build,
+        bloom_pack_words,
+    )
+
+    idx = FingerprintIndex(spark, str(tmp_path / "fpb"))
+    idx.append(_docs(spark, _corpus_rows()))
+    b1, b2 = _split(_incoming_rows(), 250)
+    idx.ingest(_docs(spark, b1))
+    idx.ingest(_docs(spark, b2))
+    stored_bits = sorted(
+        r["bit"]
+        for r in idx._store.read("bloom_bits").select("bit").dropDuplicates(["bit"]).collect()
+    )
+    fps = idx._store.read("fingerprints").select("fingerprint").distinct()
+    one_shot_bits = sorted(
+        r["bit"] for r in bloom_build(fps, "fingerprint", m=4096, k=6).collect()
+    )
+    assert stored_bits == one_shot_bits
+    want_words = {
+        int(r["word_idx"]): int(r["word"])
+        for r in bloom_pack_words(
+            bloom_build(fps, "fingerprint", m=4096, k=6), 4096
+        ).collect()
+    }
+    got = idx.words()
+    assert all(got[i] == want_words.get(i, 0) for i in range(len(got)))
+    # a cold reopen folds the same words from disk
+    idx2 = FingerprintIndex(spark, str(tmp_path / "fpb"))
+    assert idx2.words() == got
+
+
+def test_replayed_ingest_returns_same_survivors(spark, tmp_path):
+    idx = FingerprintIndex(spark, str(tmp_path / "fpr"))
+    idx.append(_docs(spark, _corpus_rows()))
+    b1, _ = _split(_incoming_rows(), 250)
+    first = sorted(
+        tuple(r)
+        for r in idx.ingest(_docs(spark, b1), epoch="e1")
+        .select("doc_id", "fingerprint")
+        .collect()
+    )
+    replay = sorted(
+        tuple(r)
+        for r in idx.ingest(_docs(spark, b1), epoch="e1")
+        .select("doc_id", "fingerprint")
+        .collect()
+    )
+    assert replay == first  # replay guard: no self-match wipeout
+    # epoch guard: no duplicate physical rows either
+    n = idx._store.read("fingerprints").count()
+    idx.compact()
+    assert idx._store.read("fingerprints").count() == n
+
+
+def test_probe_is_bucket_pruned(spark, tmp_path):
+    idx = FingerprintIndex(spark, str(tmp_path / "fpp"), n_buckets=256)
+    assert idx._prune_probes
+    idx.append(_docs(spark, _corpus_rows()))
+    # one suspect fingerprint -> the anti-join's store read must touch
+    # only that fingerprint's bucket
+    batch = _docs(spark, [(500, "corpus doc 3"), (501, "never seen zz")])
+    kept = idx.ingest(batch)
+    assert [r["doc_id"] for r in kept.select("doc_id").collect()] == [501]
+
+
+def test_null_text_rows_pass_through_per_batch(spark, tmp_path):
+    idx = FingerprintIndex(spark, str(tmp_path / "fpn"))
+    idx.append(_docs(spark, _corpus_rows()))
+    kept1 = idx.ingest(_docs(spark, [(900, None), (901, None), (902, "fresh x")]))
+    assert sorted(r["doc_id"] for r in kept1.collect()) == [900, 902]
+    # nulls are not indexed: the next batch's null row survives again
+    kept2 = idx.ingest(_docs(spark, [(910, None)]))
+    assert [r["doc_id"] for r in kept2.collect()] == [910]
+    assert (
+        idx._store.read("fingerprints")
+        .where(F.col("fingerprint").isNull())
+        .count()
+        == 0
+    )
+
+
+def test_layout_mismatch_refuses_to_open(spark, tmp_path):
+    FingerprintIndex(spark, str(tmp_path / "fpm"), m=4096, k=6)
+    with pytest.raises(ValueError, match="one Bloom layout"):
+        FingerprintIndex(spark, str(tmp_path / "fpm"), m=8192, k=6)
