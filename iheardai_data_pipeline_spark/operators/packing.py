@@ -92,3 +92,95 @@ def token_budget_shards(
         docs, order_col, token_col, bucket_size=bucket_size, out_col="start_offset"
     )
     return out.withColumn("shard_id", F.expr(f"start_offset DIV {budget}"))
+
+
+def bfd_pack(
+    docs: DataFrame,
+    group_col: str,
+    id_col: str,
+    size_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Best-fit-decreasing bin packing WITHIN bounded groups: items
+    sorted by (size DESC, id ASC), each placed into the open bin with
+    the SMALLEST residual capacity that still fits (ties to the lowest
+    bin id), else a new bin — the classic BFD heuristic, guaranteed
+    ≤ (11·OPT + 6)/9 bins (Johnson 1973/Dósa 2007), vs the prefix-sum
+    packer (:func:`token_budget_shards`) which hits the ceil(total/
+    budget) LOWER BOUND only by letting shards overflow the budget.
+    BFD never overflows: every bin respects ``capacity`` except a
+    single item larger than ``capacity``, which gets a bin of its own
+    (the only possible placement).
+
+    Distributed shape — the honest restatement of an inherently
+    sequential greedy: packing runs PER GROUP (the natural pack domains
+    of a training manifest — per source / language / day), each group's
+    items collected to one array and folded in a single row-local
+    ``aggregate`` expression; groups distribute across the cluster. The
+    per-group item count must be executor-bounded (a manifest group is
+    docs-per-day-sized, not corpus-sized — for a global contiguous
+    manifest use ``token_budget_shards``). Fold cost is
+    O(items × bins) per group with constant expression size.
+
+    Everything is exact integer arithmetic with total tie-orders, so
+    the assignment is deterministic and engine-portable — the DuckDB
+    oracle replays the identical fold (x_pack_bfd_shards).
+
+    Returns one row per item: (group_col, id_col, size (bigint), bin_id
+    (int), n_bins (int) — the group's bin count). Rows with NULL size
+    are the caller's problem (filter or default upstream).
+    """
+    cap = int(capacity)
+    fits = "filter(acc.bins, b -> b.free >= it.sz)"
+    best = (
+        f"element_at(array_sort(transform({fits}, "
+        "b -> named_struct('free', b.free, 'bid', b.bid))), 1)"
+    )
+    fold = f"""
+    aggregate(
+      __items,
+      named_struct(
+        'bins', array_repeat(named_struct('bid', 0, 'free', CAST(0 AS BIGINT)), 0),
+        'asg',  array_repeat(named_struct('id', CAST(0 AS BIGINT), 'sz', CAST(0 AS BIGINT), 'bid', 0), 0)),
+      (acc, it) -> named_struct(
+        'bins',
+          CASE WHEN size({fits}) > 0 THEN
+            transform(acc.bins, b -> IF(b.bid = {best}.bid,
+              named_struct('bid', b.bid, 'free', b.free - it.sz), b))
+          ELSE
+            concat(acc.bins, array(named_struct(
+              'bid', CAST(size(acc.bins) AS INT),
+              'free', CAST({cap} AS BIGINT) - it.sz)))
+          END,
+        'asg', concat(acc.asg, array(named_struct(
+          'id', it.id, 'sz', it.sz,
+          'bid', IF(size({fits}) > 0, {best}.bid,
+                    CAST(size(acc.bins) AS INT)))))
+      )
+    )
+    """
+    grouped = docs.groupBy(group_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col(size_col).cast("long")).alias("ns"),
+                    F.col(id_col).cast("long").alias("id"),
+                    F.col(size_col).cast("long").alias("sz"),
+                )
+            )
+        ).alias("__items")
+    )
+    packed = grouped.select(
+        group_col, F.expr(fold).alias("__res")
+    ).select(
+        group_col,
+        F.size("__res.bins").alias("n_bins"),
+        F.explode("__res.asg").alias("__a"),
+    )
+    return packed.select(
+        group_col,
+        F.col("__a.id").alias(id_col),
+        F.col("__a.sz").alias(size_col),
+        F.col("__a.bid").alias("bin_id"),
+        "n_bins",
+    )

@@ -1962,6 +1962,131 @@ def x_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_tokens", "start_offset", "shard_id")
 
 
+# Best-fit-decreasing oracle (round 8): DuckDB replays the IDENTICAL
+# integer fold — items sorted (size DESC, id ASC), best fit = smallest
+# adequate residual, ties to the lowest bin id. DuckDB 1.0's
+# list_reduce corrupts a STRUCT-typed accumulator whose fields are
+# lists (history lost beyond 2 steps — verified in-rig), so the oracle
+# folds over a FLAT list of tagged records instead: kind 0 = bin state
+# (bid, free), kind 1 = assignment (id, sz, bid); the outer list's
+# elements are singleton lists so the accumulator (a plain LIST, which
+# reduces correctly) and the elements share a type, satisfying
+# list_reduce's first-element-as-init convention. Exact integers
+# throughout -> bit-identical assignments.
+
+
+def _bfd_oracle(cap: int) -> str:
+    rec = "STRUCT(kind INTEGER, bid INTEGER, free BIGINT, id BIGINT, sz BIGINT)"
+    it = "x[1]"
+    fits = f"list_filter(acc, b -> b.kind = 0 AND b.free >= {it}.sz)"
+    nbins = "len(list_filter(acc, b -> b.kind = 0))"
+    best = (
+        f"list_sort(list_transform({fits}, "
+        "b -> struct_pack(free := b.free, bid := b.bid)))[1]"
+    )
+    lam = f"""(acc, x) -> CASE WHEN len({fits}) > 0 THEN
+      list_append(
+        list_transform(acc, b -> CASE WHEN b.kind = 0 AND b.bid = {best}.bid
+          THEN CAST(struct_pack(kind := 0, bid := b.bid,
+                free := b.free - {it}.sz, id := NULL, sz := NULL) AS {rec})
+          ELSE b END),
+        CAST(struct_pack(kind := 1, bid := {best}.bid, free := NULL,
+             id := {it}.id, sz := {it}.sz) AS {rec}))
+    ELSE
+      list_append(list_append(acc,
+        CAST(struct_pack(kind := 0, bid := CAST({nbins} AS INTEGER),
+             free := CAST({cap} AS BIGINT) - {it}.sz, id := NULL,
+             sz := NULL) AS {rec})),
+        CAST(struct_pack(kind := 1, bid := CAST({nbins} AS INTEGER),
+             free := NULL, id := {it}.id, sz := {it}.sz) AS {rec}))
+    END"""
+    return f"""
+WITH toks AS (
+  SELECT lang, doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS sz
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT lang, list_sort(list(struct_pack(
+           ns := -CAST(sz AS BIGINT), id := CAST(doc_id AS BIGINT),
+           sz := CAST(sz AS BIGINT)))) AS raw
+  FROM toks GROUP BY lang
+),
+shaped AS (
+  SELECT lang, list_prepend(
+    CAST([] AS {rec}[]),
+    list_transform(raw, x0 -> [CAST(struct_pack(kind := 2, bid := NULL,
+      free := NULL, id := x0.id, sz := x0.sz) AS {rec})])) AS xs
+  FROM g
+),
+folded AS (
+  SELECT lang, list_reduce(xs, {lam}) AS st FROM shaped
+),
+nb AS (
+  SELECT lang, CAST(len(list_filter(st, r0 -> r0.kind = 0)) AS INT) AS n_bins
+  FROM folded
+),
+lbs AS (
+  SELECT lang, CAST((SUM(sz) + {cap - 1}) // {cap} AS BIGINT) AS lb_bins
+  FROM toks GROUP BY lang
+)
+SELECT f.lang, r.id AS doc_id, r.sz AS n_tokens, r.bid AS bin_id,
+       nb.n_bins, lbs.lb_bins,
+       (nb.n_bins * 9 <= 11 * lbs.lb_bins + 6) AS bound_ok
+FROM folded f, UNNEST(list_filter(f.st, r0 -> r0.kind = 1)) AS t(r)
+JOIN nb ON nb.lang = f.lang
+JOIN lbs ON lbs.lang = f.lang
+"""
+
+
+@register(
+    "x_pack_bfd_shards",
+    oracle=_bfd_oracle(20_000),
+    tags=("extension", "packing"),
+    doc="Best-fit-decreasing shard packing (round 8): per-language BFD "
+    "of whitespace token counts into 20k-token bins — items sorted "
+    "(size DESC, id ASC), each into the fullest bin that still fits, "
+    "never overflowing capacity (the prefix-sum packer hits the "
+    "ceil(total/budget) lower bound only by overflowing). Each group "
+    "folds in ONE row-local aggregate expression; groups distribute — "
+    "the honest distribution of an inherently sequential greedy. "
+    "Efficiency gated on the correctness path: bound_ok pins BFD's "
+    "n <= (11*OPT + 6)/9 guarantee against the exact integer lower "
+    "bound. Oracle = bit-identical DuckDB fold replay "
+    "(operators/packing.py:bfd_pack).",
+)
+def x_pack_bfd_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.packing import bfd_pack
+    from iheardai_data_pipeline_spark.operators.text import token_count_ws
+
+    cap = 20_000
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "lang", "doc_id", token_count_ws(F.col("text")).alias("n_tokens")
+        )
+    )
+    packed = bfd_pack(docs, "lang", "doc_id", "n_tokens", capacity=cap)
+    # integer DIV, not double division: token sums stay exact at any SF
+    lbs = docs.groupBy("lang").agg(
+        F.expr(
+            f"CAST((SUM(CAST(n_tokens AS BIGINT)) + {cap - 1}) "
+            f"DIV {cap} AS BIGINT)"
+        ).alias("lb_bins")
+    )
+    return packed.join(F.broadcast(lbs), "lang").select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        "bin_id",
+        "n_bins",
+        "lb_bins",
+        (F.col("n_bins") * 9 <= F.col("lb_bins") * 11 + 6).alias("bound_ok"),
+    )
+
+
 # --- BPE tokenization (round 5) ---------------------------------------------------
 
 # Pinned tokenizer artifact: 24 merges learned by operators/bpe.py:
