@@ -144,6 +144,7 @@ class FingerprintIndex:
         # prune-vs-scan rule — see MinHashBandIndex._prune_probes
         self._prune_probes = self._store.n_buckets > 64
         self._words: list[int] | None = None
+        self._words_version: int = -1
 
     # -- internals ------------------------------------------------------------
 
@@ -163,9 +164,23 @@ class FingerprintIndex:
 
     def words(self) -> list[int]:
         """The packed m/64-word Bloom bitmap (driver serving artifact),
-        OR-folded from the persisted bit relation once per open and
-        kept current across this instance's own appends."""
-        if self._words is None:
+        OR-folded from the persisted bit relation and VERSION-STAMPED
+        against the store's OCC commit log: a call re-folds whenever
+        the committed version has advanced past the cached one, so a
+        commit by ANOTHER writer can never leave this instance serving
+        a stale prefilter that flags a stored fingerprint "definitely
+        absent" (the round-8 multi-writer staleness hole — ADVICE r8).
+        This instance's own appends keep the cache current without a
+        re-fold (see :meth:`_index_fps`); the version probe itself is
+        one local directory listing, zero Spark jobs.
+
+        Staleness is only ever on the safe side: the version is read
+        BEFORE the fold, so a commit racing the fold at worst leaves
+        the cache carrying MORE bits than its stamp claims (a Bloom
+        false positive routes the row through the anti-join — correct,
+        just unpruned) and the next call re-folds."""
+        v = self._store.current_version()
+        if self._words is None or self._words_version != v:
             n_words = (self.m + 63) // 64
             arr = [0] * n_words
             bits = self._store.read("bloom_bits")
@@ -179,6 +194,7 @@ class FingerprintIndex:
                 for r in packed.collect():  # bounded: <= m/64 rows
                     arr[int(r["word_idx"])] = int(r["word"])
             self._words = arr
+            self._words_version = v
         return self._words
 
     def _or_into_words(self, bit_rows: list[int]) -> None:
@@ -194,7 +210,11 @@ class FingerprintIndex:
     def _index_fps(self, kept: DataFrame, epoch) -> None:
         """ONE atomic O(batch) commit of the survivors' fingerprints +
         their Bloom bits; the driver word cache is OR-updated from the
-        same (bounded, <= m) bit set."""
+        same (bounded, <= m) bit set — but ONLY when this append was
+        the sole commit since the cache's stamp (version advanced by
+        exactly 1). If other writers' commits interleaved, their bits
+        are not in ``bit_vals``, so the cache is invalidated instead
+        and the next :meth:`words` re-folds from the store."""
         fps = (
             kept.select(self.fp_col, self.id_col)
             .where(F.col(self.fp_col).isNotNull())
@@ -202,7 +222,7 @@ class FingerprintIndex:
         )
         bits = bloom_build(fps, self.fp_col, m=self.m, k=self.k)
         bit_vals = [int(r["bit"]) for r in bits.collect()]  # <= m rows
-        self._store.append_keyed(
+        committed = self._store.append_keyed(
             {
                 "fingerprints": fps,
                 "bloom_bits": self.spark.createDataFrame(
@@ -211,7 +231,28 @@ class FingerprintIndex:
             },
             epoch=epoch,
         )
-        self._or_into_words(bit_vals)
+        if self._words is None:
+            return
+        if committed is not None and committed == self._words_version + 1:
+            # OUR commit, and it immediately follows the cached stamp:
+            # the OR of bit_vals is exactly the new version's bitmap
+            self._or_into_words(bit_vals)
+            self._words_version = committed
+        elif (
+            committed is None
+            and self._store.current_version() == self._words_version
+        ):
+            # nothing was committed (empty batch / epoch-guarded
+            # replay) and the log hasn't moved — the cache is exact
+            pass
+        else:
+            # foreign commits interleaved — their bits aren't in
+            # bit_vals, so drop the cache; the next words() re-folds.
+            # Never OR onto a stamp whose store state we haven't seen:
+            # a missing foreign bit would flag a stored fingerprint
+            # "definitely absent" and admit a duplicate.
+            self._words = None
+            self._words_version = -1
 
     # -- public API -------------------------------------------------------------
 

@@ -506,7 +506,12 @@ def _peel_to_core(
     # BOTH fail loudly (the engine raises; the oracle's e_rounds would
     # be unconverged but the engine never silently returns one)
     for _ in range(max_rounds + 1):
-        deg = _degrees(e)
+        # ONE degree aggregation per round, pinned at node scale: the
+        # sub-k convergence check and the keep semi-join both read the
+        # checkpointed frame instead of each re-running the full
+        # edge-frame aggregation (the r8 uncached double-agg regressed
+        # coreness ~30% — VERDICT r8 / ADVICE graph.py:510).
+        deg = _degrees(e).localCheckpoint(eager=True)
         if deg.filter(F.col("degree") < k).limit(1).count() == 0:
             return e, n_after, deg
         keep = deg.filter(F.col("degree") >= k).select("node")

@@ -39,6 +39,35 @@ def register(
     doc: str = "",
 ) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
+        # Import-time integrity guard (round 9): a misplaced decorator —
+        # e.g. left sitting on an extracted helper after a refactor —
+        # registered a 3-arg helper as a catalog entry in round 8 and
+        # crashed the bench harness with a TypeError. Every catalog entry
+        # must BE the function it names and take exactly (spark, sf_dir).
+        import inspect
+
+        if fn.__name__ != name:
+            raise TypeError(
+                f"catalog entry {name!r} decorates function "
+                f"{fn.__name__!r}; the registered name must match the "
+                "def name (misplaced @register?)"
+            )
+        params = [
+            p
+            for p in inspect.signature(fn).parameters.values()
+            if p.default is inspect.Parameter.empty
+            and p.kind
+            in (
+                inspect.Parameter.POSITIONAL_ONLY,
+                inspect.Parameter.POSITIONAL_OR_KEYWORD,
+            )
+        ]
+        if len(params) != 2:
+            raise TypeError(
+                f"catalog entry {name!r} must take exactly "
+                f"(spark, sf_dir); got required params "
+                f"{[p.name for p in params]}"
+            )
         CATALOG[name] = QuerySpec(fn=fn, oracle=oracle, tags=tags, doc=doc or (fn.__doc__ or ""))
         return fn
 

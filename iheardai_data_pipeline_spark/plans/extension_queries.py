@@ -1048,22 +1048,6 @@ SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok, TRUE AS not_worse_than_inmem
 """
 
 
-@register(
-    "x_sim_index_topk",
-    oracle=_INDEX_TOPK_ORACLE,
-    tags=("extension", "similarity", "approximate"),
-    doc="PERSISTENT ANN serving gate (round 7): the corpus is indexed "
-    "once into a PersistentAnnIndex — normalized vectors AND their PQ "
-    "codes cluster-keyed under one OCC commit log, IVF centroids + "
-    "codebooks pinned as the shipped artifact — then topk() probes 4 "
-    "of 16 lists by reading ONLY those clusters' buckets, ADC-ranks "
-    "the stored 8-byte codes, and exact-re-ranks the n/5 shortlist's "
-    "vectors. Gated two ways: recall>=0.5 vs the exact cosine top-10, "
-    "AND not-worse-than the in-memory ivfpq_search on the same "
-    "artifacts (row-identical by construction — a divergence anywhere "
-    "in the persisted layout flips it). Bucket pruning is pinned by "
-    "test_ann_index.py (operators/ann_index.py:PersistentAnnIndex).",
-)
 def _ann_serving_artifacts(spark, sf_dir: str, emb: DataFrame):
     """Pinned per-SF serving artifacts (plans/ann_artifact.py), or the
     in-query index-build fallback for unknown SFs (same recipe as
@@ -1092,6 +1076,22 @@ def _ann_serving_artifacts(spark, sf_dir: str, emb: DataFrame):
     return centroids, books
 
 
+@register(
+    "x_sim_index_topk",
+    oracle=_INDEX_TOPK_ORACLE,
+    tags=("extension", "similarity", "approximate"),
+    doc="PERSISTENT ANN serving gate (round 7): the corpus is indexed "
+    "once into a PersistentAnnIndex — normalized vectors AND their PQ "
+    "codes cluster-keyed under one OCC commit log, IVF centroids + "
+    "codebooks pinned as the shipped artifact — then topk() probes 4 "
+    "of 16 lists by reading ONLY those clusters' buckets, ADC-ranks "
+    "the stored 8-byte codes, and exact-re-ranks the n/5 shortlist's "
+    "vectors. Gated two ways: recall>=0.5 vs the exact cosine top-10, "
+    "AND not-worse-than the in-memory ivfpq_search on the same "
+    "artifacts (row-identical by construction — a divergence anywhere "
+    "in the persisted layout flips it). Bucket pruning is pinned by "
+    "test_ann_index.py (operators/ann_index.py:PersistentAnnIndex).",
+)
 def x_sim_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
@@ -1962,105 +1962,102 @@ def x_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_tokens", "start_offset", "shard_id")
 
 
-# Best-fit-decreasing oracle (round 8): DuckDB replays the IDENTICAL
-# integer fold — items sorted (size DESC, id ASC), best fit = smallest
-# adequate residual, ties to the lowest bin id. DuckDB 1.0's
-# list_reduce corrupts a STRUCT-typed accumulator whose fields are
-# lists (history lost beyond 2 steps — verified in-rig), so the oracle
-# folds over a FLAT list of tagged records instead: kind 0 = bin state
-# (bid, free), kind 1 = assignment (id, sz, bid); the outer list's
-# elements are singleton lists so the accumulator (a plain LIST, which
-# reduces correctly) and the elements share a type, satisfying
-# list_reduce's first-element-as-init convention. Exact integers
-# throughout -> bit-identical assignments.
+# Best-fit-decreasing oracle (round 9 rewrite): DuckDB replays the
+# IDENTICAL integer greedy — items sorted (size DESC, id ASC), best fit
+# = smallest adequate residual, ties to the lowest bin id — as a
+# RECURSIVE CTE that places exactly one item per language per step,
+# carrying the open-bins list forward as a plain column. The round-8
+# formulation folded the whole group through list_reduce, which DuckDB
+# 1.x crashes on outright for this accumulator shape (INTERNAL
+# "Attempted to dereference unique_ptr that is NULL" — the gate could
+# never execute). The recursive restatement keeps every tie-break and
+# the exact integer arithmetic, so assignments are still bit-identical
+# to operators/packing.py:bfd_pack.
 
 
 def _bfd_oracle(cap: int) -> str:
-    rec = "STRUCT(kind INTEGER, bid INTEGER, free BIGINT, id BIGINT, sz BIGINT)"
-    it = "x[1]"
-    fits = f"list_filter(acc, b -> b.kind = 0 AND b.free >= {it}.sz)"
-    nbins = "len(list_filter(acc, b -> b.kind = 0))"
+    rec = "STRUCT(bid INTEGER, free BIGINT)"
+    # best-fit bin for the current item o against the carried bins s.bins:
+    # smallest adequate residual, ties to the lowest bin id; NULL when no
+    # open bin fits (list index past the end -> NULL).
     best = (
-        f"list_sort(list_transform({fits}, "
+        "list_sort(list_transform(list_filter(s.bins, "
+        "b -> b.free >= o.sz), "
         "b -> struct_pack(free := b.free, bid := b.bid)))[1]"
     )
-    lam = f"""(acc, x) -> CASE WHEN len({fits}) > 0 THEN
-      list_append(
-        list_transform(acc, b -> CASE WHEN b.kind = 0 AND b.bid = {best}.bid
-          THEN CAST(struct_pack(kind := 0, bid := b.bid,
-                free := b.free - {it}.sz, id := NULL, sz := NULL) AS {rec})
-          ELSE b END),
-        CAST(struct_pack(kind := 1, bid := {best}.bid, free := NULL,
-             id := {it}.id, sz := {it}.sz) AS {rec}))
-    ELSE
-      list_append(list_append(acc,
-        CAST(struct_pack(kind := 0, bid := CAST({nbins} AS INTEGER),
-             free := CAST({cap} AS BIGINT) - {it}.sz, id := NULL,
-             sz := NULL) AS {rec})),
-        CAST(struct_pack(kind := 1, bid := CAST({nbins} AS INTEGER),
-             free := NULL, id := {it}.id, sz := {it}.sz) AS {rec}))
-    END"""
     return f"""
-WITH toks AS (
-  SELECT lang, doc_id,
-    CASE WHEN length(trim(text)) = 0 THEN 0
-         ELSE len(string_split_regex(trim(text), '\\s+')) END AS sz
+WITH RECURSIVE toks AS (
+  SELECT lang, CAST(doc_id AS BIGINT) AS id,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS sz
   FROM documents WHERE text IS NOT NULL
 ),
-g AS (
-  SELECT lang, list_sort(list(struct_pack(
-           ns := -CAST(sz AS BIGINT), id := CAST(doc_id AS BIGINT),
-           sz := CAST(sz AS BIGINT)))) AS raw
-  FROM toks GROUP BY lang
+ordered AS (
+  SELECT lang, id, sz,
+    row_number() OVER (PARTITION BY lang ORDER BY sz DESC, id ASC) AS rn
+  FROM toks
 ),
-shaped AS (
-  SELECT lang, list_prepend(
-    CAST([] AS {rec}[]),
-    list_transform(raw, x0 -> [CAST(struct_pack(kind := 2, bid := NULL,
-      free := NULL, id := x0.id, sz := x0.sz) AS {rec})])) AS xs
-  FROM g
-),
-folded AS (
-  SELECT lang, list_reduce(xs, {lam}) AS st FROM shaped
+steps(lang, rn, bins, id, sz, bid) AS (
+  SELECT lang, CAST(0 AS BIGINT), CAST([] AS {rec}[]),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INTEGER)
+  FROM (SELECT DISTINCT lang FROM ordered)
+  UNION ALL
+  SELECT o.lang, o.rn,
+    CASE WHEN {best} IS NULL THEN
+      list_append(s.bins, CAST(struct_pack(
+        bid := CAST(len(s.bins) AS INTEGER),
+        free := CAST({cap} AS BIGINT) - o.sz) AS {rec}))
+    ELSE
+      list_transform(s.bins, b -> CASE WHEN b.bid = {best}.bid
+        THEN CAST(struct_pack(bid := b.bid, free := b.free - o.sz) AS {rec})
+        ELSE b END)
+    END,
+    o.id, o.sz,
+    CASE WHEN {best} IS NULL THEN CAST(len(s.bins) AS INTEGER)
+         ELSE {best}.bid END
+  FROM steps s JOIN ordered o ON o.lang = s.lang AND o.rn = s.rn + 1
 ),
 nb AS (
-  SELECT lang, CAST(len(list_filter(st, r0 -> r0.kind = 0)) AS INT) AS n_bins
-  FROM folded
+  SELECT lang, CAST(len(arg_max(bins, rn)) AS INT) AS n_bins
+  FROM steps GROUP BY lang
 ),
 lbs AS (
   SELECT lang, CAST((SUM(sz) + {cap - 1}) // {cap} AS BIGINT) AS lb_bins
   FROM toks GROUP BY lang
 )
-SELECT f.lang, r.id AS doc_id, r.sz AS n_tokens, r.bid AS bin_id,
+SELECT s.lang, s.id AS doc_id, s.sz AS n_tokens, s.bid AS bin_id,
        nb.n_bins, lbs.lb_bins,
        (nb.n_bins * 9 <= 11 * lbs.lb_bins + 6) AS bound_ok
-FROM folded f, UNNEST(list_filter(f.st, r0 -> r0.kind = 1)) AS t(r)
-JOIN nb ON nb.lang = f.lang
-JOIN lbs ON lbs.lang = f.lang
+FROM steps s
+JOIN nb ON nb.lang = s.lang
+JOIN lbs ON lbs.lang = s.lang
+WHERE s.rn >= 1
 """
 
 
 @register(
     "x_pack_bfd_shards",
-    oracle=_bfd_oracle(20_000),
+    oracle=_bfd_oracle(400),
     tags=("extension", "packing"),
-    doc="Best-fit-decreasing shard packing (round 8): per-language BFD "
-    "of whitespace token counts into 20k-token bins — items sorted "
-    "(size DESC, id ASC), each into the fullest bin that still fits, "
-    "never overflowing capacity (the prefix-sum packer hits the "
-    "ceil(total/budget) lower bound only by overflowing). Each group "
-    "folds in ONE row-local aggregate expression; groups distribute — "
-    "the honest distribution of an inherently sequential greedy. "
-    "Efficiency gated on the correctness path: bound_ok pins BFD's "
-    "n <= (11*OPT + 6)/9 guarantee against the exact integer lower "
-    "bound. Oracle = bit-identical DuckDB fold replay "
-    "(operators/packing.py:bfd_pack).",
+    doc="Best-fit-decreasing shard packing (round 8; round 9: capacity "
+    "400 so the sf-test corpora genuinely form multiple bins per "
+    "language — at 20k everything fit in one bin and best-fit placement "
+    "was never exercised): per-language BFD of whitespace token counts "
+    "— items sorted (size DESC, id ASC), each into the fullest bin "
+    "that still fits, never overflowing capacity (the prefix-sum "
+    "packer hits the ceil(total/budget) lower bound only by "
+    "overflowing). Each group folds in ONE row-local aggregate "
+    "expression; groups distribute — the honest distribution of an "
+    "inherently sequential greedy. Efficiency gated on the correctness "
+    "path: bound_ok pins BFD's n <= (11*OPT + 6)/9 guarantee against "
+    "the exact integer lower bound. Oracle = bit-identical recursive-"
+    "CTE replay of the greedy (operators/packing.py:bfd_pack).",
 )
 def x_pack_bfd_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iheardai_data_pipeline_spark.operators.packing import bfd_pack
     from iheardai_data_pipeline_spark.operators.text import token_count_ws
 
-    cap = 20_000
+    cap = 400
     docs = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())

@@ -69,11 +69,24 @@ def _occ_current_version(commits_dir: str) -> int:
 
 # Retired-epoch records are IMMUTABLE once published (write→fsync→
 # exclusive-link, never modified), so their contents can be cached for
-# the process lifetime: epochs_dir -> (filenames already read, epochs).
-# Without this every epoch-guarded commit re-reads every retired record
-# — O(total epochs ever vacuumed) JSON opens per commit, unbounded for
-# a long-lived stream. A fresh process just starts with a cold cache.
+# the process lifetime: epochs-dir identity -> (filenames already read,
+# epochs). Without this every epoch-guarded commit re-reads every
+# retired record — O(total epochs ever vacuumed) JSON opens per commit,
+# unbounded for a long-lived stream. A fresh process just starts with a
+# cold cache. The key is (path, device, inode) — NOT the path alone:
+# deleting and recreating a store at the same path mints a new _epochs
+# directory (new inode), so the fresh store can never inherit the dead
+# store's retired epochs and silently skip epoch-guarded appends (the
+# round-8 path-keyed staleness hole — ADVICE r8 stores.py:77).
 _RETIRED_EPOCH_CACHE: dict = {}
+
+
+def _epochs_cache_key(epochs_dir: str) -> tuple | None:
+    try:
+        st = os.stat(epochs_dir)
+    except OSError:
+        return None
+    return (epochs_dir, st.st_dev, st.st_ino)
 
 
 def _read_epoch_record(path: str) -> list:
@@ -114,9 +127,10 @@ def _occ_committed_epochs(commits_dir: str) -> set:
         if e is not None:
             out.add(e)
     epochs_dir = os.path.join(commits_dir, "_epochs")
-    if os.path.isdir(epochs_dir):
+    cache_key = _epochs_cache_key(epochs_dir)
+    if cache_key is not None:
         seen, cached = _RETIRED_EPOCH_CACHE.setdefault(
-            epochs_dir, (set(), set())
+            cache_key, (set(), set())
         )
         for f in os.listdir(epochs_dir):
             if f.startswith(".") or f in seen:
@@ -1046,8 +1060,14 @@ class MultiRelationTransactionalStore:
             f"apply_keyed on {self.path} lost {self.max_retries} consecutive commit races"
         )
 
-    def append_keyed(self, updates: dict[str, DataFrame], epoch=None) -> None:
+    def append_keyed(
+        self, updates: dict[str, DataFrame], epoch=None
+    ) -> int | None:
         """Atomic multi-relation APPEND — the ingest hot path.
+        Returns the committed version, or ``None`` when nothing was
+        committed (empty staged batch, or the epoch was already
+        committed) — callers maintaining version-stamped driver
+        caches (FingerprintIndex.words) need the distinction.
 
         Stages ONLY the update rows (one write job) and commits by
         appending a pointer to each touched bucket's dir list: no
@@ -1097,7 +1117,7 @@ class MultiRelationTransactionalStore:
             shutil.rmtree(
                 os.path.join(self.path, "_snapshots", name), ignore_errors=True
             )
-            return
+            return None
         # the staged dir is version-independent (pure batch rows), so a
         # lost race only re-points the manifest — nothing is re-staged
         for _ in range(self.max_retries):
@@ -1108,7 +1128,7 @@ class MultiRelationTransactionalStore:
                     os.path.join(self.path, "_snapshots", name),
                     ignore_errors=True,
                 )
-                return
+                return None
             base_version = self.current_version()
             base = self._manifest(base_version) or {}
             manifest = {rel: dict(base.get(rel, {})) for rel in self.relations}
@@ -1116,7 +1136,7 @@ class MultiRelationTransactionalStore:
                 for b in written[rel]:
                     manifest[rel][b] = manifest[rel].get(b, []) + [name]
             if self._try_commit(base_version + 1, manifest, epoch=epoch):
-                return
+                return base_version + 1
         shutil.rmtree(
             os.path.join(self.path, "_snapshots", name), ignore_errors=True
         )

@@ -161,3 +161,32 @@ def test_layout_mismatch_refuses_to_open(spark, tmp_path):
     FingerprintIndex(spark, str(tmp_path / "fpm"), m=4096, k=6)
     with pytest.raises(ValueError, match="one Bloom layout"):
         FingerprintIndex(spark, str(tmp_path / "fpm"), m=8192, k=6)
+
+
+def test_words_cache_refreshes_on_foreign_commit(spark, tmp_path):
+    """Two writers on one index: instance A's driver-cached Bloom words
+    must re-fold when instance B's commit advances the store version —
+    a stale prefilter would flag B's fingerprints 'definitely absent',
+    skip the anti-join, and admit a duplicate (the r8 staleness hole)."""
+    path = str(tmp_path / "fpw")
+    a = FingerprintIndex(spark, path)
+    a.ingest(_docs(spark, [(1, "alpha doc")]))
+    assert a._words is not None  # own append keeps the cache warm
+    b = FingerprintIndex(spark, path)
+    b.append(_docs(spark, [(2, "beta doc")]))
+    # A must now dedup against B's commit, not its stale cache
+    out = a.ingest(_docs(spark, [(3, "beta doc")]))
+    assert out.count() == 0
+    assert a._words_version == a._store.current_version()
+
+
+def test_words_cache_stays_warm_single_writer(spark, tmp_path):
+    """The single-writer fast path: consecutive ingests OR-update the
+    cached words in place (version stamp tracks each own commit), never
+    re-folding from the store."""
+    idx = FingerprintIndex(spark, str(tmp_path / "fps1"))
+    idx.ingest(_docs(spark, [(1, "one")]))
+    v1 = idx._words_version
+    idx.ingest(_docs(spark, [(2, "two")]))
+    assert idx._words is not None
+    assert idx._words_version == v1 + 1 == idx._store.current_version()

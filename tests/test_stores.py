@@ -727,3 +727,40 @@ def test_retired_epochs_fold_to_one_record_and_survive_cold_cache(
     for ep in range(1, 6):
         st.apply(fn, epoch=ep)  # every retired epoch must still no-op
     assert st.read().collect()[0]["seq"] == 6
+
+
+def test_recreated_store_does_not_inherit_retired_epochs(spark, tmp_path):
+    """Deleting a store and recreating one at the SAME path must start
+    with a clean epoch history: the retired-epoch cache is keyed by the
+    _epochs directory's identity (dev+inode), not its path, so the
+    fresh store can't treat the dead store's retired epochs as
+    committed and silently skip epoch-guarded writes (r8 advice)."""
+    import shutil
+
+    path = str(tmp_path / "reborn")
+    st = TransactionalParquetStore(
+        spark, path, key_cols=["k"], order_cols=["seq"]
+    )
+    upd = spark.createDataFrame([("a", 1, "x")], SCHEMA)
+
+    def fn(current):
+        if current is None:
+            return upd
+        return (
+            current.unionByName(upd)
+            .groupBy("k", "v")
+            .agg(F.sum("seq").alias("seq"))
+            .select("k", "seq", "v")
+        )
+
+    for ep in (1, 2, 3):
+        st.apply(fn, epoch=ep)
+    st.vacuum(keep=1, grace_seconds=0.0)  # retires epochs 1-2
+    st.apply(fn, epoch=1)  # no-op; warms the per-process retired cache
+    assert st.read().collect()[0]["seq"] == 3
+    shutil.rmtree(path)
+    st2 = TransactionalParquetStore(
+        spark, path, key_cols=["k"], order_cols=["seq"]
+    )
+    st2.apply(fn, epoch=1)  # fresh history: must COMMIT, not skip
+    assert st2.read().collect()[0]["seq"] == 1

@@ -1,0 +1,154 @@
+"""Unigram-LM tokenizer: integer Viterbi vs a Python reference,
+training determinism, coverage, and the DuckDB replay."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from iheardai_data_pipeline_spark.operators.unigram import (
+    KEY_STRIDE,
+    MAX_PIECE_LEN,
+    UNK_SCORE,
+    score_table,
+    unigram_apply,
+    unigram_train,
+    viterbi_ctes_sql,
+    viterbi_segment,
+)
+
+
+def ref_viterbi(w: str, scores: dict[str, int], max_len: int) -> list[str]:
+    """Reference DP: maximize integer score sum, ties -> longer piece."""
+    n = len(w)
+    best = [0] + [None] * n
+    lens = [0] * (n + 1)
+    for j in range(1, n + 1):
+        top = None
+        for l in range(1, min(max_len, j) + 1):
+            piece = w[j - l : j]
+            sc = scores.get(piece)
+            if sc is None and l == 1:
+                sc = UNK_SCORE
+            if sc is None:
+                continue
+            tot = best[j - l] + sc
+            if top is None or tot > top[0] or (tot == top[0] and l > top[1]):
+                top = (tot, l)
+        best[j], lens[j] = top
+    parts, pos = [], n
+    while pos > 0:
+        parts.insert(0, w[pos - lens[pos] : pos])
+        pos -= lens[pos]
+    return parts
+
+
+PIECES = score_table(
+    [
+        ("h", 4), ("e", 9), ("l", 7), ("o", 6), ("w", 3), ("r", 5),
+        ("d", 4), ("he", 8), ("ll", 6), ("hell", 5), ("lo", 4),
+        ("wor", 7), ("ld", 7), ("hello", 30), ("owo", 2),
+    ]
+)
+SCORES = dict(PIECES)
+
+
+@pytest.mark.parametrize(
+    "word",
+    ["hello", "world", "helloworld", "hehe", "lll", "xyz", "hellold", "o"],
+)
+def test_viterbi_matches_python_reference(spark, word):
+    out = viterbi_segment(
+        spark.createDataFrame([(word,)], "w string"), PIECES
+    ).collect()
+    assert out[0]["tokens"] == ref_viterbi(word, SCORES, MAX_PIECE_LEN)
+
+
+def test_viterbi_prefers_higher_score_then_longer(spark):
+    # 'hello' as one piece scores ln(30) > any split; 'hellold' must
+    # pick hello+ld over hell+lo+... exactly as the reference does
+    rows = {
+        r["w"]: r["tokens"]
+        for r in viterbi_segment(
+            spark.createDataFrame(
+                [("hello",), ("hellold",)], "w string"
+            ),
+            PIECES,
+        ).collect()
+    }
+    assert rows["hello"] == ["hello"]
+    assert rows["hellold"] == ref_viterbi("hellold", SCORES, MAX_PIECE_LEN)
+
+
+def test_unknown_chars_fall_back_to_singles(spark):
+    out = viterbi_segment(
+        spark.createDataFrame([("q#z",)], "w string"), PIECES
+    ).collect()
+    assert out[0]["tokens"] == ["q", "#", "z"]
+
+
+def test_apply_reassembles_in_word_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello  WORLD"), (2, "world hello"), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in unigram_apply(docs, PIECES).collect()
+    }
+    assert set(rows) == {1, 2}  # empty/null docs dropped
+    assert rows[1]["unigram_text"] == "hello wor ld"
+    assert rows[2]["unigram_text"] == "wor ld hello"
+    assert rows[1]["n_unigram_tokens"] == 3
+
+
+def test_train_is_deterministic_and_covers_all_chars(spark):
+    docs = spark.createDataFrame(
+        [(i, f"banana band bandana b{i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    p1 = unigram_train(docs, vocab_size=8, seed_size=32, n_iters=2)
+    p2 = unigram_train(docs, vocab_size=8, seed_size=32, n_iters=2)
+    assert p1 == p2
+    vocab = {p for p, _ in p1}
+    chars = {c for c in "banana band bandana b0 b1 b2" if c != " "}
+    assert chars <= vocab  # every single char survives pruning
+    assert any(len(p) >= 2 for p in vocab)  # learned multi-char pieces
+
+
+def test_duckdb_replay_matches_engine(spark):
+    docs = [
+        (1, "hello world"),
+        (2, "helloworld hehe"),
+        (3, "xyz hello"),
+        (4, "lll owo"),
+    ]
+    sdf = unigram_apply(
+        spark.createDataFrame(docs, "doc_id long, text string"), PIECES
+    )
+    got = sorted(
+        (r["doc_id"], r["n_unigram_tokens"], r["unigram_text"])
+        for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {t!r})" for i, t in docs)
+        + ") AS t(doc_id, text)"
+    )
+    norm = (
+        "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', "
+        "'g')) AS norm FROM documents WHERE text IS NOT NULL"
+    )
+    sql = (
+        "WITH RECURSIVE "
+        + viterbi_ctes_sql(PIECES, norm).lstrip()
+        + " SELECT * FROM u_out"
+    )
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want
+
+
+def test_key_stride_bounds_piece_len():
+    assert MAX_PIECE_LEN < KEY_STRIDE
