@@ -58,10 +58,11 @@ from iheardai_data_pipeline_spark.sources.batch import (
 )
 
 # score for a single character absent from the piece table: far below
-# any trained piece (ln-scores are >= 0 micro-units) so unknowns are
-# used only when no trained piece covers the position, but finite so
-# every word still segments
-UNK_SCORE = -20_000_000
+# any trained piece (log-probability scores bottom out around
+# -ln(total) ~ -20e6 micro-units for any plausible corpus) so unknowns
+# are used only when no trained piece covers the position, but finite
+# so every word still segments
+UNK_SCORE = -40_000_000
 
 # spans are keyed start0 * KEY_STRIDE + len; piece lengths must stay
 # below the stride
@@ -73,12 +74,19 @@ _NEG_INF = -(1 << 62)
 
 def score_table(freqs: list[tuple[str, int]]) -> list[tuple[str, int]]:
     """Freeze (piece, count) rows into the integer score artifact:
-    ``round_half_up(1e6 * ln(count))``. Run ONCE at artifact-pinning
-    time — after this, no floats exist anywhere."""
+    ``round_half_up(1e6 * ln(count / total))`` — log PROBABILITIES, so
+    scores are negative and every extra piece costs (with raw log-
+    counts, all-singles segmentations would always win: the unigram LM
+    objective is the product of piece probabilities). Run ONCE at
+    artifact-pinning time — after this, no floats exist anywhere."""
+    kept = [(p, c) for p, c in freqs if c >= 1]
+    log_total = math.log(sum(c for _, c in kept))
     return sorted(
-        (p, int(math.floor(1_000_000 * math.log(c) + 0.5)))
-        for p, c in freqs
-        if c >= 1
+        (
+            p,
+            int(math.floor(1_000_000 * (math.log(c) - log_total) + 0.5)),
+        )
+        for p, c in kept
     )
 
 

@@ -2205,6 +2205,132 @@ def x_pack_bpe_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_tokens", "start_offset", "shard_id")
 
 
+# --- unigram-LM tokenizer (round 9) -----------------------------------------------
+
+
+def _unigram_oracle() -> str:
+    from iheardai_data_pipeline_spark.operators.unigram import (
+        viterbi_ctes_sql,
+    )
+    from iheardai_data_pipeline_spark.plans.unigram_artifact import (
+        UNIGRAM_PIECES,
+    )
+
+    norm = (
+        f"SELECT doc_id, {_NORM_SQL} AS norm FROM documents "
+        "WHERE text IS NOT NULL"
+    )
+    return (
+        "WITH RECURSIVE "
+        + viterbi_ctes_sql(UNIGRAM_PIECES, norm).lstrip()
+        + "\nSELECT doc_id, n_unigram_tokens, unigram_text FROM u_out"
+    )
+
+
+@register(
+    "x_text_unigram_tokens",
+    oracle=_unigram_oracle(),
+    tags=("extension", "text", "tokenize"),
+    doc="Unigram-LM (SentencePiece-style) tokenization (round 9): the "
+    "pinned 55-piece tokenizer (plans/unigram_artifact.py — Viterbi "
+    "hard-EM trained by operators/unigram.py:unigram_train, scores as "
+    "BIGINT micro-log-probabilities) segments every word into its "
+    "best-scoring piece sequence. Viterbi runs over the DISTINCT-word "
+    "relation only (one span explode + one broadcast join builds a "
+    "per-word score map — vocab scores are DATA, not expression "
+    "literals — then two aggregate folds do the DP), joins back, and "
+    "reassembles each document in word order. Pure integer max-plus "
+    "arithmetic with total tie-orders, so the DuckDB oracle replays "
+    "the identical DP (recursive CTE, one position per step) "
+    "bit-exactly — tokens, not just counts.",
+)
+def x_text_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.unigram import unigram_apply
+    from iheardai_data_pipeline_spark.plans.unigram_artifact import (
+        UNIGRAM_PIECES,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_apply(docs, UNIGRAM_PIECES).select(
+        "doc_id", "n_unigram_tokens", "unigram_text"
+    )
+
+
+def _unigram_vs_bpe_oracle() -> str:
+    from iheardai_data_pipeline_spark.operators.bpe import (
+        doc_token_string_sql,
+        merge_chain_sql,
+        tokens_sql,
+    )
+    from iheardai_data_pipeline_spark.operators.unigram import (
+        viterbi_ctes_sql,
+    )
+    from iheardai_data_pipeline_spark.plans.unigram_artifact import (
+        UNIGRAM_PIECES,
+    )
+
+    norm = (
+        f"SELECT doc_id, {_NORM_SQL} AS norm FROM documents "
+        "WHERE text IS NOT NULL"
+    )
+    return f"""
+WITH RECURSIVE {viterbi_ctes_sql(UNIGRAM_PIECES, norm).lstrip()},
+b_s AS (SELECT doc_id, norm AS t,
+               {doc_token_string_sql('norm')} AS s0 FROM u_docs),
+b AS (
+  SELECT doc_id,
+    CAST(len({tokens_sql(merge_chain_sql('s0', _BPE_MERGES))}) AS BIGINT)
+      AS n_bpe_tokens,
+    CAST(CASE WHEN length(t) = 0 THEN 0
+              ELSE len(string_split(t, ' ')) END AS BIGINT) AS n_ws_tokens
+  FROM b_s
+)
+SELECT u.doc_id, b.n_ws_tokens, b.n_bpe_tokens,
+       u.n_unigram_tokens,
+       (u.n_unigram_tokens <= b.n_ws_tokens * 10) AS sane_blowup
+FROM u_out u JOIN b USING (doc_id)
+"""
+
+
+@register(
+    "x_text_unigram_vs_bpe",
+    oracle=_unigram_vs_bpe_oracle(),
+    tags=("extension", "text", "tokenize"),
+    doc="Tokenizer comparison (round 9): per-document whitespace vs "
+    "BPE vs unigram-LM token counts from the two pinned in-engine "
+    "tokenizers — the budget-model choice a packing/chunking pipeline "
+    "makes, gated end-to-end (both token chains replayed bit-exactly "
+    "by the oracle in one query). sane_blowup pins the subword "
+    "fragmentation bound.",
+)
+def x_text_unigram_vs_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.bpe import bpe_apply
+    from iheardai_data_pipeline_spark.operators.text import token_count_ws
+    from iheardai_data_pipeline_spark.operators.unigram import unigram_apply
+    from iheardai_data_pipeline_spark.plans.unigram_artifact import (
+        UNIGRAM_PIECES,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    bpe = bpe_apply(docs, _BPE_MERGES).select(
+        "doc_id",
+        token_count_ws(F.col("text")).cast("long").alias("n_ws_tokens"),
+        "n_bpe_tokens",
+    )
+    uni = unigram_apply(docs.select("doc_id", "text"), UNIGRAM_PIECES)
+    return uni.join(bpe, "doc_id").select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        "n_unigram_tokens",
+        (F.col("n_unigram_tokens") <= F.col("n_ws_tokens") * 10).alias(
+            "sane_blowup"
+        ),
+    )
+
+
 # --- incremental-ingest dedup -----------------------------------------------------
 
 _INCR_DEDUP_ORACLE = f"""
