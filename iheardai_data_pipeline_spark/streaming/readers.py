@@ -15,7 +15,50 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# The Kafka source's wire schema (what format("kafka").load() yields) —
+# exported so parse-path parity tests can replay identical traffic
+# through a jar-free stream (file/memory) and exercise everything but
+# the socket (tests/test_kafka_parse_parity.py).
+KAFKA_WIRE_SCHEMA = StructType(
+    [
+        StructField("key", BinaryType()),
+        StructField("value", BinaryType()),
+        StructField("topic", StringType()),
+        StructField("partition", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("timestamp", TimestampType()),
+        StructField("timestampType", IntegerType()),
+    ]
+)
+
+
+def parse_kafka_records(raw: DataFrame, payload_schema: StructType) -> DataFrame:
+    """The reader's ENTIRE parse path, factored out of the source so it
+    is testable without the connector jar: declared-schema JSON parse
+    (no inference — SURVEY §1.4) with the original bytes kept as the
+    corrupt-record column (``data`` comes back NULL for unparseable
+    payloads; ``raw_value`` always preserves what arrived, the
+    log-and-skip contract of the reference consumer's error path,
+    enhanced_kpi_consumer.py:320-342). Works identically on a batch
+    frame, a file stream, or the real Kafka source — the only thing a
+    broker adds is the socket."""
+    return raw.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("topic"),
+        F.col("timestamp").alias("kafka_ts"),
+        F.from_json(F.col("value").cast("string"), payload_schema).alias("data"),
+        F.col("value").cast("string").alias("raw_value"),
+    )
 
 
 def read_kafka_stream(
@@ -41,13 +84,7 @@ def read_kafka_stream(
         .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
         .load()
     )
-    return raw.select(
-        F.col("key").cast("string").alias("key"),
-        F.col("topic"),
-        F.col("timestamp").alias("kafka_ts"),
-        F.from_json(F.col("value").cast("string"), payload_schema).alias("data"),
-        F.col("value").cast("string").alias("raw_value"),
-    )
+    return parse_kafka_records(raw, payload_schema)
 
 
 def read_file_stream(

@@ -296,3 +296,71 @@ def test_pre_versioned_layout_refuses_to_open(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="on-disk format"):
         PersistentAnnIndex(spark, path)
+
+
+def test_topk_batch_plan_flat_at_10k_queries(spark, tmp_path):
+    """The design claim behind batch serving (r8), pinned as a plan
+    property: the SHAPE of topk_batch's physical plan — its shuffle
+    count in particular — is IDENTICAL for 4 queries and for 10,000,
+    because every per-query quantity (centroid ranking, the ADC lookup
+    table) is a row-local expression against one broadcast artifact
+    row and ranking happens in query-keyed windows. Nothing loops on
+    the driver, nothing plans per query; and the store read stays
+    bounded by the probed CLUSTER count (<= n_centroids buckets), not
+    the query count."""
+
+    def _exchanges(df) -> int:
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        return plan.count(") Exchange")
+
+    corpus = _corpus(spark)
+    cents, books = _artifacts(spark, corpus)
+    idx = PersistentAnnIndex.bootstrap(
+        spark, str(tmp_path / "ann10k"), corpus,
+        centroids=cents, books=books, n_buckets=256,
+    )
+    small = spark.createDataFrame(
+        [(i, [float(x) for x in _unit(i % 4)]) for i in range(4)],
+        "query_id long, embedding array<float>",
+    )
+    # 10k queries built DISTRIBUTED (range + column exprs), never a
+    # driver-side list — the shape a real serving batch arrives in
+    big = spark.range(10_000).select(
+        F.col("id").alias("query_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(DIMS - 1)),
+            lambda d: F.when(d == F.col("id") % 4, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .cast("float"),
+        ).alias("embedding"),
+    )
+    plan_small = idx.topk_batch(small, k=3, nprobe=2, shortlist=20)
+    plan_big = idx.topk_batch(big, k=3, nprobe=2, shortlist=20)
+    n_small, n_big = _exchanges(plan_small), _exchanges(plan_big)
+    assert n_big == n_small, (
+        f"shuffle count grew with query count: {n_small} -> {n_big}"
+    )
+    # the codes/vectors reads stay bounded by probed clusters, never
+    # fan out with queries: 10k queries over 4 distinct directions
+    # probe <= nprobe * 4 clusters' buckets
+    buckets = {
+        f.split("__bucket=")[1].split("/")[0]
+        for f in plan_big.inputFiles()
+        if "__bucket=" in f
+    }
+    assert 0 < len(buckets) <= 2 * 4
+    # and it actually executes at 10k: k rows per query, every query
+    out_counts = (
+        plan_big.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("queries"),
+            F.min("n").alias("lo"),
+            F.max("n").alias("hi"),
+        )
+        .collect()[0]
+    )
+    assert out_counts["queries"] == 10_000
+    assert out_counts["lo"] == out_counts["hi"] == 3
