@@ -488,15 +488,29 @@ def _peel_to_core(
     fixpoint. ``n_edges`` is the caller's already-known count of ``e``
     (so an empty input costs zero actions). Returns the converged
     (edge_frame, edge_count, degree_frame) — the degree frame is the
-    fixpoint's own degrees, handed back so callers never recompute it
-    (kcore returns it; coreness derives the level's node set from it).
-    Raises past ``max_rounds`` dropping rounds.
+    fixpoint's own degrees, handed back lazily so callers reuse the
+    plan without recomputing it eagerly (kcore returns it; coreness
+    derives the level's node set from it). Raises past ``max_rounds``
+    dropping rounds.
 
-    Convergence is detected on the DEGREE frame (one tiny count over
-    the sub-k nodes) BEFORE the next edge relation is built, so the
-    final no-drop round costs one aggregate action — never a
-    checkpoint-rewrite of an identical frame (the r7 detection-round
-    fat: ~2 actions + 1 checkpoint write per coreness level)."""
+    Round shape (round 9 — measured, not guessed): ONE job per round —
+    build the peeled relation (degree aggregate feeding two keep
+    semi-joins; the duplicated degree subplan deduplicates via
+    ReuseExchange), checkpoint it, count it. Convergence is the edge
+    count being UNCHANGED across a round — sound because every sub-k
+    node carries >= 1 edge, so a peel that drops anything strictly
+    shrinks the edge set. Interleaved same-session min-of-3 at sf0.1
+    ranked the three candidate shapes on x_graph_coreness: this one
+    8.75s (the r7 shape), a separate persisted degree-frame
+    materialization per round 11.9s (r8/early r9 — the extra job per
+    round costs more than the shared aggregate saves at near-converged
+    sizes), 3x-unrolled peels per checkpoint 20.7s (the chained
+    shuffle stages AQE must re-plan dwarf the saved driver
+    round-trips). The price of this shape is one identical-frame
+    checkpoint rewrite per LEVEL at the fixpoint — edge-scale but
+    already-shrunken, and strictly cheaper than any per-round extra
+    job once a peel runs more than ~2 rounds, which every measured
+    level does."""
     n_after = n_edges
     if n_after == 0:
         return e, 0, _degrees(e)
@@ -506,22 +520,20 @@ def _peel_to_core(
     # BOTH fail loudly (the engine raises; the oracle's e_rounds would
     # be unconverged but the engine never silently returns one)
     for _ in range(max_rounds + 1):
-        # ONE degree aggregation per round, pinned at node scale: the
-        # sub-k convergence check and the keep semi-join both read the
-        # checkpointed frame instead of each re-running the full
-        # edge-frame aggregation (the r8 uncached double-agg regressed
-        # coreness ~30% — VERDICT r8 / ADVICE graph.py:510).
-        deg = _degrees(e).localCheckpoint(eager=True)
-        if deg.filter(F.col("degree") < k).limit(1).count() == 0:
-            return e, n_after, deg
+        deg = _degrees(e)
         keep = deg.filter(F.col("degree") >= k).select("node")
         e2 = (
             e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .localCheckpoint(eager=True)
         )
-        n_after = e2.count()
-        e = e2
+        n2 = e2.count()
+        if n2 == n_after:
+            # nothing dropped: e was already the k-core (e2 is the same
+            # relation, checkpointed — hand IT back so downstream reads
+            # the freshest pin)
+            return e2, n_after, _degrees(e2)
+        e, n_after = e2, n2
         if n_after == 0:
             return e, 0, _degrees(e)
     raise RuntimeError(
