@@ -203,18 +203,56 @@ def _viterbi_tokens(w: Column, m: Column, max_len: int) -> Column:
     )
 
 
+def _tokens_score(tokens: Column, m: Column) -> Column:
+    """Total integer score of an already-chosen segmentation: fold the
+    tokens left to right tracking the character position, looking each
+    piece's score back up in the span map (missing keys can only be
+    unknown single characters — every multi-char token was emitted
+    BECAUSE its span was in the map — so the coalesce is exactly the
+    DP's UNK fallback). O(tokens) per row, so the word's LM score
+    costs a fraction of re-running the DP for it."""
+    folded = F.aggregate(
+        tokens,
+        F.struct(
+            F.lit(0).cast("int").alias("pos"),
+            F.lit(0).cast("long").alias("s"),
+        ),
+        lambda a, t: F.struct(
+            (a["pos"] + F.length(t)).cast("int").alias("pos"),
+            (
+                a["s"]
+                + F.coalesce(
+                    F.element_at(
+                        m,
+                        (a["pos"] * KEY_STRIDE + F.length(t)).cast("int"),
+                    ),
+                    F.lit(UNK_SCORE).cast("long"),
+                )
+            ).alias("s"),
+        ),
+    )
+    return folded["s"]
+
+
 def viterbi_segment(
     words: DataFrame,
     pieces: list[tuple[str, int]],
     max_len: int = MAX_PIECE_LEN,
 ) -> DataFrame:
-    """(w) -> (w, tokens array<string>) — best unigram segmentation of
-    each distinct word under the integer score table."""
+    """(w) -> (w, tokens array<string>, w_score bigint) — best unigram
+    segmentation of each distinct word under the integer score table,
+    plus its total log-probability in micro-units (the DP's own
+    maximized objective, recovered from the chosen tokens)."""
     pdf = _pieces_df(words, pieces)
     wm = _word_score_maps(words.select("w").distinct(), pdf, max_len)
-    return eval_once(
+    segged = eval_once(
         wm, tokens=_viterbi_tokens(F.col("w"), F.col("m"), max_len)
-    ).select("w", "tokens")
+    )
+    return segged.select(
+        "w",
+        "tokens",
+        _tokens_score(F.col("tokens"), F.col("m")).alias("w_score"),
+    )
 
 
 def unigram_train(
@@ -301,12 +339,15 @@ def unigram_apply(
     id_col: str = "doc_id",
     max_len: int = MAX_PIECE_LEN,
 ) -> DataFrame:
-    """(id, ...) -> (id, n_unigram_tokens bigint, unigram_text string)
-    — every word segmented by the pinned integer Viterbi, document
-    reassembled in word order. Documents whose normalized text is
-    empty are dropped (no tokens to emit). Distributed shape: one
-    posexplode, Viterbi over the DISTINCT words only, one join back,
-    one per-doc ordered fold."""
+    """(id, ...) -> (id, n_unigram_tokens bigint, unigram_text string,
+    neg_logprob_micro bigint) — every word segmented by the pinned
+    integer Viterbi, document reassembled in word order, plus the
+    document's total negative log-probability under the unigram LM in
+    exact micro-units (sum over word occurrences of the DP's maximized
+    score, negated). Documents whose normalized text is empty are
+    dropped (no tokens to emit). Distributed shape: one posexplode,
+    Viterbi over the DISTINCT words only, one join back, one per-doc
+    ordered fold."""
     base = ensure_parallelism(docs.where(F.col(text_col).isNotNull()))
     wx = base.select(
         id_col,
@@ -326,12 +367,14 @@ def unigram_apply(
                     ),
                     lambda s: s["tokens"],
                 )
-            ).alias("__toks")
+            ).alias("__toks"),
+            (-F.sum("w_score")).cast("long").alias("neg_logprob_micro"),
         )
         .select(
             id_col,
             F.size("__toks").cast("long").alias("n_unigram_tokens"),
             F.concat_ws(" ", "__toks").alias("unigram_text"),
+            "neg_logprob_micro",
         )
     )
 
@@ -411,7 +454,8 @@ u_vit(w, j, best, lens) AS (
     x -> x.ns IS NOT NULL))[1] AS c) AS c
   WHERE v.j + 1 <= len(v.w)
 ),
-u_fin AS (SELECT w, lens FROM u_vit WHERE j = len(w)),
+u_fin AS (SELECT w, lens, best[len(w) + 1] AS wscore
+          FROM u_vit WHERE j = len(w)),
 u_walk(w, pos, parts) AS (
   SELECT w, CAST(len(w) AS INT), CAST([] AS VARCHAR[]) FROM u_fin
   UNION ALL
@@ -428,7 +472,10 @@ u_out AS (
   SELECT x.doc_id,
     CAST(SUM(len(s.parts)) AS BIGINT) AS n_unigram_tokens,
     array_to_string(flatten(list(s.parts ORDER BY x.widx)), ' ')
-      AS unigram_text
-  FROM u_wx x JOIN u_seg s ON s.w = x.w
+      AS unigram_text,
+    CAST(SUM(-f.wscore) AS BIGINT) AS neg_logprob_micro
+  FROM u_wx x
+  JOIN u_seg s ON s.w = x.w
+  JOIN u_fin f ON f.w = x.w
   GROUP BY x.doc_id
 )"""

@@ -2331,6 +2331,64 @@ def x_text_unigram_vs_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPL_THRESH_MICRO = 3_450_000  # nats/token in micro-units (~90th pct at sf0.01)
+
+
+def _unigram_ppl_oracle() -> str:
+    from iheardai_data_pipeline_spark.operators.unigram import (
+        viterbi_ctes_sql,
+    )
+    from iheardai_data_pipeline_spark.plans.unigram_artifact import (
+        UNIGRAM_PIECES,
+    )
+
+    norm = (
+        f"SELECT doc_id, {_NORM_SQL} AS norm FROM documents "
+        "WHERE text IS NOT NULL"
+    )
+    return f"""
+WITH RECURSIVE {viterbi_ctes_sql(UNIGRAM_PIECES, norm).lstrip()}
+SELECT doc_id, n_unigram_tokens, neg_logprob_micro,
+       (neg_logprob_micro <= {_PPL_THRESH_MICRO} * n_unigram_tokens)
+         AS ppl_keep
+FROM u_out
+"""
+
+
+@register(
+    "x_text_unigram_ppl",
+    oracle=_unigram_ppl_oracle(),
+    tags=("extension", "text", "quality"),
+    doc="TRUE language-model perplexity filter (round 9): each "
+    "document's total negative log-probability under the pinned "
+    "unigram LM — the Viterbi DP's own maximized objective, summed "
+    "over word occurrences in exact BIGINT micro-nats — gated as "
+    "mean-per-token <= 3.45 nats by CROSS-MULTIPLICATION (neg_logprob "
+    "<= thresh * n_tokens), so the keep flag never touches a float "
+    "(the z-test/PageRank integer-exactness discipline). This is the "
+    "real perplexity analog of the frequency-heuristic "
+    "x_text_corpus_lm: a trained LM scoring, distributed as one "
+    "distinct-word Viterbi + join-back, oracle-replayed bit-exactly.",
+)
+def x_text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iheardai_data_pipeline_spark.operators.unigram import unigram_apply
+    from iheardai_data_pipeline_spark.plans.unigram_artifact import (
+        UNIGRAM_PIECES,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = unigram_apply(docs, UNIGRAM_PIECES)
+    return out.select(
+        "doc_id",
+        "n_unigram_tokens",
+        "neg_logprob_micro",
+        (
+            F.col("neg_logprob_micro")
+            <= F.lit(_PPL_THRESH_MICRO) * F.col("n_unigram_tokens")
+        ).alias("ppl_keep"),
+    )
+
+
 # --- incremental-ingest dedup -----------------------------------------------------
 
 _INCR_DEDUP_ORACLE = f"""

@@ -128,7 +128,12 @@ def test_duckdb_replay_matches_engine(spark):
         spark.createDataFrame(docs, "doc_id long, text string"), PIECES
     )
     got = sorted(
-        (r["doc_id"], r["n_unigram_tokens"], r["unigram_text"])
+        (
+            r["doc_id"],
+            r["n_unigram_tokens"],
+            r["unigram_text"],
+            r["neg_logprob_micro"],
+        )
         for r in sdf.collect()
     )
     con = duckdb.connect()
@@ -144,7 +149,8 @@ def test_duckdb_replay_matches_engine(spark):
     sql = (
         "WITH RECURSIVE "
         + viterbi_ctes_sql(PIECES, norm).lstrip()
-        + " SELECT * FROM u_out"
+        + " SELECT doc_id, n_unigram_tokens, unigram_text,"
+        "   neg_logprob_micro FROM u_out"
     )
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert got == want
@@ -152,3 +158,33 @@ def test_duckdb_replay_matches_engine(spark):
 
 def test_key_stride_bounds_piece_len():
     assert MAX_PIECE_LEN < KEY_STRIDE
+
+
+def test_word_scores_match_dp_objective(spark):
+    """w_score recovered from the chosen tokens equals the DP's own
+    maximized objective (the Python reference's best[n])."""
+    words = ["hello", "helloworld", "xyz", "q#z", "lll"]
+    got = {
+        r["w"]: r["w_score"]
+        for r in viterbi_segment(
+            spark.createDataFrame([(w,) for w in words], "w string"),
+            PIECES,
+        ).collect()
+    }
+    for w in words:
+        toks = ref_viterbi(w, SCORES, MAX_PIECE_LEN)
+        want = sum(SCORES.get(t, UNK_SCORE) for t in toks)
+        assert got[w] == want, w
+
+
+def test_doc_neg_logprob_sums_word_occurrences(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello hello xyz")], "doc_id long, text string"
+    )
+    row = unigram_apply(docs, PIECES).collect()[0]
+    per_word = {
+        w: sum(SCORES.get(t, UNK_SCORE) for t in ref_viterbi(w, SCORES, MAX_PIECE_LEN))
+        for w in ("hello", "xyz")
+    }
+    want = -(2 * per_word["hello"] + per_word["xyz"])
+    assert row["neg_logprob_micro"] == want
