@@ -1187,3 +1187,108 @@ def t19_stream_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(root, ignore_errors=True)
     return res.select("i", "j", "sxy", "si", "sj", "n")
+
+
+# --- T20 (extension): streaming ingest over the persistent fingerprint index --------
+
+# One-shot answer of the same gated ingest: the incremental_dedup
+# survivor set (min-doc_id keeper per fingerprint, corpus excluded),
+# rolled up per language so the output stays small. However the stream
+# splits the incoming docs into micro-batches, the FingerprintIndex's
+# gate must accept EXACTLY this set — earlier batches' survivors join
+# the stored relation and block later batches' duplicates, the same
+# chain-correctness t9/t13/t18 pin for their dedup families.
+_T20_ORACLE = """
+WITH corpus AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    AS fingerprint
+  FROM documents WHERE doc_id % 3 <> 0 AND text IS NOT NULL
+),
+incoming AS (
+  SELECT doc_id, lang,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
+),
+fresh AS (
+  SELECT i.* FROM incoming i
+  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fingerprint = i.fingerprint)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_accepted
+FROM fresh GROUP BY lang
+"""
+
+
+@register(
+    "t20_stream_indexed_exact",
+    oracle=_T20_ORACLE,
+    tags=("streaming", "dedup", "sketch"),
+    doc="Streaming ingest over the PERSISTENT exact-dedup fingerprint "
+    "index (round 9 — the fingerprint family's t13/t18 twin): the "
+    "corpus (doc_id%3<>0) bootstraps a FingerprintIndex once; each "
+    "micro-batch of incoming docs pre-filters row-locally against the "
+    "driver-cached packed Bloom words, anti-joins only its suspects "
+    "against the stored fingerprints, and commits its survivors "
+    "EPOCH-GUARDED (a replayed batch cannot double-append bits or "
+    "fingerprints). Per-batch cost is batch-bounded — the corpus is "
+    "never rescanned. Oracle = the one-shot incremental answer rolled "
+    "up per language.",
+)
+def t20_stream_indexed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from iheardai_data_pipeline_spark.operators.fingerprint_index import (
+        FingerprintIndex,
+    )
+    from iheardai_data_pipeline_spark.sources.batch import load_table
+    from iheardai_data_pipeline_spark.streaming.sinks import (
+        harness_checkpoint_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="t20_", dir=shm)
+    out_dir = os.path.join(root, "accepted")
+    idx = FingerprintIndex(
+        spark, os.path.join(root, "idx"), expected_docs=docs.count()
+    )
+    idx.append(
+        docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text"),
+        epoch="t20-bootstrap",
+    )
+
+    def ingest_batch(batch: DataFrame, batch_id: int) -> None:
+        inc = batch.filter(
+            (F.col("doc_id") % 3 == 0) & F.col("text").isNotNull()
+        ).select("doc_id", "lang", "text")
+        idx.ingest(inc, epoch=f"t20-{batch_id}").select(
+            "doc_id", "lang"
+        ).write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    ckpt = harness_checkpoint_dir("t20_ckpt_")
+    try:
+        (
+            stream.writeStream.foreachBatch(ingest_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+            .awaitTermination()
+        )
+        res = (
+            spark.read.parquet(out_dir)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_accepted"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+    return res.orderBy("lang")
