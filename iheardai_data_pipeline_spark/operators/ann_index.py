@@ -388,18 +388,36 @@ class PersistentAnnIndex:
         nprobe: int = 4,
         shortlist: int = 100,
         exclude_id: int | None = None,
+        allowed: DataFrame | None = None,
     ) -> DataFrame:
         """Approximate top-k serve: probe ``nprobe`` lists, ADC-rank
         their stored codes, exact-re-rank the ``shortlist``. Returns
         (id, l2_dist) ascending over the normalized vectors — the
         ivfpq_search output contract, row-identical given the same
-        artifacts."""
+        artifacts.
+
+        ``allowed`` (optional): an id frame (``id_col``) restricting
+        the search to a metadata-selected subset — FILTERED vector
+        search, the serving shape behind "top-k among documents WHERE
+        <predicate>". The filter is applied to the probed clusters'
+        candidates BEFORE ADC ranking (pre-filtering: the shortlist is
+        spent entirely on qualifying vectors, so a selective predicate
+        cannot starve the result the way post-filtering the final k
+        does). Approximation semantics are unchanged — allowed vectors
+        living in non-probed clusters are missed exactly as unfiltered
+        ones are; raise ``nprobe`` as the predicate gets more
+        selective. The semi-join is left to the optimizer: a small id
+        set broadcasts, a huge one shuffles — both correct."""
         qn0 = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
         qv = [float(x) / qn0 for x in query_vec]
         probe_ids = self._probe_ids(qv, nprobe)
         codes = self._serving("codes", probe_ids)
         if codes is None:
             raise ValueError(f"ANN index at {self.path} holds no vectors")
+        if allowed is not None:
+            codes = codes.join(
+                allowed.select(self.id_col), self.id_col, "left_semi"
+            )
         short = pq_adc_topk(
             codes,
             self.books,

@@ -1242,6 +1242,96 @@ def x_sim_index_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# Bounded oracle for FILTERED ANN serving (round 9): with pinned
+# artifacts the serve is deterministic; the three flags pin (1) hard
+# predicate correctness — every hit satisfies the filter, (2) recall vs
+# the exact cosine top-10 over the FILTERED subset, (3) row-identity to
+# the in-memory ivfpq_search on the pre-filtered frame (same artifacts
+# => same assignment, probes and candidate set — a divergence anywhere
+# in the pre-filter placement flips it).
+_INDEX_FILTERED_ORACLE = """
+SELECT CAST(10 AS BIGINT) AS k, TRUE AS all_match_predicate,
+       TRUE AS recall_ok, TRUE AS not_worse_than_inmem
+"""
+
+
+@register(
+    "x_sim_index_filtered_topk",
+    oracle=_INDEX_FILTERED_ORACLE,
+    tags=("extension", "similarity", "approximate"),
+    doc="FILTERED ANN serving (round 9): top-k among vectors matching "
+    "a metadata predicate (here vec_id%2=1 — the 'WHERE lang=en' "
+    "serving shape). PersistentAnnIndex.topk(allowed=ids) PRE-filters "
+    "the probed clusters' candidates before ADC ranking, so the whole "
+    "shortlist is spent on qualifying vectors — a selective predicate "
+    "cannot starve the result the way post-filtering the final k does; "
+    "the semi-join is left to the optimizer (small id sets broadcast). "
+    "Gated three ways: every hit satisfies the predicate, recall>=0.5 "
+    "vs the exact filtered top-10, and row-identity to ivfpq_search on "
+    "the pre-filtered frame (operators/ann_index.py:topk).",
+)
+def x_sim_index_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators import pq
+    from iheardai_data_pipeline_spark.operators.ann_index import (
+        PersistentAnnIndex,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    n = emb.count()
+    qid, qvec = _probe_vector(emb)
+    centroids, books = _ann_serving_artifacts(spark, sf_dir, emb)
+    shortlist = max(100, n // 5)
+    allowed = emb.where(F.col("vec_id") % 2 == 1).select("vec_id")
+    filtered = emb.join(allowed, "vec_id", "left_semi")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="annfilt_", dir=shm)
+    try:
+        idx = PersistentAnnIndex.bootstrap(
+            spark, root, emb, centroids=centroids, books=books
+        )
+        got = idx.topk(
+            qvec,
+            k=10,
+            nprobe=4,
+            shortlist=shortlist,
+            exclude_id=qid,
+            allowed=allowed,
+        ).localCheckpoint(eager=True)
+        inmem = pq.ivfpq_search(
+            filtered,
+            qvec,
+            k=10,
+            n_centroids=16,
+            nprobe=4,
+            shortlist=shortlist,
+            exclude_id=qid,
+            seed_mode="first",
+            centroids=centroids,
+            books=books,
+        )
+        exact = similarity.cosine_topk_bruteforce(
+            filtered, qvec, k=10, exclude_id=qid
+        ).select("vec_id")
+        n_bad = got.where(F.col("vec_id") % 2 == 0).count()
+        hits = got.select("vec_id").join(exact, "vec_id", "left_semi").count()
+        diff = (
+            got.exceptAll(inmem).count() + inmem.exceptAll(got).count()
+        )
+        return spark.createDataFrame(
+            [(10, n_bad == 0, hits >= 5, diff == 0)],
+            "k long, all_match_predicate boolean, recall_ok boolean, "
+            "not_worse_than_inmem boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # Bounded oracle for the ANN index LWW/tombstone path (round 8 —
 # x_dedup_indexed_update's serving sibling): the 4-step workflow
 # (bootstrap seq 0 -> epoch-replayed append seq 2 -> tombstone delete

@@ -364,3 +364,41 @@ def test_topk_batch_plan_flat_at_10k_queries(spark, tmp_path):
     )
     assert out_counts["queries"] == 10_000
     assert out_counts["lo"] == out_counts["hi"] == 3
+
+
+def test_topk_filtered_search(spark, tmp_path):
+    """allowed= restricts the serve to a metadata-selected subset with
+    PRE-filter semantics: every hit qualifies, the shortlist is spent
+    on qualifying vectors only, and at nprobe=all the result equals
+    the exact brute-force top-k over the filtered subset."""
+    from iheardai_data_pipeline_spark.operators import pq
+    from iheardai_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    corpus = _corpus(spark)
+    cents, books = _artifacts(spark, corpus)
+    idx = PersistentAnnIndex.bootstrap(
+        spark, str(tmp_path / "annf"), corpus, centroids=cents, books=books
+    )
+    allowed = corpus.where(F.col("vec_id") % 2 == 1).select("vec_id")
+    qv = [float(x) for x in _unit(1)]
+    got = idx.topk(
+        qv, k=5, nprobe=len(cents), shortlist=10_000, allowed=allowed
+    ).collect()
+    assert got and all(r["vec_id"] % 2 == 1 for r in got)
+    # nprobe = all lists + unbounded shortlist -> exact over the subset
+    exact = cosine_topk_bruteforce(
+        pq.normalize_rows(corpus.join(allowed, "vec_id", "left_semi")),
+        qv,
+        k=5,
+    ).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]
+    # row-identical to the in-memory search on the PRE-filTERED frame
+    inmem = pq.ivfpq_search(
+        corpus.join(allowed, "vec_id", "left_semi"),
+        qv, k=5, n_centroids=len(cents), nprobe=2, shortlist=20,
+        seed_mode="first", centroids=cents, books=books,
+    ).collect()
+    got2 = idx.topk(qv, k=5, nprobe=2, shortlist=20, allowed=allowed).collect()
+    assert [tuple(r) for r in got2] == [tuple(r) for r in inmem]
