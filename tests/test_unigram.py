@@ -188,3 +188,45 @@ def test_doc_neg_logprob_sums_word_occurrences(spark):
     }
     want = -(2 * per_word["hello"] + per_word["xyz"])
     assert row["neg_logprob_micro"] == want
+
+
+def test_property_viterbi_matches_reference_random(spark):
+    """Randomized pin: Viterbi over random vocabularies and words must
+    match the Python reference exactly — one Spark frame for ALL cases
+    (the hypothesis-per-example-DataFrame pattern is too slow; a fixed
+    seeded sample buys the same coverage deterministically)."""
+    import random
+
+    rng = random.Random(20260815)
+    alphabet = "abcd"
+    cases = []
+    for case in range(6):
+        vocab = {c: rng.randint(1, 50) for c in alphabet}
+        for _ in range(rng.randint(2, 10)):
+            ln = rng.randint(2, MAX_PIECE_LEN)
+            piece = "".join(rng.choice(alphabet) for _ in range(ln))
+            vocab[piece] = rng.randint(1, 200)
+        pieces = score_table(sorted(vocab.items()))
+        scores = dict(pieces)
+        words = list(
+            {
+                "".join(
+                    rng.choice(alphabet + "xz")
+                    for _ in range(rng.randint(1, 14))
+                )
+                for _ in range(12)
+            }
+        )
+        cases.append((pieces, scores, words))
+    for i, (pieces, scores, words) in enumerate(cases):
+        got = {
+            r["w"]: (r["tokens"], r["w_score"])
+            for r in viterbi_segment(
+                spark.createDataFrame([(w,) for w in words], "w string"),
+                pieces,
+            ).collect()
+        }
+        for w in words:
+            toks = ref_viterbi(w, scores, MAX_PIECE_LEN)
+            score = sum(scores.get(t, UNK_SCORE) for t in toks)
+            assert got[w] == (toks, score), (i, w, got[w], toks)
