@@ -454,6 +454,7 @@ class PersistentAnnIndex:
         query_id_col: str = "query_id",
         query_vec_col: str | None = None,
         exclude_self: bool = False,
+        allowed: DataFrame | None = None,
     ) -> DataFrame:
         """Batch top-k serve for a FRAME of query vectors — the
         production shape (a per-query :meth:`topk` loop is a driver
@@ -489,7 +490,13 @@ class PersistentAnnIndex:
 
         Queries with NULL or zero-norm vectors are EXCLUDED (no
         direction — the same rule ``normalize_rows`` applies to the
-        corpus; the single-query path raises on them)."""
+        corpus; the single-query path raises on them).
+
+        ``allowed`` (optional): an id frame restricting the WHOLE
+        batch's search to a metadata-selected subset — the batch twin
+        of :meth:`topk`'s filtered serving, applied at the same point
+        (the probed clusters' LIVE candidates, before ADC ranking, so
+        every query's shortlist is spent on qualifying vectors)."""
         ic = self.id_col
         vc = self.vec_col
         qvc = query_vec_col or vc
@@ -608,6 +615,11 @@ class PersistentAnnIndex:
             raise ValueError(f"ANN index at {self.path} holds no vectors")
         if self._has_tombstones:
             codes = self._latest_live(codes, [ic, "codes", "centroid_id"])
+        if allowed is not None:
+            # post-tombstone, pre-ADC: identical placement to topk()'s
+            # filter, so batch == per-query row-for-row with the same
+            # allowed frame
+            codes = codes.join(allowed.select(ic), ic, "left_semi")
 
         # -- 4. ADC fold + per-query shortlist window ----------------------
         adc = _fold(

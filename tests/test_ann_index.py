@@ -402,3 +402,35 @@ def test_topk_filtered_search(spark, tmp_path):
     ).collect()
     got2 = idx.topk(qv, k=5, nprobe=2, shortlist=20, allowed=allowed).collect()
     assert [tuple(r) for r in got2] == [tuple(r) for r in inmem]
+
+
+def test_topk_batch_filtered_equals_per_query_filtered(spark, tmp_path):
+    """topk_batch(allowed=) == per-query topk(allowed=) row-for-row —
+    the filter lands at the identical (post-tombstone, pre-ADC) point
+    in both paths."""
+    corpus = _corpus(spark)
+    cents, books = _artifacts(spark, corpus)
+    idx = PersistentAnnIndex.bootstrap(
+        spark, str(tmp_path / "annbf"), corpus, centroids=cents, books=books
+    )
+    allowed = corpus.where(F.col("vec_id") % 2 == 1).select("vec_id")
+    qrows = [(0, _unit(0)), (1, _unit(1, 0.5)), (2, _unit(3))]
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in qrows],
+        "query_id long, embedding array<float>",
+    )
+    got = sorted(
+        tuple(r)
+        for r in idx.topk_batch(
+            queries, k=5, nprobe=2, shortlist=20, allowed=allowed
+        ).collect()
+    )
+    want = sorted(
+        (qid, r["vec_id"], r["l2_dist"])
+        for qid, qv in qrows
+        for r in idx.topk(
+            qv, k=5, nprobe=2, shortlist=20, allowed=allowed
+        ).collect()
+    )
+    assert got == want
+    assert got and all(vid % 2 == 1 for _, vid, _ in got)
