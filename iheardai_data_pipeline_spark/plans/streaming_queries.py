@@ -1292,3 +1292,107 @@ def t20_stream_indexed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(root, ignore_errors=True)
     return res.orderBy("lang")
+
+
+# --- T21 (extension): streaming ingest into the persistent ANN index ---------------
+
+# Bounded oracle (the x_sim_index_* pattern): with pinned artifacts the
+# serve is deterministic, and a stream-built index must serve EXACTLY
+# what a one-shot-built index serves — assignment and PQ encoding
+# depend only on the pinned centroids/codebooks, never on batch
+# boundaries. exceptAll both ways pins it multiset-exact (distances
+# and tie-breaks included); a replayed or double-committed batch would
+# duplicate rows and flip the flag.
+_T21_ORACLE = """
+SELECT CAST(10 AS BIGINT) AS k, TRUE AS streamed_equals_one_shot
+"""
+
+
+@register(
+    "t21_stream_ann_ingest",
+    oracle=_T21_ORACLE,
+    tags=("streaming", "similarity", "approximate"),
+    doc="Streaming ingest into the PERSISTENT ANN index (round 9 — the "
+    "fourth and last persistent index gains its streaming twin, beside "
+    "t13/t18/t20): the corpus (vec_id%2==0) bootstraps a "
+    "PersistentAnnIndex with pinned artifacts; each micro-batch of new "
+    "vectors (vec_id%2==1) appends EPOCH-GUARDED — normalize, assign "
+    "to the pinned lists, PQ-encode, one atomic O(batch) commit. The "
+    "stream-built index must then serve top-10 row-identically to an "
+    "index built one-shot on the full corpus (same artifacts => same "
+    "assignment and codes regardless of batch boundaries).",
+)
+def t21_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from iheardai_data_pipeline_spark.operators.ann_index import (
+        PersistentAnnIndex,
+    )
+    from iheardai_data_pipeline_spark.plans.extension_queries import (
+        _ann_serving_artifacts,
+        _probe_vector,
+    )
+    from iheardai_data_pipeline_spark.sources.batch import load_table
+    from iheardai_data_pipeline_spark.streaming.sinks import (
+        harness_checkpoint_dir,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    n = emb.count()
+    qid, qvec = _probe_vector(emb)
+    centroids, books = _ann_serving_artifacts(spark, sf_dir, emb)
+    shortlist = max(100, n // 5)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="t21_", dir=shm)
+    idx = PersistentAnnIndex.bootstrap(
+        spark,
+        os.path.join(root, "stream_idx"),
+        emb.filter(F.col("vec_id") % 2 == 0),
+        centroids=centroids,
+        books=books,
+    )
+
+    def ingest_batch(batch: DataFrame, batch_id: int) -> None:
+        inc = batch.filter(
+            (F.col("vec_id") % 2 == 1) & F.col("embedding").isNotNull()
+        ).select("vec_id", "embedding")
+        idx.append(inc, epoch=f"t21-{batch_id}", seq=1)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    ckpt = harness_checkpoint_dir("t21_ckpt_")
+    try:
+        (
+            stream.writeStream.foreachBatch(ingest_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+            .awaitTermination()
+        )
+        one_shot = PersistentAnnIndex.bootstrap(
+            spark,
+            os.path.join(root, "fresh_idx"),
+            emb,
+            centroids=centroids,
+            books=books,
+        )
+        got = idx.topk(
+            qvec, k=10, nprobe=4, shortlist=shortlist, exclude_id=qid
+        )
+        want = one_shot.topk(
+            qvec, k=10, nprobe=4, shortlist=shortlist, exclude_id=qid
+        )
+        diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+        res = spark.createDataFrame(
+            [(10, diff == 0)], "k long, streamed_equals_one_shot boolean"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+    return res
