@@ -62,9 +62,10 @@ per-query :meth:`topk` loop (pinned by test and by the
 x_sim_index_batch_topk catalog gate).
 
 Given the same artifacts and parameters, single-query results are
-row-identical to ``ivfpq_search`` — pinned by test and by the
-x_sim_index_topk catalog gate (persistent recall >= in-memory recall
-vs the exact brute-force top-k).
+row-identical to ``ivfpq_search`` — pinned by test; the
+x_sim_index_topk / x_sim_index_filtered_topk catalog gates go further
+and hash-match the served (id, l2_dist) rows against a full DuckDB
+replay of the serve under pinned artifacts (round 10).
 
 Reference parity: training-data extension set (SURVEY §2 extensions);
 the serving counterpart of the reference's signature upsert/lookup

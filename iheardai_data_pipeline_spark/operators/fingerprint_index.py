@@ -166,11 +166,20 @@ class FingerprintIndex:
         """The packed m/64-word Bloom bitmap (driver serving artifact),
         OR-folded from the persisted bit relation and VERSION-STAMPED
         against the store's OCC commit log: a call re-folds whenever
-        the committed version has advanced past the cached one, so a
-        commit by ANOTHER writer can never leave this instance serving
-        a stale prefilter that flags a stored fingerprint "definitely
-        absent" (the round-8 multi-writer staleness hole — ADVICE r8).
-        This instance's own appends keep the cache current without a
+        the committed version has advanced past the cached one, so
+        EVERY words() call returns a bitmap at least as fresh as the
+        log was when the call started (the round-8 CROSS-CALL
+        multi-writer staleness hole — ADVICE r8). The guarantee is
+        per-call snapshot freshness, no more: a foreign commit landing
+        BETWEEN one ingest's words() snapshot and its own append is
+        still invisible to that ingest's prefilter, which can then
+        classify the foreign writer's just-stored fingerprint as
+        "definitely absent" and admit a duplicate (ADVICE r9). True
+        multi-writer dedup exactness needs commit-time conflict
+        detection — the epoch/OCC machinery guards REPLAYS, not
+        concurrent distinct writers; single-writer-per-index (the
+        streaming twins' shape) is the supported deployment. This
+        instance's own appends keep the cache current without a
         re-fold (see :meth:`_index_fps`); the version probe itself is
         one local directory listing, zero Spark jobs.
 

@@ -80,6 +80,12 @@ def score_table(freqs: list[tuple[str, int]]) -> list[tuple[str, int]]:
     objective is the product of piece probabilities). Run ONCE at
     artifact-pinning time — after this, no floats exist anywhere."""
     kept = [(p, c) for p, c in freqs if c >= 1]
+    if not kept:
+        raise ValueError(
+            "score_table: no piece has count >= 1 — an empty/all-zero "
+            "frequency list cannot define a unigram LM (every score "
+            "would be log(0))"
+        )
     log_total = math.log(sum(c for _, c in kept))
     return sorted(
         (
@@ -319,7 +325,9 @@ def unigram_train(
             (r["piece"], int(r["n"])) for r in rows if len(r["piece"]) == 1
         ]
         # singles never leave the vocab (coverage); unused ones keep
-        # count 1 so their score floors at 0 micro-units
+        # count 1, which under log-probability freezing scores
+        # -round(1e6 * ln(total)) micro-units — the vocab's floor for a
+        # trained piece (cheaper than UNK, dearer than anything used)
         seen_singles = {p for p, _ in single_rows}
         single_rows += [
             (p, 1) for p, _ in singles if p not in seen_singles

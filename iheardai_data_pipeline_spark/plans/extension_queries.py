@@ -1036,15 +1036,168 @@ def x_sim_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Bounded oracle for the PERSISTENT serving path (round 7 — the read
-# half of the index story): the persistent top-k must be at least as
-# good as the in-memory ivfpq_search it mirrors. With the same pinned
-# artifacts and parameters the two paths run IDENTICAL arithmetic
-# (assignment at append time vs query time, same ADC fold, same
-# re-rank), so not_worse is deterministic — and recall_ok re-pins the
-# absolute floor vs the exact brute-force top-10.
-_INDEX_TOPK_ORACLE = """
-SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok, TRUE AS not_worse_than_inmem
+# The value-replayed persistent-serving entries pin ONE fixed,
+# SF-independent artifact set (the sf0.01-trained mid-scale one): the
+# static oracle SQL embeds these exact literals, and the engine entry
+# bootstraps its index with the same constants, so the replay agrees
+# at every SF the sweep runs (sf0.001 through sf0.1).
+def _serve_artifacts():
+    from iheardai_data_pipeline_spark.plans.ann_artifact import (
+        IVF_CENTROIDS,
+        IVFPQ_BOOKS,
+    )
+
+    return IVF_CENTROIDS["sf0.01"], IVFPQ_BOOKS["sf0.01"]
+
+
+_SERVE_CENTROIDS, _SERVE_BOOKS = _serve_artifacts()
+
+
+# FULL value oracle for the PERSISTENT serving path (round 10 — closes
+# VERDICT r9 #1, the flag-gated ANN family's thinnest evidence): with
+# PINNED serve artifacts every stage of PersistentAnnIndex.topk() is
+# ANSI-SQL-expressible with IDENTICAL left-fold float arithmetic, so
+# the oracle independently recomputes the entire serve — query
+# normalization (q / ||q||, the engine's driver-side qn0 fold), probe
+# ranking (top-nprobe centroids by dot/(qn*cnrm), ties by cid — the
+# _probe_ids sort), corpus normalization + argmax-cosine assignment
+# (score = left-fold dot * Python-computed 1/||c|| literal, strict-
+# greater tie-break = lowest cid), PQ encode of the normalized vectors
+# (subspace_code_sql — the proven x_sim_pq_encode fold), the ADC
+# shortlist (lut[s][j] = ||q_sub - book[s][j]||² recomputed in SQL
+# with the same prepend-0.0 fold pq_adc_topk's driver-side lut uses;
+# shortlist cut by (adc, vec_id) ascending), and the exact L2 re-rank
+# of the shortlist. Hash-matching actual (vec_id, l2_dist) rows closes
+# the one bug class the old literal-flag gate could not see: engine
+# and in-engine reference broken identically.
+#
+# The serve artifacts are ONE fixed, SF-independent pinned set (the
+# sf0.01-trained centroids/books — see _SERVE_CENTROIDS below): a
+# static oracle string must embed compile-time constants, and the
+# sweep runs at sf0.01 AND sf0.1, so per-SF artifacts would desync the
+# replay. The fixed artifacts trade recall at foreign SFs — measured
+# recall@10 vs the exact cosine top-10: 0.6 / 1.0 / 0.4 at
+# sf0.001/0.01/0.1 plain, 0.7 / 1.0 / 0.3 filtered — which is fine
+# HERE because this entry's contract is arithmetic identity of the
+# serve, not retrieval quality; recall under properly-trained per-SF
+# artifacts stays gated by x_sim_ivf_recall / x_sim_ivfpq_recall (the
+# identical read-path composition, pinned per-SF artifacts).
+
+
+def _index_serve_oracle(extra_pred: str = "") -> str:
+    """The DuckDB replay of PersistentAnnIndex.topk() under the pinned
+    _SERVE_CENTROIDS/_SERVE_BOOKS artifacts (k=10, nprobe=4, shortlist
+    = max(100, n // 5), exclude_id = the min-vec_id query row).
+    ``extra_pred`` (AND-appended to the candidate WHERE) replays
+    topk(allowed=...) — the pre-ADC filter placement, so the filtered
+    oracle is the same SQL with one more predicate, exactly as the
+    engine is the same plan with one more semi-join."""
+    import math
+
+    centroids, books = _SERVE_CENTROIDS, _SERVE_BOOKS
+    m, dsub = len(books), len(books[0][0])
+    cent_rows = []
+    for i, c in enumerate(centroids):
+        cv = "[" + ",".join(f"{float(x)!r}::DOUBLE" for x in c) + "]"
+        invn = 1.0 / math.sqrt(sum(float(x) * float(x) for x in c))
+        cnrm = math.sqrt(sum(float(x) * float(x) for x in c))
+        cent_rows.append(f"({i}, {cv}, {invn!r}::DOUBLE, {cnrm!r}::DOUBLE)")
+    cent_values = ",\n    ".join(cent_rows)
+    lut_cols = []
+    for s in range(m):
+        a = s * dsub + 1
+        bk = (
+            "["
+            + ",".join(
+                "[" + ",".join(f"{float(x)!r}::DOUBLE" for x in c) + "]"
+                for c in books[s]
+            )
+            + "]"
+        )
+        lut_cols.append(
+            f"list_transform({bk}, c -> list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(list_zip(v[{a}:{a + dsub - 1}], c), "
+            f"z -> (z[1] - z[2]) * (z[1] - z[2]))), (acc, x) -> acc + x)) AS l{s}"
+        )
+    lut_sql = ",\n         ".join(lut_cols)
+    from iheardai_data_pipeline_spark.operators.pq import subspace_code_sql
+
+    code_cols = ",\n      ".join(
+        f"CAST({subspace_code_sql('a.v', s, books[s], 'duckdb')} AS INTEGER) AS c{s}"
+        for s in range(m)
+    )
+    adc_sum = " + ".join(f"qq.l{s}[cand.c{s} + 1]" for s in range(m))
+    return f"""
+WITH par AS (
+  SELECT greatest(100, CAST(count(*) // 5 AS BIGINT)) AS sl
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qraw,
+         sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+              list_transform(embedding::DOUBLE[], x -> x * x)), (a, b) -> a + b)) AS qn0
+  FROM embeddings WHERE embedding IS NOT NULL
+  ORDER BY vec_id LIMIT 1
+),
+qq AS (
+  SELECT qid, v,
+         sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+              list_transform(v, x -> x * x)), (a, b) -> a + b)) AS qn,
+         {lut_sql}
+  FROM (SELECT qid, list_transform(qraw, x -> x / qn0) AS v FROM q)
+),
+cent(cid, cvec, invn, cnrm) AS (VALUES
+    {cent_values}),
+probe AS (
+  SELECT cid FROM (
+    SELECT c.cid, row_number() OVER (ORDER BY
+      list_reduce(list_prepend(0.0::DOUBLE,
+        list_transform(list_zip(qq.v, c.cvec), z -> z[1] * z[2])), (a, b) -> a + b)
+      / (qq.qn * c.cnrm) DESC, c.cid ASC) AS rn
+    FROM cent c, qq
+  ) WHERE rn <= 4
+),
+norm AS (
+  SELECT vec_id, list_transform(raw, x -> x / nrm) AS v FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS raw,
+           sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(embedding::DOUBLE[], x -> x * x)), (a, b) -> a + b)) AS nrm
+    FROM embeddings WHERE embedding IS NOT NULL
+  ) WHERE nrm > 0
+),
+assign AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT n.vec_id, n.v, c.cid AS centroid_id,
+           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(list_zip(n.v, c.cvec), z -> z[1] * z[2])), (a, b) -> a + b)
+             * c.invn DESC, c.cid ASC) AS rn
+    FROM norm n, cent c
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT a.vec_id, a.v,
+      {code_cols}
+  FROM assign a
+  JOIN probe p ON a.centroid_id = p.cid, qq
+  WHERE a.vec_id <> qq.qid{extra_pred}
+),
+short AS (
+  SELECT vec_id, v FROM (
+    SELECT cand.vec_id, cand.v, par.sl,
+           row_number() OVER (ORDER BY ({adc_sum}) ASC, cand.vec_id ASC) AS rn
+    FROM cand, qq, par
+  ) WHERE rn <= sl
+)
+SELECT vec_id, round(l2, 6) AS l2_dist FROM (
+  SELECT vec_id, l2, row_number() OVER (ORDER BY l2 ASC, vec_id ASC) AS rn FROM (
+    SELECT s.vec_id,
+           list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(list_zip(s.v, qq.v), z -> (z[1] - z[2]) * (z[1] - z[2]))), (a, b) -> a + b) AS l2
+    FROM short s, qq
+  )
+) WHERE rn <= 10
+ORDER BY vec_id
 """
 
 
@@ -1078,26 +1231,30 @@ def _ann_serving_artifacts(spark, sf_dir: str, emb: DataFrame):
 
 @register(
     "x_sim_index_topk",
-    oracle=_INDEX_TOPK_ORACLE,
+    oracle=_index_serve_oracle(),
     tags=("extension", "similarity", "approximate"),
-    doc="PERSISTENT ANN serving gate (round 7): the corpus is indexed "
-    "once into a PersistentAnnIndex — normalized vectors AND their PQ "
-    "codes cluster-keyed under one OCC commit log, IVF centroids + "
-    "codebooks pinned as the shipped artifact — then topk() probes 4 "
-    "of 16 lists by reading ONLY those clusters' buckets, ADC-ranks "
-    "the stored 8-byte codes, and exact-re-ranks the n/5 shortlist's "
-    "vectors. Gated two ways: recall>=0.5 vs the exact cosine top-10, "
-    "AND not-worse-than the in-memory ivfpq_search on the same "
-    "artifacts (row-identical by construction — a divergence anywhere "
-    "in the persisted layout flips it). Bucket pruning is pinned by "
-    "test_ann_index.py (operators/ann_index.py:PersistentAnnIndex).",
+    doc="PERSISTENT ANN serving (round 7; round 10: FULLY value-"
+    "oracled): the corpus is indexed once into a PersistentAnnIndex — "
+    "normalized vectors AND their PQ codes cluster-keyed under one OCC "
+    "commit log, IVF centroids + codebooks pinned as the shipped "
+    "artifact — then topk() probes 4 of 16 lists by reading ONLY those "
+    "clusters' buckets, ADC-ranks the stored 8-byte codes, and exact-"
+    "re-ranks the n/5 shortlist's vectors. The returned (vec_id, "
+    "l2_dist) top-10 hash-matches a DuckDB replay of the ENTIRE serve "
+    "(probe ranking, assignment, PQ encode, ADC shortlist, exact "
+    "re-rank — identical left-fold float arithmetic, "
+    "_index_serve_oracle), which closes the bug class the r7-r9 "
+    "literal-flag gate could not see: engine and in-engine reference "
+    "wrong the same way. Recall under per-SF-trained artifacts stays "
+    "gated by x_sim_ivf_recall / x_sim_ivfpq_recall; bucket pruning is "
+    "pinned by test_ann_index.py "
+    "(operators/ann_index.py:PersistentAnnIndex).",
 )
 def x_sim_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
 
-    from iheardai_data_pipeline_spark.operators import pq
     from iheardai_data_pipeline_spark.operators.ann_index import (
         PersistentAnnIndex,
     )
@@ -1107,49 +1264,16 @@ def x_sim_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = emb.count()
     qid, qvec = _probe_vector(emb)
-    centroids, books = _ann_serving_artifacts(spark, sf_dir, emb)
     shortlist = max(100, n // 5)
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     root = tempfile.mkdtemp(prefix="annidx_", dir=shm)
     try:
         idx = PersistentAnnIndex.bootstrap(
-            spark, root, emb, centroids=centroids, books=books
+            spark, root, emb, centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS
         )
-        got = idx.topk(
+        return idx.topk(
             qvec, k=10, nprobe=4, shortlist=shortlist, exclude_id=qid
-        ).select("vec_id")
-        inmem = pq.ivfpq_search(
-            emb,
-            qvec,
-            k=10,
-            n_centroids=16,
-            nprobe=4,
-            shortlist=shortlist,
-            exclude_id=qid,
-            seed_mode="first",
-            centroids=centroids,
-            books=books,
-        ).select("vec_id")
-        exact = similarity.cosine_topk_bruteforce(
-            emb, qvec, k=10, exclude_id=qid
-        ).select("vec_id")
-        hp = got.join(exact, "vec_id", "left_semi").agg(
-            F.count(F.lit(1)).alias("__hp")
-        )
-        hm = inmem.join(exact, "vec_id", "left_semi").agg(
-            F.count(F.lit(1)).alias("__hm")
-        )
-        return (
-            hp.crossJoin(hm)
-            .select(
-                F.lit(10).cast("long").alias("k"),
-                (F.col("__hp") >= 5).alias("recall_ok"),
-                (F.col("__hp") >= F.col("__hm")).alias(
-                    "not_worse_than_inmem"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1160,8 +1284,8 @@ def x_sim_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multisets exactly (exceptAll both ways), so any divergence anywhere
 # in the distributed path (row-local centroid ranking, in-Spark ADC
 # table, window tie-breaks, tombstone handling) flips it and fails the
-# hash compare. Recall is inherited transitively: per-query topk() is
-# gated by x_sim_index_topk against the exact top-10.
+# hash compare. Serve correctness is inherited transitively: per-query
+# topk() is value-replayed end-to-end in DuckDB by x_sim_index_topk.
 _INDEX_BATCH_TOPK_ORACLE = """
 SELECT CAST(8 AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
        CAST(40 AS BIGINT) AS n_result_rows, TRUE AS batch_equals_per_query
@@ -1242,40 +1366,31 @@ def x_sim_index_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-# Bounded oracle for FILTERED ANN serving (round 9): with pinned
-# artifacts the serve is deterministic; the three flags pin (1) hard
-# predicate correctness — every hit satisfies the filter, (2) recall vs
-# the exact cosine top-10 over the FILTERED subset, (3) row-identity to
-# the in-memory ivfpq_search on the pre-filtered frame (same artifacts
-# => same assignment, probes and candidate set — a divergence anywhere
-# in the pre-filter placement flips it).
-_INDEX_FILTERED_ORACLE = """
-SELECT CAST(10 AS BIGINT) AS k, TRUE AS all_match_predicate,
-       TRUE AS recall_ok, TRUE AS not_worse_than_inmem
-"""
-
-
 @register(
     "x_sim_index_filtered_topk",
-    oracle=_INDEX_FILTERED_ORACLE,
+    oracle=_index_serve_oracle(extra_pred=" AND a.vec_id % 2 = 1"),
     tags=("extension", "similarity", "approximate"),
-    doc="FILTERED ANN serving (round 9): top-k among vectors matching "
-    "a metadata predicate (here vec_id%2=1 — the 'WHERE lang=en' "
-    "serving shape). PersistentAnnIndex.topk(allowed=ids) PRE-filters "
-    "the probed clusters' candidates before ADC ranking, so the whole "
-    "shortlist is spent on qualifying vectors — a selective predicate "
-    "cannot starve the result the way post-filtering the final k does; "
-    "the semi-join is left to the optimizer (small id sets broadcast). "
-    "Gated three ways: every hit satisfies the predicate, recall>=0.5 "
-    "vs the exact filtered top-10, and row-identity to ivfpq_search on "
-    "the pre-filtered frame (operators/ann_index.py:topk).",
+    doc="FILTERED ANN serving (round 9; round 10: FULLY value-oracled): "
+    "top-k among vectors matching a metadata predicate (here vec_id%2=1 "
+    "— the 'WHERE lang=en' serving shape). "
+    "PersistentAnnIndex.topk(allowed=ids) PRE-filters the probed "
+    "clusters' candidates before ADC ranking, so the whole shortlist is "
+    "spent on qualifying vectors — a selective predicate cannot starve "
+    "the result the way post-filtering the final k does; the semi-join "
+    "is left to the optimizer (small id sets broadcast). The returned "
+    "(vec_id, l2_dist) top-10 hash-matches the same DuckDB full-serve "
+    "replay as x_sim_index_topk with ONE extra candidate predicate — "
+    "exactly mirroring that the engine is the same plan with one extra "
+    "semi-join, so a divergence anywhere in the pre-filter PLACEMENT "
+    "(post-ADC instead of pre-ADC, pre-tombstone instead of post) "
+    "changes the shortlist and fails the hash "
+    "(operators/ann_index.py:topk).",
 )
 def x_sim_index_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
 
-    from iheardai_data_pipeline_spark.operators import pq
     from iheardai_data_pipeline_spark.operators.ann_index import (
         PersistentAnnIndex,
     )
@@ -1285,17 +1400,15 @@ def x_sim_index_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = emb.count()
     qid, qvec = _probe_vector(emb)
-    centroids, books = _ann_serving_artifacts(spark, sf_dir, emb)
     shortlist = max(100, n // 5)
     allowed = emb.where(F.col("vec_id") % 2 == 1).select("vec_id")
-    filtered = emb.join(allowed, "vec_id", "left_semi")
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     root = tempfile.mkdtemp(prefix="annfilt_", dir=shm)
     try:
         idx = PersistentAnnIndex.bootstrap(
-            spark, root, emb, centroids=centroids, books=books
+            spark, root, emb, centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS
         )
-        got = idx.topk(
+        return idx.topk(
             qvec,
             k=10,
             nprobe=4,
@@ -1303,31 +1416,6 @@ def x_sim_index_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             exclude_id=qid,
             allowed=allowed,
         ).localCheckpoint(eager=True)
-        inmem = pq.ivfpq_search(
-            filtered,
-            qvec,
-            k=10,
-            n_centroids=16,
-            nprobe=4,
-            shortlist=shortlist,
-            exclude_id=qid,
-            seed_mode="first",
-            centroids=centroids,
-            books=books,
-        )
-        exact = similarity.cosine_topk_bruteforce(
-            filtered, qvec, k=10, exclude_id=qid
-        ).select("vec_id")
-        n_bad = got.where(F.col("vec_id") % 2 == 0).count()
-        hits = got.select("vec_id").join(exact, "vec_id", "left_semi").count()
-        diff = (
-            got.exceptAll(inmem).count() + inmem.exceptAll(got).count()
-        )
-        return spark.createDataFrame(
-            [(10, n_bad == 0, hits >= 5, diff == 0)],
-            "k long, all_match_predicate boolean, recall_ok boolean, "
-            "not_worse_than_inmem boolean",
-        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

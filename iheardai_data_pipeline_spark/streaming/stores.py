@@ -73,12 +73,46 @@ def _occ_current_version(commits_dir: str) -> int:
 # epochs). Without this every epoch-guarded commit re-reads every
 # retired record — O(total epochs ever vacuumed) JSON opens per commit,
 # unbounded for a long-lived stream. A fresh process just starts with a
-# cold cache. The key is (path, device, inode) — NOT the path alone:
-# deleting and recreating a store at the same path mints a new _epochs
-# directory (new inode), so the fresh store can never inherit the dead
-# store's retired epochs and silently skip epoch-guarded appends (the
-# round-8 path-keyed staleness hole — ADVICE r8 stores.py:77).
+# cold cache. The key is (path, device, inode, GENERATION) — not the
+# path alone (the round-8 path-keyed staleness hole — ADVICE r8
+# stores.py:77), and not just (path, dev, inode) either: ext4/xfs
+# readily recycle a just-freed inode, so delete-then-recreate at the
+# same path can mint an _epochs dir with an identical (path, dev,
+# inode) triple (ADVICE r9 stores.py:89). The generation is a uuid
+# marker file written ONCE at _epochs-dir creation (write→fsync→
+# exclusive-link, first creator wins — the same publish protocol as
+# the records), so a recreated store can never inherit a dead store's
+# retired epochs whatever the filesystem does with inode numbers.
 _RETIRED_EPOCH_CACHE: dict = {}
+
+
+def _epochs_generation(epochs_dir: str) -> str | None:
+    """The _epochs dir's write-once generation uuid; mints one (first
+    exclusive link wins, so every process agrees) for pre-generation
+    dirs. None when the dir is unreadable/unwritable — the caller then
+    skips the cache entirely, which is always correct, just slower."""
+    marker = os.path.join(epochs_dir, ".generation")
+    try:
+        with open(marker) as fh:
+            return fh.read()
+    except OSError:
+        pass
+    tmp = os.path.join(epochs_dir, f".tmp-gen-{uuid.uuid4().hex}")
+    try:
+        with open(tmp, "w") as fh:
+            fh.write(uuid.uuid4().hex)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, marker)
+        except FileExistsError:
+            pass
+        finally:
+            os.unlink(tmp)
+        with open(marker) as fh:
+            return fh.read()
+    except OSError:
+        return None
 
 
 def _epochs_cache_key(epochs_dir: str) -> tuple | None:
@@ -86,7 +120,10 @@ def _epochs_cache_key(epochs_dir: str) -> tuple | None:
         st = os.stat(epochs_dir)
     except OSError:
         return None
-    return (epochs_dir, st.st_dev, st.st_ino)
+    gen = _epochs_generation(epochs_dir)
+    if gen is None:
+        return None
+    return (epochs_dir, st.st_dev, st.st_ino, gen)
 
 
 def _read_epoch_record(path: str) -> list:
@@ -175,6 +212,9 @@ def _occ_retire_epochs(commits_dir: str, versions: list) -> None:
     if not epochs:
         return
     os.makedirs(epochs_dir, exist_ok=True)
+    # stamp the dir's generation at creation (no-op when already
+    # stamped) — see _epochs_cache_key
+    _epochs_generation(epochs_dir)
     payload = json.dumps({"epochs": epochs}, sort_keys=True, default=str)
     digest = hashlib.md5(payload.encode()).hexdigest()
     tmp = os.path.join(epochs_dir, f".tmp-{uuid.uuid4().hex}")

@@ -764,3 +764,37 @@ def test_recreated_store_does_not_inherit_retired_epochs(spark, tmp_path):
     )
     st2.apply(fn, epoch=1)  # fresh history: must COMMIT, not skip
     assert st2.read().collect()[0]["seq"] == 1
+
+
+def test_epochs_cache_key_survives_inode_recycling(tmp_path, monkeypatch):
+    """ext4/xfs readily hand a recreated directory the inode its
+    just-deleted predecessor freed — so (path, dev, inode) alone can
+    collide across a delete+recreate and the reborn store would inherit
+    the dead store's retired epochs (ADVICE r9 stores.py:89). The
+    write-once generation uuid breaks the tie: simulate the recycling
+    by stat-spoofing the recreated dir with the dead dir's exact stat
+    result and assert the cache keys still differ."""
+    import os as _os
+    import shutil as _shutil
+
+    from iheardai_data_pipeline_spark.streaming import stores as st_mod
+
+    d = str(tmp_path / "_epochs")
+    _os.makedirs(d)
+    k1 = st_mod._epochs_cache_key(d)
+    assert k1 is not None
+    dead_stat = _os.stat(d)
+    _shutil.rmtree(d)
+    _os.makedirs(d)
+    real_stat = _os.stat
+    monkeypatch.setattr(
+        st_mod.os,
+        "stat",
+        lambda p, *a, **kw: dead_stat if p == d else real_stat(p, *a, **kw),
+    )
+    k2 = st_mod._epochs_cache_key(d)
+    assert k2 is not None
+    assert k2[:3] == k1[:3]  # the spoof worked: identity triple collides
+    assert k2 != k1  # ...and the generation uuid still separates them
+    # same dir, same generation: the key is stable across calls
+    assert st_mod._epochs_cache_key(d) == k2

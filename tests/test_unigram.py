@@ -156,6 +156,15 @@ def test_duckdb_replay_matches_engine(spark):
     assert got == want
 
 
+def test_score_table_rejects_empty_and_all_zero():
+    """An empty/all-zero frequency list must fail with a descriptive
+    ValueError, not a bare math-domain error from log(0) (ADVICE r9)."""
+    with pytest.raises(ValueError, match="count >= 1"):
+        score_table([])
+    with pytest.raises(ValueError, match="count >= 1"):
+        score_table([("a", 0), ("b", 0)])
+
+
 def test_key_stride_bounds_piece_len():
     assert MAX_PIECE_LEN < KEY_STRIDE
 

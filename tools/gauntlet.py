@@ -80,17 +80,23 @@ def main() -> int:
     print(f"[2/5] pytest: {'PASS' if results[-1][1] else 'FAIL'}")
 
     sf = "/root/testdata/sf0.01" if args.fast else "/root/testdata/sf0.1"
-    results.append(
-        run(
-            "sweep",
-            [py, "tools/sweep_oracle.py", sf],
-            lambda p: (
-                p.returncode == 0 and "0 FAILED" not in tail(p, 1)
-                and "green" in (p.stdout + p.stderr),
-                tail(p, 2),
-            ),
+
+    def sweep_check(p):
+        # parse the "N/N green" tally explicitly (ADVICE r9: the old
+        # '"0 FAILED" not in tail' clause was dead logic — sweep_oracle
+        # prints 'FAILED: <names>', never a '0 FAILED' tally)
+        import re
+
+        m = re.search(r"(\d+)/(\d+) green", p.stdout + p.stderr)
+        ok = (
+            p.returncode == 0
+            and m is not None
+            and m.group(1) == m.group(2)
+            and int(m.group(2)) > 0
         )
-    )
+        return ok, tail(p, 2)
+
+    results.append(run("sweep", [py, "tools/sweep_oracle.py", sf], sweep_check))
     print(f"[3/5] sweep@{os.path.basename(sf)}: "
           f"{'PASS' if results[-1][1] else 'FAIL'}")
 
