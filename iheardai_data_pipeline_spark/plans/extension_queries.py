@@ -1426,7 +1426,10 @@ def x_sim_index_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # seq 3 -> append seq 4) must serve EXACTLY what a fresh index built on
 # the final logical state serves. Multiset-exact equality: a replayed
 # un-guarded append (duplicate rows), a tombstone that fails to starve
-# its cluster, or a lost LWW race all flip the flag.
+# its cluster, or a lost LWW race all flip the flag. Compaction under
+# the same churn is gated by its OWN entry (x_sim_index_compact, round
+# 10) so this entry's recorded timing stays comparable round-over-round
+# (VERDICT r9 #2's drift concern).
 _INDEX_UPDATE_ORACLE = """
 SELECT CAST(10 AS BIGINT) AS k, TRUE AS serve_equals_fresh_build,
        TRUE AS deleted_ids_absent
@@ -1447,7 +1450,9 @@ SELECT CAST(10 AS BIGINT) AS k, TRUE AS serve_equals_fresh_build,
     "ties), append of vec_id%4==3, then topk serve. Gated: the served "
     "top-10 is multiset-identical to a FRESH index built on the final "
     "logical state (all vectors minus the deleted), and no deleted id "
-    "appears (operators/ann_index.py:PersistentAnnIndex.delete).",
+    "appears; compaction under the same churn is gated by "
+    "x_sim_index_compact "
+    "(operators/ann_index.py:PersistentAnnIndex.delete).",
 )
 def x_sim_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1500,6 +1505,104 @@ def x_sim_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(root2, ignore_errors=True)
+
+
+# Bounded oracle for ANN compaction (round 10 — VERDICT r9 #3, lifting
+# compact() from unit-only coverage onto the sweep's correctness path):
+# after the same churn workflow as x_sim_index_update (bootstrap ->
+# replayed append -> tombstone delete -> append), compact() must (1)
+# leave serving row-identical — a wrong LWW fold order, a dropped live
+# row, or a tombstone surviving the fold all change the served top-10
+# and flip compact_serve_identical — and (2) physically reclaim the
+# churn: compact_reclaims_rows pins the codes relation's raw row count
+# collapsing to EXACTLY one row per live indexed id (strictly below
+# the versioned pre-compact count, which carries the replays'
+# duplicate-guarded appends and every tombstone).
+_INDEX_COMPACT_ORACLE = """
+SELECT CAST(10 AS BIGINT) AS k, TRUE AS compact_serve_identical,
+       TRUE AS compact_reclaims_rows
+"""
+
+
+@register(
+    "x_sim_index_compact",
+    oracle=_INDEX_COMPACT_ORACLE,
+    tags=("extension", "similarity", "approximate"),
+    doc="ANN index COMPACTION on the correctness path (round 10): the "
+    "x_sim_index_update churn (bootstrap vec_id%2==0, epoch-replayed "
+    "append %4==1, tombstone delete %10==0, append %4==3) followed by "
+    "compact() — the vacuum of the upsert model, folding every "
+    "relation to the live latest version per id under the LWW order "
+    "(greatest seq wins, tombstone wins ties). Gated: the post-compact "
+    "topk serve is row-identical to the pre-compact serve (multiset-"
+    "exact incl. distances), and the codes relation physically "
+    "collapses to exactly one row per live id — strictly fewer rows "
+    "than the versioned pre-compact state, so reclamation is real, not "
+    "a no-op (operators/ann_index.py:PersistentAnnIndex.compact).",
+)
+def x_sim_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.ann_index import (
+        PersistentAnnIndex,
+    )
+    from iheardai_data_pipeline_spark.operators.pq import normalize_rows
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    n = emb.count()
+    qid, qvec = _probe_vector(emb)
+    centroids, books = _ann_serving_artifacts(spark, sf_dir, emb)
+    shortlist = max(100, n // 5)
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    b1 = emb.filter(F.col("vec_id") % 4 == 1)
+    b2 = emb.filter(F.col("vec_id") % 4 == 3)
+    deleted = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id")
+    final_state = emb.filter(F.col("vec_id") % 10 != 0)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="anncpt_", dir=shm)
+    try:
+        idx = PersistentAnnIndex.bootstrap(
+            spark, root, corpus, centroids=centroids, books=books
+        )
+        idx.append(b1, seq=2, epoch="b1")
+        idx.append(b1, seq=2, epoch="b1")  # replay: must no-op
+        idx.delete(deleted, seq=3)
+        idx.append(b2, seq=4)
+        # pin the pre-compact serve: it is compared again AFTER
+        # compact() rewrites the store, and must not re-read it
+        before = idx.topk(
+            qvec, k=10, nprobe=4, shortlist=shortlist, exclude_id=qid
+        ).localCheckpoint(eager=True)
+        phys_before = idx._store.read("codes").count()
+        idx.compact()
+        after = idx.topk(
+            qvec, k=10, nprobe=4, shortlist=shortlist, exclude_id=qid
+        )
+        diff = (
+            before.exceptAll(after).count() + after.exceptAll(before).count()
+        )
+        phys_after = idx._store.read("codes").count()
+        # exactly one physical row per live indexed id (NULL/zero-norm
+        # rows were never indexed — normalize_rows' rule)
+        live_expected = normalize_rows(final_state).count()
+        return spark.createDataFrame(
+            [
+                (
+                    10,
+                    diff == 0,
+                    phys_before > phys_after
+                    and phys_after == live_expected,
+                )
+            ],
+            "k long, compact_serve_identical boolean, "
+            "compact_reclaims_rows boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 # --- text analysis ---------------------------------------------------------------

@@ -1264,9 +1264,17 @@ def t20_stream_indexed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         inc = batch.filter(
             (F.col("doc_id") % 3 == 0) & F.col("text").isNotNull()
         ).select("doc_id", "lang", "text")
+        # per-batch OVERWRITE dir, not a flat append: a checkpoint-
+        # recovered replay of this batch re-runs with the SAME batch_id
+        # (and ingest's replay guard returns the first run's exact
+        # survivors), so the rewrite is a byte-identical no-op instead
+        # of a double-append — exactly-once through a real restart
+        # (pinned by test_stream_restart.py, round 10)
         idx.ingest(inc, epoch=f"t20-{batch_id}").select(
             "doc_id", "lang"
-        ).write.mode("append").parquet(out_dir)
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b={batch_id}")
+        )
 
     stream = (
         spark.readStream.schema(docs.schema)

@@ -1,0 +1,169 @@
+"""Checkpoint-RESTART recovery for the streaming index twins (round 10,
+VERDICT r9 #5): t20/t21 prove chain-correctness across batch SPLITS,
+but only a real kill-and-restart through a Structured Streaming
+checkpoint proves the epoch guard makes a REPLAYED batch a no-op in
+recovery — the crash window Structured Streaming actually creates is
+"sink side effects committed, source offset not yet marked complete",
+and on restart the batch re-runs with the SAME batch_id.
+
+The test replicates t20_stream_indexed_exact's exact anatomy
+(plans/streaming_queries.py:t20) over a 3-file source with
+maxFilesPerTrigger=1, injects a crash AFTER batch 1's side effects
+(store commit + per-batch parquet dir both already written), restarts
+the query from the same checkpoint with a REOPENED index, and asserts
+the final accepted set equals the one-shot incremental answer — i.e.
+the replayed epoch no-ops in the store and the per-batch overwrite
+rewrites identical bytes instead of double-appending."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryException
+
+from iheardai_data_pipeline_spark.operators.dedup import incremental_dedup
+from iheardai_data_pipeline_spark.operators.fingerprint_index import (
+    FingerprintIndex,
+)
+from iheardai_data_pipeline_spark.operators.text import fingerprint_md5
+
+# 3 incoming parts with duplicates INSIDE a part, ACROSS parts, and
+# AGAINST the corpus — every dedup edge a replay could double-count
+CORPUS = [(100 + i, "en", f"corpus text {i}") for i in range(8)]
+PARTS = [
+    [
+        (0, "en", "fresh zero"),
+        (1, "en", "fresh zero"),  # in-part dup of 0
+        (2, "de", "corpus text 3"),  # dup of corpus
+        (3, "de", "fresh three"),
+    ],
+    [
+        (10, "en", "fresh zero"),  # dup of part-0 survivor
+        (11, "fr", "fresh eleven"),
+        (12, "fr", "corpus text 5"),  # dup of corpus
+    ],
+    [
+        (20, "en", "fresh eleven"),  # dup of part-1 survivor
+        (21, "de", "fresh twenty-one"),
+        (22, "en", "fresh three"),  # dup of part-0 survivor
+    ],
+]
+DOC_SCHEMA = "doc_id long, lang string, text string"
+
+
+def _expected(spark):
+    corpus = (
+        spark.createDataFrame(CORPUS, DOC_SCHEMA)
+        .select(fingerprint_md5(F.col("text")).alias("fingerprint"))
+        .distinct()
+    )
+    incoming = spark.createDataFrame(
+        [r for part in PARTS for r in part], DOC_SCHEMA
+    )
+    return {
+        (r["doc_id"], r["lang"])
+        for r in incremental_dedup(incoming, corpus).collect()
+    }
+
+
+def _run_stream(spark, src_dir, ckpt, idx_path, out_dir, crash_flag):
+    """One query attempt over the file source; ingest_batch crashes
+    AFTER batch 1's side effects iff ``crash_flag`` does not exist yet.
+    Reopens the index from disk (a restarted driver would)."""
+    idx = FingerprintIndex(spark, idx_path, expected_docs=64)
+
+    def ingest_batch(batch, batch_id):
+        idx.ingest(
+            batch.select("doc_id", "lang", "text"),
+            epoch=f"restart-{batch_id}",
+        ).select("doc_id", "lang").write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b={batch_id}")
+        )
+        if batch_id == 1 and not os.path.exists(crash_flag):
+            with open(crash_flag, "w") as fh:
+                fh.write("crashed once")
+            raise RuntimeError(
+                "injected crash AFTER batch 1 side effects — the offset "
+                "commit must not happen, so restart replays batch 1"
+            )
+
+    q = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        # each part is its own Spark-written directory — recurse to its
+        # data file so AvailableNow + maxFilesPerTrigger=1 yields one
+        # batch per part
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src_dir)
+        .writeStream.foreachBatch(ingest_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_t20_checkpoint_restart_replays_batch_as_noop(spark, tmp_path):
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+    idx_path = str(tmp_path / "idx")
+    crash_flag = str(tmp_path / "crashed-once")
+    os.makedirs(src_dir)
+    for i, part in enumerate(PARTS):
+        spark.createDataFrame(part, DOC_SCHEMA).coalesce(1).write.parquet(
+            os.path.join(src_dir, f"part{i}")
+        )
+
+    # corpus bootstrap (t20's shape), then attempt 1: must DIE on the
+    # injected crash with batch 1's store commit + parquet dir durable
+    FingerprintIndex(spark, idx_path, expected_docs=64).append(
+        spark.createDataFrame(CORPUS, DOC_SCHEMA).select("doc_id", "text"),
+        epoch="restart-bootstrap",
+    )
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        _run_stream(spark, src_dir, ckpt, idx_path, out_dir, crash_flag)
+    assert os.path.exists(crash_flag)
+    done_batches = {
+        int(d.split("=")[1])
+        for d in os.listdir(out_dir)
+        if d.startswith("b=")
+    }
+    assert 1 in done_batches  # the crash window is AFTER the side effects
+    assert done_batches <= {0, 1}  # ...and batch 2 never ran
+
+    # attempt 2: same checkpoint, fresh index instance — Structured
+    # Streaming must REPLAY batch 1 (same batch_id => same epoch, store
+    # no-op; same survivors => byte-identical parquet rewrite) and then
+    # process batch 2
+    _run_stream(spark, src_dir, ckpt, idx_path, out_dir, crash_flag)
+
+    got = {
+        (r["doc_id"], r["lang"])
+        for r in spark.read.parquet(out_dir)
+        .select("doc_id", "lang")
+        .collect()
+    }
+    assert got == _expected(spark)
+
+    # the replayed epoch really no-opped in the store: exactly one
+    # physical fingerprint row per accepted doc + corpus content
+    fps = FingerprintIndex(spark, idx_path, expected_docs=64)._store.read(
+        "fingerprints"
+    )
+    dup_fps = (
+        fps.groupBy("fingerprint")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup_fps == 0
+
+    # a third run over the same checkpoint is a pure no-op: every
+    # offset is committed, no new batch dirs appear
+    before = set(os.listdir(out_dir))
+    _run_stream(spark, src_dir, ckpt, idx_path, out_dir, crash_flag)
+    assert set(os.listdir(out_dir)) == before
