@@ -156,6 +156,67 @@ def test_duckdb_replay_matches_engine(spark):
     assert got == want
 
 
+def test_plan_size_constant_in_vocab(spark):
+    """The module's 100 TB claim (unigram.py docstring): piece scores
+    ship as broadcast DATA (a joined relation), never as literal SQL,
+    so codegen/plan size is CONSTANT in vocab size — a 50k-piece map
+    literal would hit Janino's 64KB method wall. Pin it: apply with a
+    ~4,000-piece table must plan essentially the same text as the
+    55-piece shipped artifact (same exchange count, plan length within
+    noise) and must EXECUTE correctly (tokens match the Python
+    reference DP under the big table)."""
+    import itertools
+    import string
+
+    from iheardai_data_pipeline_spark.operators.unigram import unigram_apply
+    from iheardai_data_pipeline_spark.plans.unigram_artifact import (
+        UNIGRAM_PIECES,
+    )
+
+    letters = string.ascii_lowercase
+    big_freqs = [(c, 50) for c in letters]
+    big_freqs += [
+        (a + b, 40) for a, b in itertools.product(letters, repeat=2)
+    ]  # 676 bigrams
+    big_freqs += [
+        (a + b + c, 30)
+        for a, b, c in itertools.product(letters[:15], repeat=3)
+    ]  # 3375 trigrams
+    big = score_table(big_freqs)
+    assert len(big) > 4000 and len(UNIGRAM_PIECES) < 100  # ~73x vocab
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "abc defgh")], "doc_id long, text string"
+    )
+
+    def planned(pieces):
+        df = unigram_apply(docs, pieces)
+        return df, df._jdf.queryExecution().executedPlan().toString()
+
+    df_small, plan_small = planned(UNIGRAM_PIECES)
+    df_big, plan_big = planned(big)
+    # flat exchange count and no vocab-proportional plan growth: a
+    # 73x vocab must not grow the plan text by even 20% (the pieces
+    # appear as a LocalTableScan relation, not as inline literals)
+    assert plan_big.count("Exchange") == plan_small.count("Exchange")
+    assert len(plan_big) < 1.2 * len(plan_small) + 2048
+    # and the big-vocab plan actually executes (no Janino blowup),
+    # matching the reference DP
+    got = {
+        r["doc_id"]: r["unigram_text"] for r in df_big.collect()
+    }
+    big_scores = dict(big)
+    want = {
+        did: " ".join(
+            t
+            for w in txt.split()
+            for t in ref_viterbi(w, big_scores, MAX_PIECE_LEN)
+        )
+        for did, txt in ((1, "hello world"), (2, "abc defgh"))
+    }
+    assert got == want
+
+
 def test_score_table_rejects_empty_and_all_zero():
     """An empty/all-zero frequency list must fail with a descriptive
     ValueError, not a bare math-domain error from log(0) (ADVICE r9)."""

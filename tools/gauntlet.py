@@ -15,7 +15,10 @@ Steps (each timed, each with an unambiguous PASS/FAIL):
   3. full-catalog oracle sweep at sf0.1 (sf0.01 with --fast)
   4. bench.py — must exit 0 and print one JSON line with the driver's
      keys (this alone would have caught the round-8 registration bug)
-  5. docs gate — tools/regen_docs.py --round N
+  5. phase timings — tools/phase_timings.py regenerates
+     docs/PHASE_TIMINGS.md (the build/serve split for the index
+     entries, so a serving regression can't hide in bootstrap noise)
+  6. docs gate — tools/regen_docs.py --round N
 
 Total wall ~25-30 min. Exit code = number of failed steps.
 """
@@ -67,7 +70,7 @@ def main() -> int:
             lambda p: (p.returncode == 0, tail(p, 1)),
         )
     )
-    print(f"[1/5] integrity: {'PASS' if results[-1][1] else 'FAIL'}")
+    print(f"[1/6] integrity: {'PASS' if results[-1][1] else 'FAIL'}")
 
     results.append(
         run(
@@ -77,7 +80,7 @@ def main() -> int:
             lambda p: (p.returncode == 0, tail(p, 2)),
         )
     )
-    print(f"[2/5] pytest: {'PASS' if results[-1][1] else 'FAIL'}")
+    print(f"[2/6] pytest: {'PASS' if results[-1][1] else 'FAIL'}")
 
     sf = "/root/testdata/sf0.01" if args.fast else "/root/testdata/sf0.1"
 
@@ -97,7 +100,7 @@ def main() -> int:
         return ok, tail(p, 2)
 
     results.append(run("sweep", [py, "tools/sweep_oracle.py", sf], sweep_check))
-    print(f"[3/5] sweep@{os.path.basename(sf)}: "
+    print(f"[3/6] sweep@{os.path.basename(sf)}: "
           f"{'PASS' if results[-1][1] else 'FAIL'}")
 
     def bench_check(p):
@@ -116,7 +119,18 @@ def main() -> int:
         )
 
     results.append(run("bench", [py, "bench.py"], bench_check))
-    print(f"[4/5] bench: {'PASS' if results[-1][1] else 'FAIL'}")
+    print(f"[4/6] bench: {'PASS' if results[-1][1] else 'FAIL'}")
+
+    results.append(
+        run(
+            "phases",
+            [py, "tools/phase_timings.py"]
+            + (["--sf-dir", "/root/testdata/sf0.01", "--repeats", "1"]
+               if args.fast else []),
+            lambda p: (p.returncode == 0, tail(p, 1)),
+        )
+    )
+    print(f"[5/6] phase timings: {'PASS' if results[-1][1] else 'FAIL'}")
 
     results.append(
         run(
@@ -125,7 +139,7 @@ def main() -> int:
             lambda p: (p.returncode == 0, tail(p, 3)),
         )
     )
-    print(f"[5/5] docs: {'PASS' if results[-1][1] else 'FAIL'}")
+    print(f"[6/6] docs: {'PASS' if results[-1][1] else 'FAIL'}")
 
     print("\n== gauntlet ==")
     failed = 0

@@ -1,0 +1,307 @@
+"""Per-phase wall-time split for the persistent-index catalog entries
+(round 10 — VERDICT r9 #2).
+
+The bench records ONE wall number per entry, but the index entries'
+timed workflows are bootstrap-dominated: `x_sim_index_update` spends
+most of its wall building TWO indexes and only a fraction actually
+serving. Across rounds that made the entry's raw tail drift (8.6s ->
+14.9s with no code change) ambiguous — a real serving regression could
+hide inside bootstrap noise, and exonerating the drift took an
+interleaved-control side analysis. This tool splits each entry's
+workflow into its phases with explicit barriers (every phase ends in
+an action) and regenerates ``docs/PHASE_TIMINGS.md``; the gauntlet
+runs it each round, so a serving regression shows up as a serve-row
+delta, not a buried total.
+
+Phases mirror the entries' documented workflows 1:1 (same index APIs,
+same parameters, same data splits — the catalog entry stays the single
+source of truth for CORRECTNESS; this tool only re-runs the workflow
+with stopwatches between the commits):
+
+- ``x_sim_index_update``:  bootstrap | churn (append+replay+delete+
+  append) | serve | gate (fresh build + exceptAll compare)
+- ``x_dedup_indexed_exact``: bootstrap | ingest (two gated batches) |
+  gate (bloom-bitexact compare)
+- ``x_sim_index_batch_topk``: bootstrap | batch-serve | gate (8
+  per-query serves + exceptAll)
+
+Timings are min-of-N (default 2) over FULL fresh-index repeats, so
+one-time JIT/codegen amortizes the way bench.py's min-of-2 does.
+
+Usage:
+    python tools/phase_timings.py [--repeats 2] [--sf-dir DIR] [--print-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _shm_tmp(prefix: str) -> str:
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=shm)
+
+
+def time_ann_update(spark, sf_dir: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from iheardai_data_pipeline_spark.operators.ann_index import (
+        PersistentAnnIndex,
+    )
+    from iheardai_data_pipeline_spark.plans.extension_queries import (
+        _ann_serving_artifacts,
+        _probe_vector,
+    )
+    from iheardai_data_pipeline_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    n = emb.count()
+    qid, qvec = _probe_vector(emb)
+    centroids, books = _ann_serving_artifacts(spark, sf_dir, emb)
+    shortlist = max(100, n // 5)
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    b1 = emb.filter(F.col("vec_id") % 4 == 1)
+    b2 = emb.filter(F.col("vec_id") % 4 == 3)
+    deleted = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id")
+    final_state = emb.filter(F.col("vec_id") % 10 != 0)
+    root, root2 = _shm_tmp("pt_annupd_"), _shm_tmp("pt_annupd_fresh_")
+    out: dict[str, float] = {}
+    try:
+        t0 = time.time()
+        idx = PersistentAnnIndex.bootstrap(
+            spark, root, corpus, centroids=centroids, books=books
+        )
+        out["bootstrap"] = time.time() - t0
+        t0 = time.time()
+        idx.append(b1, seq=2, epoch="b1")
+        idx.append(b1, seq=2, epoch="b1")
+        idx.delete(deleted, seq=3)
+        idx.append(b2, seq=4)
+        out["churn"] = time.time() - t0
+        t0 = time.time()
+        got = idx.topk(
+            qvec, k=10, nprobe=4, shortlist=shortlist, exclude_id=qid
+        ).localCheckpoint(eager=True)
+        out["serve"] = time.time() - t0
+        t0 = time.time()
+        fresh = PersistentAnnIndex.bootstrap(
+            spark, root2, final_state, centroids=centroids, books=books
+        )
+        want = fresh.topk(
+            qvec, k=10, nprobe=4, shortlist=shortlist, exclude_id=qid
+        )
+        assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
+        out["gate"] = time.time() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(root2, ignore_errors=True)
+    return out
+
+
+def time_fp_exact(spark, sf_dir: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from iheardai_data_pipeline_spark.operators.fingerprint_index import (
+        FingerprintIndex,
+    )
+    from iheardai_data_pipeline_spark.operators.sketch import bloom_build
+    from iheardai_data_pipeline_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    corpus = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    incoming = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "lang", "text"
+    )
+    root = _shm_tmp("pt_fpidx_")
+    out: dict[str, float] = {}
+    try:
+        t0 = time.time()
+        idx = FingerprintIndex(spark, root, expected_docs=docs.count())
+        idx.append(corpus)
+        out["bootstrap"] = time.time() - t0
+        hi = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+        cuts = [0, hi // 2 + 1, hi + 1]
+        t0 = time.time()
+        n_kept = 0
+        for lo, up in zip(cuts, cuts[1:]):
+            batch = incoming.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < up)
+            )
+            n_kept += idx.ingest(batch).count()
+        out["ingest"] = time.time() - t0
+        t0 = time.time()
+        stored_bits = (
+            idx._store.read("bloom_bits")
+            .select("bit")
+            .dropDuplicates(["bit"])
+        )
+        one_shot = bloom_build(
+            idx._store.read("fingerprints").select("fingerprint").distinct(),
+            "fingerprint",
+            m=idx.m,
+            k=idx.k,
+        )
+        assert (
+            stored_bits.exceptAll(one_shot).count()
+            + one_shot.exceptAll(stored_bits).count()
+            == 0
+        )
+        out["gate"] = time.time() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def time_batch_topk(spark, sf_dir: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from iheardai_data_pipeline_spark.operators.ann_index import (
+        PersistentAnnIndex,
+    )
+    from iheardai_data_pipeline_spark.plans.extension_queries import (
+        _ann_serving_artifacts,
+    )
+    from iheardai_data_pipeline_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    n = emb.count()
+    centroids, books = _ann_serving_artifacts(spark, sf_dir, emb)
+    shortlist = max(100, n // 5)
+    qrows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    queries = spark.createDataFrame(
+        qrows, "query_id long, embedding array<float>"
+    )
+    root = _shm_tmp("pt_annbatch_")
+    out: dict[str, float] = {}
+    try:
+        t0 = time.time()
+        idx = PersistentAnnIndex.bootstrap(
+            spark, root, emb, centroids=centroids, books=books
+        )
+        out["bootstrap"] = time.time() - t0
+        t0 = time.time()
+        got = idx.topk_batch(
+            queries, k=5, nprobe=4, shortlist=shortlist, exclude_self=True
+        ).localCheckpoint(eager=True)
+        out["batch-serve"] = time.time() - t0
+        t0 = time.time()
+        per_query = None
+        for qid, qvec in qrows:
+            one = idx.topk(
+                qvec, k=5, nprobe=4, shortlist=shortlist, exclude_id=qid
+            ).select(
+                F.lit(qid).cast("long").alias("query_id"),
+                "vec_id",
+                "l2_dist",
+            )
+            per_query = one if per_query is None else per_query.unionByName(one)
+        assert (
+            got.exceptAll(per_query).count()
+            + per_query.exceptAll(got).count()
+            == 0
+        )
+        out["gate"] = time.time() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+ENTRIES = {
+    "x_sim_index_update": time_ann_update,
+    "x_dedup_indexed_exact": time_fp_exact,
+    "x_sim_index_batch_topk": time_batch_topk,
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    ap.add_argument(
+        "--print-only",
+        action="store_true",
+        help="print the table without rewriting docs/PHASE_TIMINGS.md",
+    )
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .appName("phase-timings")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict[str, float]] = {}
+    for name, fn in ENTRIES.items():
+        runs = [fn(spark, args.sf_dir) for _ in range(max(1, args.repeats))]
+        results[name] = {
+            ph: min(r[ph] for r in runs) for ph in runs[0]
+        }
+        total = sum(results[name].values())
+        print(f"{name}: " + "  ".join(
+            f"{ph}={s:.2f}s" for ph, s in results[name].items()
+        ) + f"  (total {total:.2f}s)")
+
+    lines = [
+        "# Per-phase wall times for the persistent-index entries",
+        "",
+        f"Regenerated by `python tools/phase_timings.py` (gauntlet step) —",
+        f"min-of-{args.repeats} over full fresh-index repeats at "
+        f"`{args.sf_dir}`, local["
+        f"{os.environ.get('SPARK_GRAFT_CPUS', '32')}]. Phases mirror the "
+        "catalog entries' documented workflows 1:1; every phase ends in "
+        "an action, so the split is a real execution barrier, not a lazy-"
+        "plan artifact. The SERVE row is the number to watch round-over-"
+        "round: bootstrap/gate are verification scaffolding whose cost "
+        "does not exist on a production serving path.",
+        "",
+        "| entry | phase | seconds |",
+        "|---|---|---|",
+    ]
+    for name, phases in results.items():
+        for ph, s in phases.items():
+            bold = "**" if ph in ("serve", "batch-serve", "ingest") else ""
+            lines.append(f"| `{name}` | {bold}{ph}{bold} | {s:.2f} |")
+        lines.append(
+            f"| `{name}` | _total_ | {sum(phases.values()):.2f} |"
+        )
+    lines.append("")
+    md = "\n".join(lines)
+    if args.print_only:
+        print(md)
+    else:
+        out_path = os.path.join(REPO, "docs", "PHASE_TIMINGS.md")
+        with open(out_path, "w") as fh:
+            fh.write(md)
+        print(f"wrote {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
