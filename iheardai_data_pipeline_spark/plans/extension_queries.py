@@ -1084,14 +1084,38 @@ _SERVE_CENTROIDS, _SERVE_BOOKS = _serve_artifacts()
 # identical read-path composition, pinned per-SF artifacts).
 
 
-def _index_serve_oracle(extra_pred: str = "") -> str:
-    """The DuckDB replay of PersistentAnnIndex.topk() under the pinned
-    _SERVE_CENTROIDS/_SERVE_BOOKS artifacts (k=10, nprobe=4, shortlist
-    = max(100, n // 5), exclude_id = the min-vec_id query row).
-    ``extra_pred`` (AND-appended to the candidate WHERE) replays
-    topk(allowed=...) — the pre-ADC filter placement, so the filtered
-    oracle is the same SQL with one more predicate, exactly as the
-    engine is the same plan with one more semi-join."""
+def _index_serve_oracle(
+    extra_pred: str = "",
+    corpus_pred: str = "",
+    n_queries: int = 1,
+    k: int = 10,
+    flags: tuple = (),
+) -> str:
+    """The DuckDB replay of PersistentAnnIndex.topk() / topk_batch()
+    under the pinned _SERVE_CENTROIDS/_SERVE_BOOKS artifacts (nprobe=4,
+    shortlist = max(100, n // 5) with n = the FULL non-null count,
+    exclude = the query's own vec_id).
+
+    - ``extra_pred``: AND-appended to the candidate WHERE — replays
+      topk(allowed=...), the pre-ADC filter placement, so the filtered
+      oracle is the same SQL with one more predicate, exactly as the
+      engine is the same plan with one more semi-join.
+    - ``corpus_pred``: AND-appended to the INDEXED-corpus WHERE —
+      replays a serve over an index holding a SUBSET of the table
+      (x_sim_index_update/_compact's post-churn final state: the serve
+      over "everything minus the deleted" is what an LWW-correct index
+      must produce, so tombstone leaks, lost appends, and replay dups
+      all diverge from the replay's rows).
+    - ``n_queries``: 1 = topk() (min-vec_id query, output (vec_id,
+      l2_dist)); >1 = topk_batch() over the n_queries smallest vec_ids
+      (the catalog entries' deterministic query frame; output
+      (query_id, vec_id, l2_dist), zero-norm queries excluded — the
+      engine's rule). Probe ranking / LUT / shortlist / final-k all
+      become per-query windows, mirroring topk_batch's anatomy.
+    - ``flags``: extra literal TRUE columns appended to every row —
+      for hybrid entries that keep an in-engine gate (fresh-build
+      equality, compaction reclamation) ON TOP of the value replay.
+    """
     import math
 
     centroids, books = _SERVE_CENTROIDS, _SERVE_BOOKS
@@ -1127,6 +1151,17 @@ def _index_serve_oracle(extra_pred: str = "") -> str:
         for s in range(m)
     )
     adc_sum = " + ".join(f"qq.l{s}[cand.c{s} + 1]" for s in range(m))
+    # batch mode: every selection becomes a per-query window, the
+    # queries join on qid, and zero-norm queries are excluded (the
+    # engine's topk_batch rule; single-query topk instead normalizes
+    # by qn0-or-1, so the single path keeps the unguarded division —
+    # each oracle mirrors its own engine path exactly)
+    if n_queries > 1:
+        q_limit, q_guard = f"LIMIT {n_queries}", "WHERE qn0 > 0 "
+        part, qid_out = "PARTITION BY qid ", "qid AS query_id, "
+    else:
+        q_limit, q_guard, part, qid_out = "LIMIT 1", "", "", ""
+    flag_cols = "".join(f", TRUE AS {f}" for f in flags)
     return f"""
 WITH par AS (
   SELECT greatest(100, CAST(count(*) // 5 AS BIGINT)) AS sl
@@ -1137,20 +1172,20 @@ q AS (
          sqrt(list_reduce(list_prepend(0.0::DOUBLE,
               list_transform(embedding::DOUBLE[], x -> x * x)), (a, b) -> a + b)) AS qn0
   FROM embeddings WHERE embedding IS NOT NULL
-  ORDER BY vec_id LIMIT 1
+  ORDER BY vec_id {q_limit}
 ),
 qq AS (
   SELECT qid, v,
          sqrt(list_reduce(list_prepend(0.0::DOUBLE,
               list_transform(v, x -> x * x)), (a, b) -> a + b)) AS qn,
          {lut_sql}
-  FROM (SELECT qid, list_transform(qraw, x -> x / qn0) AS v FROM q)
+  FROM (SELECT qid, list_transform(qraw, x -> x / qn0) AS v FROM q {q_guard})
 ),
 cent(cid, cvec, invn, cnrm) AS (VALUES
     {cent_values}),
 probe AS (
-  SELECT cid FROM (
-    SELECT c.cid, row_number() OVER (ORDER BY
+  SELECT qid, cid FROM (
+    SELECT qq.qid, c.cid, row_number() OVER ({part}ORDER BY
       list_reduce(list_prepend(0.0::DOUBLE,
         list_transform(list_zip(qq.v, c.cvec), z -> z[1] * z[2])), (a, b) -> a + b)
       / (qq.qn * c.cnrm) DESC, c.cid ASC) AS rn
@@ -1162,7 +1197,7 @@ norm AS (
     SELECT vec_id, embedding::DOUBLE[] AS raw,
            sqrt(list_reduce(list_prepend(0.0::DOUBLE,
                 list_transform(embedding::DOUBLE[], x -> x * x)), (a, b) -> a + b)) AS nrm
-    FROM embeddings WHERE embedding IS NOT NULL
+    FROM embeddings WHERE embedding IS NOT NULL{corpus_pred}
   ) WHERE nrm > 0
 ),
 assign AS (
@@ -1176,28 +1211,32 @@ assign AS (
   ) WHERE rn = 1
 ),
 cand AS (
-  SELECT a.vec_id, a.v,
+  SELECT qq.qid, a.vec_id, a.v,
       {code_cols}
   FROM assign a
-  JOIN probe p ON a.centroid_id = p.cid, qq
+  JOIN probe p ON a.centroid_id = p.cid
+  JOIN qq ON qq.qid = p.qid
   WHERE a.vec_id <> qq.qid{extra_pred}
 ),
 short AS (
-  SELECT vec_id, v FROM (
-    SELECT cand.vec_id, cand.v, par.sl,
-           row_number() OVER (ORDER BY ({adc_sum}) ASC, cand.vec_id ASC) AS rn
-    FROM cand, qq, par
+  SELECT qid, vec_id, v FROM (
+    SELECT cand.qid, cand.vec_id, cand.v, par.sl,
+           row_number() OVER (PARTITION BY cand.qid
+                              ORDER BY ({adc_sum}) ASC, cand.vec_id ASC) AS rn
+    FROM cand JOIN qq ON qq.qid = cand.qid, par
   ) WHERE rn <= sl
 )
-SELECT vec_id, round(l2, 6) AS l2_dist FROM (
-  SELECT vec_id, l2, row_number() OVER (ORDER BY l2 ASC, vec_id ASC) AS rn FROM (
-    SELECT s.vec_id,
+SELECT {qid_out}vec_id, round(l2, 6) AS l2_dist{flag_cols} FROM (
+  SELECT qid, vec_id, l2,
+         row_number() OVER (PARTITION BY qid ORDER BY l2 ASC, vec_id ASC) AS rn
+  FROM (
+    SELECT s.qid, s.vec_id,
            list_reduce(list_prepend(0.0::DOUBLE,
              list_transform(list_zip(s.v, qq.v), z -> (z[1] - z[2]) * (z[1] - z[2]))), (a, b) -> a + b) AS l2
-    FROM short s, qq
+    FROM short s JOIN qq ON qq.qid = s.qid
   )
-) WHERE rn <= 10
-ORDER BY vec_id
+) WHERE rn <= {k}
+ORDER BY qid, vec_id
 """
 
 
@@ -1278,36 +1317,25 @@ def x_sim_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-# Bounded oracle for BATCH ANN serving (round 8): with pinned artifacts
-# the serve is deterministic, and topk_batch is BY CONSTRUCTION the
-# same arithmetic as per-query topk() — the flag compares the two
-# multisets exactly (exceptAll both ways), so any divergence anywhere
-# in the distributed path (row-local centroid ranking, in-Spark ADC
-# table, window tie-breaks, tombstone handling) flips it and fails the
-# hash compare. Serve correctness is inherited transitively: per-query
-# topk() is value-replayed end-to-end in DuckDB by x_sim_index_topk.
-_INDEX_BATCH_TOPK_ORACLE = """
-SELECT CAST(8 AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
-       CAST(40 AS BIGINT) AS n_result_rows, TRUE AS batch_equals_per_query
-"""
-
-
 @register(
     "x_sim_index_batch_topk",
-    oracle=_INDEX_BATCH_TOPK_ORACLE,
+    oracle=_index_serve_oracle(n_queries=8, k=5),
     tags=("extension", "similarity", "approximate"),
-    doc="BATCH ANN serving (round 8): PersistentAnnIndex.topk_batch "
-    "serves a FRAME of 8 query vectors in one distributed plan — "
-    "centroid ranking and the per-query ADC lookup table as row-local "
-    "expressions against one broadcast artifact row, codes/vectors "
-    "reads bucket-pruned to the batch's DISTINCT probed clusters, "
-    "per-query shortlists and final top-5 via query-keyed windows. "
-    "No per-query driver loop (the last driver-side bottleneck class). "
-    "Gated: results must be row-identical (exceptAll both ways, "
-    "multiset-exact incl. distances and tie-breaks) to per-query "
-    "topk() calls with exclude_id=query_id; bucket pruning pinned by "
-    "test_ann_index.py:test_topk_batch_probes_buckets_not_whole_store "
-    "(operators/ann_index.py:PersistentAnnIndex.topk_batch).",
+    doc="BATCH ANN serving (round 8; round 10: FULLY value-oracled): "
+    "PersistentAnnIndex.topk_batch serves a FRAME of 8 query vectors "
+    "in one distributed plan — centroid ranking and the per-query ADC "
+    "lookup table as row-local expressions against one broadcast "
+    "artifact row, codes/vectors reads bucket-pruned to the batch's "
+    "DISTINCT probed clusters, per-query shortlists and final top-5 "
+    "via query-keyed windows. No per-query driver loop (the last "
+    "driver-side bottleneck class). The returned (query_id, vec_id, "
+    "l2_dist) rows hash-match a DuckDB replay that recomputes EVERY "
+    "query's serve independently (per-query windows over the identical "
+    "fold arithmetic) — strictly stronger than the r8/r9 in-engine "
+    "batch==per-query exceptAll gate, which could not catch a bug "
+    "breaking topk and topk_batch identically. Bucket pruning pinned "
+    "by test_ann_index.py:test_topk_batch_probes_buckets_not_whole_"
+    "store (operators/ann_index.py:PersistentAnnIndex.topk_batch).",
 )
 def x_sim_index_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1322,46 +1350,22 @@ def x_sim_index_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").isNotNull()
     )
     n = emb.count()
-    centroids, books = _ann_serving_artifacts(spark, sf_dir, emb)
     shortlist = max(100, n // 5)
-    # deterministic query set: the 8 smallest vec_ids (bounded collect —
-    # the per-query reference loop needs driver-side vectors anyway)
-    qrows = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.orderBy("vec_id").limit(8).collect()
-    ]
-    queries = spark.createDataFrame(
-        qrows, "query_id long, embedding array<float>"
+    # deterministic query frame: the 8 smallest vec_ids
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     root = tempfile.mkdtemp(prefix="annbatch_", dir=shm)
     try:
         idx = PersistentAnnIndex.bootstrap(
-            spark, root, emb, centroids=centroids, books=books
+            spark, root, emb, centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS
         )
-        got = idx.topk_batch(
+        return idx.topk_batch(
             queries, k=5, nprobe=4, shortlist=shortlist, exclude_self=True
-        )
-        per_query = None
-        for qid, qvec in qrows:
-            one = idx.topk(
-                qvec, k=5, nprobe=4, shortlist=shortlist, exclude_id=qid
-            ).select(
-                F.lit(qid).cast("long").alias("query_id"),
-                "vec_id",
-                "l2_dist",
-            )
-            per_query = one if per_query is None else per_query.unionByName(one)
-        diff = (
-            got.exceptAll(per_query).count()
-            + per_query.exceptAll(got).count()
-        )
-        n_rows = got.count()
-        return spark.createDataFrame(
-            [(len(qrows), 5, n_rows, diff == 0)],
-            "n_queries long, k long, n_result_rows long, "
-            "batch_equals_per_query boolean",
-        )
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1420,20 +1424,23 @@ def x_sim_index_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-# Bounded oracle for the ANN index LWW/tombstone path (round 8 —
-# x_dedup_indexed_update's serving sibling): the 4-step workflow
+# HYBRID oracle for the ANN index LWW/tombstone path (round 8; round
+# 10: the served rows are VALUE-replayed): after the 4-step churn
 # (bootstrap seq 0 -> epoch-replayed append seq 2 -> tombstone delete
-# seq 3 -> append seq 4) must serve EXACTLY what a fresh index built on
-# the final logical state serves. Multiset-exact equality: a replayed
-# un-guarded append (duplicate rows), a tombstone that fails to starve
-# its cluster, or a lost LWW race all flip the flag. Compaction under
-# the same churn is gated by its OWN entry (x_sim_index_compact, round
-# 10) so this entry's recorded timing stays comparable round-over-round
-# (VERDICT r9 #2's drift concern).
-_INDEX_UPDATE_ORACLE = """
-SELECT CAST(10 AS BIGINT) AS k, TRUE AS serve_equals_fresh_build,
-       TRUE AS deleted_ids_absent
-"""
+# seq 3 -> append seq 4) the index must serve EXACTLY the DuckDB
+# replay of a serve over the final logical state (corpus_pred = all
+# vectors minus the deleted) — a leaked tombstone, a lost append, or a
+# replay-duplicated row changes the served multiset and fails the row
+# hash. On top of the replay, two in-engine flags ride along: the
+# fresh-build equality (exercises a second independent store-build
+# path end-to-end) and the no-deleted-id scan. Compaction under the
+# same churn is gated by its OWN entry (x_sim_index_compact) so this
+# entry's recorded timing stays comparable round-over-round (VERDICT
+# r9 #2's drift concern).
+_INDEX_UPDATE_ORACLE = _index_serve_oracle(
+    corpus_pred=" AND vec_id % 10 <> 0",
+    flags=("serve_equals_fresh_build", "deleted_ids_absent"),
+)
 
 
 @register(
@@ -1447,10 +1454,11 @@ SELECT CAST(10 AS BIGINT) AS k, TRUE AS serve_equals_fresh_build,
     "vec_id%10==0 (the id-keyed lookup relation routes each tombstone "
     "into the exact cluster bucket it must starve — the reference's "
     "M1/M2 last-write-wins contract, greatest seq wins, delete wins "
-    "ties), append of vec_id%4==3, then topk serve. Gated: the served "
-    "top-10 is multiset-identical to a FRESH index built on the final "
-    "logical state (all vectors minus the deleted), and no deleted id "
-    "appears; compaction under the same churn is gated by "
+    "ties), append of vec_id%4==3, then topk serve. Gated three ways "
+    "(round 10): the served (vec_id, l2_dist) rows hash-match the "
+    "DuckDB replay of a serve over the final logical state, PLUS the "
+    "in-engine fresh-build multiset equality and the no-deleted-id "
+    "scan; compaction under the same churn is gated by "
     "x_sim_index_compact "
     "(operators/ann_index.py:PersistentAnnIndex.delete).",
 )
@@ -1468,7 +1476,6 @@ def x_sim_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = emb.count()
     qid, qvec = _probe_vector(emb)
-    centroids, books = _ann_serving_artifacts(spark, sf_dir, emb)
     shortlist = max(100, n // 5)
     corpus = emb.filter(F.col("vec_id") % 2 == 0)
     b1 = emb.filter(F.col("vec_id") % 4 == 1)
@@ -1480,7 +1487,7 @@ def x_sim_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     root2 = tempfile.mkdtemp(prefix="annupd_fresh_", dir=shm)
     try:
         idx = PersistentAnnIndex.bootstrap(
-            spark, root, corpus, centroids=centroids, books=books
+            spark, root, corpus, centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS
         )
         idx.append(b1, seq=2, epoch="b1")
         idx.append(b1, seq=2, epoch="b1")  # replay: must no-op
@@ -1490,38 +1497,44 @@ def x_sim_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             qvec, k=10, nprobe=4, shortlist=shortlist, exclude_id=qid
         )
         fresh = PersistentAnnIndex.bootstrap(
-            spark, root2, final_state, centroids=centroids, books=books
+            spark,
+            root2,
+            final_state,
+            centroids=_SERVE_CENTROIDS,
+            books=_SERVE_BOOKS,
         )
         want = fresh.topk(
             qvec, k=10, nprobe=4, shortlist=shortlist, exclude_id=qid
         )
         diff = got.exceptAll(want).count() + want.exceptAll(got).count()
         n_deleted_served = got.filter(F.col("vec_id") % 10 == 0).count()
-        return spark.createDataFrame(
-            [(10, diff == 0, n_deleted_served == 0)],
-            "k long, serve_equals_fresh_build boolean, "
-            "deleted_ids_absent boolean",
-        )
+        return got.select(
+            "vec_id",
+            "l2_dist",
+            F.lit(diff == 0).alias("serve_equals_fresh_build"),
+            F.lit(n_deleted_served == 0).alias("deleted_ids_absent"),
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(root2, ignore_errors=True)
 
 
-# Bounded oracle for ANN compaction (round 10 — VERDICT r9 #3, lifting
+# HYBRID oracle for ANN compaction (round 10 — VERDICT r9 #3, lifting
 # compact() from unit-only coverage onto the sweep's correctness path):
 # after the same churn workflow as x_sim_index_update (bootstrap ->
-# replayed append -> tombstone delete -> append), compact() must (1)
-# leave serving row-identical — a wrong LWW fold order, a dropped live
-# row, or a tombstone surviving the fold all change the served top-10
-# and flip compact_serve_identical — and (2) physically reclaim the
-# churn: compact_reclaims_rows pins the codes relation's raw row count
-# collapsing to EXACTLY one row per live indexed id (strictly below
-# the versioned pre-compact count, which carries the replays'
-# duplicate-guarded appends and every tombstone).
-_INDEX_COMPACT_ORACLE = """
-SELECT CAST(10 AS BIGINT) AS k, TRUE AS compact_serve_identical,
-       TRUE AS compact_reclaims_rows
-"""
+# replayed append -> tombstone delete -> append), compact() must leave
+# the POST-compact serve hash-matching the same final-state DuckDB
+# replay (a wrong LWW fold order, a dropped live row, or a tombstone
+# surviving the fold all change the served rows), and two in-engine
+# flags ride along: row-identity to the PRE-compact serve, and
+# physical reclamation — the codes relation's raw row count collapses
+# to EXACTLY one row per live indexed id (strictly below the versioned
+# pre-compact count, which carries the replays' duplicate-guarded
+# appends and every tombstone).
+_INDEX_COMPACT_ORACLE = _index_serve_oracle(
+    corpus_pred=" AND vec_id % 10 <> 0",
+    flags=("compact_serve_identical", "compact_reclaims_rows"),
+)
 
 
 @register(
@@ -1533,12 +1546,14 @@ SELECT CAST(10 AS BIGINT) AS k, TRUE AS compact_serve_identical,
     "append %4==1, tombstone delete %10==0, append %4==3) followed by "
     "compact() — the vacuum of the upsert model, folding every "
     "relation to the live latest version per id under the LWW order "
-    "(greatest seq wins, tombstone wins ties). Gated: the post-compact "
-    "topk serve is row-identical to the pre-compact serve (multiset-"
-    "exact incl. distances), and the codes relation physically "
-    "collapses to exactly one row per live id — strictly fewer rows "
-    "than the versioned pre-compact state, so reclamation is real, not "
-    "a no-op (operators/ann_index.py:PersistentAnnIndex.compact).",
+    "(greatest seq wins, tombstone wins ties). Gated three ways (one "
+    "output): the POST-compact served rows hash-match the final-state "
+    "DuckDB replay, they are row-identical to the pre-compact serve "
+    "(multiset-exact incl. distances), and the codes relation "
+    "physically collapses to exactly one row per live id — strictly "
+    "fewer rows than the versioned pre-compact state, so reclamation "
+    "is real, not a no-op "
+    "(operators/ann_index.py:PersistentAnnIndex.compact).",
 )
 def x_sim_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1555,7 +1570,6 @@ def x_sim_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = emb.count()
     qid, qvec = _probe_vector(emb)
-    centroids, books = _ann_serving_artifacts(spark, sf_dir, emb)
     shortlist = max(100, n // 5)
     corpus = emb.filter(F.col("vec_id") % 2 == 0)
     b1 = emb.filter(F.col("vec_id") % 4 == 1)
@@ -1566,7 +1580,7 @@ def x_sim_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="anncpt_", dir=shm)
     try:
         idx = PersistentAnnIndex.bootstrap(
-            spark, root, corpus, centroids=centroids, books=books
+            spark, root, corpus, centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS
         )
         idx.append(b1, seq=2, epoch="b1")
         idx.append(b1, seq=2, epoch="b1")  # replay: must no-op
@@ -1589,18 +1603,14 @@ def x_sim_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exactly one physical row per live indexed id (NULL/zero-norm
         # rows were never indexed — normalize_rows' rule)
         live_expected = normalize_rows(final_state).count()
-        return spark.createDataFrame(
-            [
-                (
-                    10,
-                    diff == 0,
-                    phys_before > phys_after
-                    and phys_after == live_expected,
-                )
-            ],
-            "k long, compact_serve_identical boolean, "
-            "compact_reclaims_rows boolean",
-        )
+        return after.select(
+            "vec_id",
+            "l2_dist",
+            F.lit(diff == 0).alias("compact_serve_identical"),
+            F.lit(
+                phys_before > phys_after and phys_after == live_expected
+            ).alias("compact_reclaims_rows"),
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -1304,16 +1304,25 @@ def t20_stream_indexed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- T21 (extension): streaming ingest into the persistent ANN index ---------------
 
-# Bounded oracle (the x_sim_index_* pattern): with pinned artifacts the
-# serve is deterministic, and a stream-built index must serve EXACTLY
-# what a one-shot-built index serves — assignment and PQ encoding
-# depend only on the pinned centroids/codebooks, never on batch
-# boundaries. exceptAll both ways pins it multiset-exact (distances
-# and tie-breaks included); a replayed or double-committed batch would
-# duplicate rows and flip the flag.
-_T21_ORACLE = """
-SELECT CAST(10 AS BIGINT) AS k, TRUE AS streamed_equals_one_shot
-"""
+# VALUE oracle (round 10 — the x_sim_index_topk replay, applied to a
+# STREAM-BUILT index): with the pinned SF-independent serve artifacts
+# the serve is deterministic and assignment/PQ-encoding depend only on
+# the artifacts, never on batch boundaries — so an index built by a
+# sequence of epoch-guarded streaming appends must serve rows that
+# hash-match the independent DuckDB replay of the full-corpus serve.
+# A replayed/double-committed micro-batch duplicates served rows, a
+# lost batch drops candidates — both fail the row hash. Strictly
+# stronger than the r9 in-engine one-shot-equality flag (which could
+# not catch a bug breaking streamed and one-shot builds identically).
+def _t21_oracle() -> str:
+    from iheardai_data_pipeline_spark.plans.extension_queries import (
+        _index_serve_oracle,
+    )
+
+    return _index_serve_oracle()
+
+
+_T21_ORACLE = _t21_oracle()
 
 
 @register(
@@ -1326,9 +1335,11 @@ SELECT CAST(10 AS BIGINT) AS k, TRUE AS streamed_equals_one_shot
     "PersistentAnnIndex with pinned artifacts; each micro-batch of new "
     "vectors (vec_id%2==1) appends EPOCH-GUARDED — normalize, assign "
     "to the pinned lists, PQ-encode, one atomic O(batch) commit. The "
-    "stream-built index must then serve top-10 row-identically to an "
-    "index built one-shot on the full corpus (same artifacts => same "
-    "assignment and codes regardless of batch boundaries).",
+    "stream-built index's served (vec_id, l2_dist) top-10 must then "
+    "hash-match the independent DuckDB replay of the full-corpus serve "
+    "(round 10; same artifacts => same assignment and codes regardless "
+    "of batch boundaries — and transitively row-identical to a "
+    "one-shot build, since x_sim_index_topk pins one-shot == replay).",
 )
 def t21_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1338,7 +1349,8 @@ def t21_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         PersistentAnnIndex,
     )
     from iheardai_data_pipeline_spark.plans.extension_queries import (
-        _ann_serving_artifacts,
+        _SERVE_BOOKS,
+        _SERVE_CENTROIDS,
         _probe_vector,
     )
     from iheardai_data_pipeline_spark.sources.batch import load_table
@@ -1351,7 +1363,6 @@ def t21_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = emb.count()
     qid, qvec = _probe_vector(emb)
-    centroids, books = _ann_serving_artifacts(spark, sf_dir, emb)
     shortlist = max(100, n // 5)
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     root = tempfile.mkdtemp(prefix="t21_", dir=shm)
@@ -1359,8 +1370,8 @@ def t21_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         os.path.join(root, "stream_idx"),
         emb.filter(F.col("vec_id") % 2 == 0),
-        centroids=centroids,
-        books=books,
+        centroids=_SERVE_CENTROIDS,
+        books=_SERVE_BOOKS,
     )
 
     def ingest_batch(batch: DataFrame, batch_id: int) -> None:
@@ -1383,22 +1394,8 @@ def t21_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
             .awaitTermination()
         )
-        one_shot = PersistentAnnIndex.bootstrap(
-            spark,
-            os.path.join(root, "fresh_idx"),
-            emb,
-            centroids=centroids,
-            books=books,
-        )
-        got = idx.topk(
+        res = idx.topk(
             qvec, k=10, nprobe=4, shortlist=shortlist, exclude_id=qid
-        )
-        want = one_shot.topk(
-            qvec, k=10, nprobe=4, shortlist=shortlist, exclude_id=qid
-        )
-        diff = got.exceptAll(want).count() + want.exceptAll(got).count()
-        res = spark.createDataFrame(
-            [(10, diff == 0)], "k long, streamed_equals_one_shot boolean"
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
