@@ -87,8 +87,69 @@ def x_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # margin yet any scale/sign-matrix defect (wrong sqrt(d) scale shifts
 # the mean 2-4x; a degenerate all-+1 matrix collapses the band
 # fraction) flips a flag.
-_JL_GATE_ORACLE = """
-SELECT CAST(16 AS INT) AS jl_dim, TRUE AS mean_ok, TRUE AS band_ok
+#
+# Round 10: VALUE-replayed (was a literal-flag oracle). The per-row
+# distortion ratio is bit-exact cross-engine (the jl_project_sql fold
+# discipline — proven by x_embed_random_projection), so the gate's
+# aggregates replay in DuckDB as EXACT integers: each row's ratio is
+# frozen to micro-units row-locally (round-half-up(r * 1e6), identical
+# double arithmetic both engines), the corpus aggregates are then
+# order-independent BIGINT sums, and the flags become exact integer
+# comparisons (sum between 850000*n and 1150000*n; 4*band_n >= 3*n).
+# The oracle computes n_rows/band_n/sum_r_micro FROM the data — a
+# broken scale, sign matrix, or fold diverges in the values, not just
+# the flags.
+
+
+def _jl_gate_ratio_sql(engine: str) -> str:
+    """Per-row JL distortion ratio ||Px||^2 / ||x||^2 for one engine,
+    as the identical left-fold arithmetic (16-term left-assoc sum of
+    squared generated folds over the same literal sign rows)."""
+    terms = []
+    for j in range(_JL_DIM):
+        c = embedred.jl_project_sql(
+            "`embedding`" if engine == "spark" else "embedding",
+            _JL_SIGNS[j],
+            _JL_SCALE,
+            engine,
+        )
+        terms.append(f"(({c}) * ({c}))")
+    proj = " + ".join(terms)
+    if engine == "spark":
+        orig = (
+            "aggregate(zip_with(`embedding`, `embedding`, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    else:
+        orig = (
+            "list_reduce(list_prepend(0.0::DOUBLE, "
+            "list_transform(embedding, x -> "
+            "CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v)"
+        )
+    return f"(({proj}) / ({orig}))"
+
+
+_JL_GATE_ORACLE = f"""
+WITH r AS (
+  SELECT CAST(floor({_jl_gate_ratio_sql("duckdb")} * 1000000.0 + 0.5) AS BIGINT)
+         AS r_micro
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+          (acc, v) -> acc + v) > 0
+)
+SELECT CAST(16 AS INT) AS jl_dim,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN r_micro BETWEEN 500000 AND 1500000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS band_n,
+       CAST(sum(r_micro) AS BIGINT) AS sum_r_micro,
+       sum(r_micro) BETWEEN 850000 * count(*) AND 1150000 * count(*)
+         AS mean_ok,
+       4 * sum(CASE WHEN r_micro BETWEEN 500000 AND 1500000
+                    THEN 1 ELSE 0 END) >= 3 * count(*) AS band_ok
+FROM r
 """
 
 
@@ -96,40 +157,49 @@ SELECT CAST(16 AS INT) AS jl_dim, TRUE AS mean_ok, TRUE AS band_ok
     "x_embed_jl_norm_gate",
     oracle=_JL_GATE_ORACLE,
     tags=("extension", "embedding", "approximate"),
-    doc="JL distortion contract gate: the 16-dim sign projection must "
-    "preserve squared norms (corpus-mean ratio in [0.85, 1.15], >= 75% "
-    "of rows within [0.5, 1.5]) — the lemma's actual guarantee. "
-    "Deliberately NOT a top-k recall gate: isotropic 64-dim synthetic "
-    "data has no low-dim structure, so neighbor recall at out_dim 16 "
-    "is ~0.1-0.3 by measurement and would gate nothing.",
+    doc="JL distortion contract gate (round 10: VALUE-replayed): the "
+    "16-dim sign projection must preserve squared norms (corpus-mean "
+    "ratio in [0.85, 1.15], >= 75% of rows within [0.5, 1.5]) — the "
+    "lemma's actual guarantee, restated in exact per-row micro-units "
+    "so the corpus aggregates are order-independent BIGINT sums that "
+    "DuckDB recomputes from the data (n_rows, band_n, sum_r_micro all "
+    "hash-compared, not just the flags). Deliberately NOT a top-k "
+    "recall gate: isotropic 64-dim synthetic data has no low-dim "
+    "structure, so neighbor recall at out_dim 16 is ~0.1-0.3 by "
+    "measurement and would gate nothing.",
 )
 def x_embed_jl_norm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
     )
-    proj_norm = None
-    for j in range(_JL_DIM):
-        coord = F.expr(
-            embedred.jl_project_sql("`embedding`", _JL_SIGNS[j], _JL_SCALE, "spark")
-        )
-        term = coord * coord
-        proj_norm = term if proj_norm is None else proj_norm + term
+    ratio = F.expr(_jl_gate_ratio_sql("spark"))
     orig_norm = F.aggregate(
         F.col("embedding"),
         F.lit(0.0),
         lambda a, v: a + v.cast("double") * v.cast("double"),
     )
-    ratios = emb.select((proj_norm / orig_norm).alias("r")).where(
-        ~F.isnan("r")
+    r_micro = F.floor(ratio * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    rows = (
+        emb.where(orig_norm > 0)
+        .select(r_micro.alias("r_micro"))
     )
-    agg = ratios.agg(
-        F.avg("r").alias("mean_r"),
-        F.avg(F.col("r").between(0.5, 1.5).cast("double")).alias("band"),
+    in_band = (
+        F.col("r_micro").between(500000, 1500000).cast("long")
+    )
+    agg = rows.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(in_band).alias("band_n"),
+        F.sum("r_micro").alias("sum_r_micro"),
     )
     return agg.select(
         F.lit(_JL_DIM).cast("int").alias("jl_dim"),
-        F.col("mean_r").between(0.85, 1.15).alias("mean_ok"),
-        (F.col("band") >= 0.75).alias("band_ok"),
+        "n_rows",
+        "band_n",
+        "sum_r_micro",
+        F.col("sum_r_micro").between(
+            850000 * F.col("n_rows"), 1150000 * F.col("n_rows")
+        ).alias("mean_ok"),
+        (4 * F.col("band_n") >= 3 * F.col("n_rows")).alias("band_ok"),
     )
 
 

@@ -167,3 +167,101 @@ def test_t20_checkpoint_restart_replays_batch_as_noop(spark, tmp_path):
     before = set(os.listdir(out_dir))
     _run_stream(spark, src_dir, ckpt, idx_path, out_dir, crash_flag)
     assert set(os.listdir(out_dir)) == before
+
+
+def test_t21_ann_checkpoint_restart_replays_append_as_noop(spark, tmp_path):
+    """t20's restart proof, for the ANN twin (t21's shape): the index
+    append is the ONLY side effect, so the property under test is that
+    a checkpoint-recovered replay of an epoch-guarded append leaves
+    the store with exactly one physical row per vector — and the
+    stream-built index serves row-identically to a one-shot build."""
+    import math
+
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from iheardai_data_pipeline_spark.operators.ann_index import (
+        PersistentAnnIndex,
+    )
+    from iheardai_data_pipeline_spark.plans.extension_queries import (
+        _SERVE_BOOKS,
+        _SERVE_CENTROIDS,
+    )
+
+    def vec(i):
+        # deterministic non-degenerate 64-dim vectors
+        return [
+            float(math.sin(0.1 * i + 0.37 * d) + 0.01 * (d % 5))
+            for d in range(64)
+        ]
+
+    schema = "vec_id long, embedding array<float>"
+    corpus = [(i, vec(i)) for i in range(0, 40, 2)]
+    parts = [
+        [(i, vec(i)) for i in range(1, 13, 2)],
+        [(i, vec(i)) for i in range(13, 27, 2)],
+        [(i, vec(i)) for i in range(27, 40, 2)],
+    ]
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    for i, part in enumerate(parts):
+        spark.createDataFrame(part, schema).coalesce(1).write.parquet(
+            os.path.join(src_dir, f"part{i}")
+        )
+    idx_path = str(tmp_path / "annidx")
+    ckpt = str(tmp_path / "ckpt")
+    crash_flag = str(tmp_path / "crashed-once")
+    corpus_df = spark.createDataFrame(corpus, schema)
+    PersistentAnnIndex.bootstrap(
+        spark, idx_path, corpus_df,
+        centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS,
+    )
+
+    def run_attempt():
+        idx = PersistentAnnIndex(spark, idx_path)  # reopen, as a
+        # restarted driver would
+
+        def ingest(batch, batch_id):
+            idx.append(batch, epoch=f"t21r-{batch_id}", seq=1)
+            if batch_id == 1 and not os.path.exists(crash_flag):
+                with open(crash_flag, "w") as fh:
+                    fh.write("crashed once")
+                raise RuntimeError("injected crash after append commit")
+
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src_dir)
+            .writeStream.foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+            .awaitTermination()
+        )
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        run_attempt()
+    run_attempt()  # recovery: batch 1 REPLAYS (same epoch -> no-op)
+
+    idx = PersistentAnnIndex(spark, idx_path)
+    # exactly one physical row per vector — the replayed append did
+    # not double-commit (40 = 20 corpus + 19 streamed... all 40 ids)
+    n_all = len(corpus) + sum(len(p) for p in parts)
+    assert idx._store.read("codes").count() == n_all
+    assert (
+        idx._store.read("codes").select("vec_id").distinct().count() == n_all
+    )
+    # and the stream-built index serves one-shot-identically
+    one_shot = PersistentAnnIndex.bootstrap(
+        spark,
+        str(tmp_path / "oneshot"),
+        corpus_df.unionByName(
+            spark.createDataFrame([r for p in parts for r in p], schema)
+        ),
+        centroids=_SERVE_CENTROIDS,
+        books=_SERVE_BOOKS,
+    )
+    got = idx.topk(vec(0), k=5, nprobe=4, shortlist=20, exclude_id=0)
+    want = one_shot.topk(vec(0), k=5, nprobe=4, shortlist=20, exclude_id=0)
+    assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
