@@ -1424,6 +1424,65 @@ def x_sim_index_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@register(
+    "x_sim_index_filtered_batch_topk",
+    oracle=_index_serve_oracle(
+        extra_pred=" AND a.vec_id % 2 = 1", n_queries=8, k=5
+    ),
+    tags=("extension", "similarity", "approximate"),
+    doc="FILTERED BATCH ANN serving (round 10): the production "
+    "combination — a FRAME of 8 queries, each restricted to vectors "
+    "matching a metadata predicate (vec_id%2=1), in one distributed "
+    "plan ('nearest allowed neighbors for every record WHERE "
+    "lang=en'). topk_batch(allowed=ids) applies the predicate to the "
+    "probed clusters' live candidates BEFORE ADC ranking — the same "
+    "placement as the single-query path, so every query's shortlist "
+    "is spent on qualifying vectors. The returned (query_id, vec_id, "
+    "l2_dist) rows hash-match the batch DuckDB replay with ONE extra "
+    "candidate predicate; previously this combination was only "
+    "unit-tested (operators/ann_index.py:PersistentAnnIndex."
+    "topk_batch).",
+)
+def x_sim_index_filtered_batch_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.ann_index import (
+        PersistentAnnIndex,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    n = emb.count()
+    shortlist = max(100, n // 5)
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    allowed = emb.where(F.col("vec_id") % 2 == 1).select("vec_id")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="annfb_", dir=shm)
+    try:
+        idx = PersistentAnnIndex.bootstrap(
+            spark, root, emb, centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS
+        )
+        return idx.topk_batch(
+            queries,
+            k=5,
+            nprobe=4,
+            shortlist=shortlist,
+            exclude_self=True,
+            allowed=allowed,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # HYBRID oracle for the ANN index LWW/tombstone path (round 8; round
 # 10: the served rows are VALUE-replayed): after the 4-step churn
 # (bootstrap seq 0 -> epoch-replayed append seq 2 -> tombstone delete
