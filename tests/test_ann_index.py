@@ -404,6 +404,153 @@ def test_topk_filtered_search(spark, tmp_path):
     assert [tuple(r) for r in got2] == [tuple(r) for r in inmem]
 
 
+def test_property_serve_invariants_on_random_corpora(spark, tmp_path):
+    """Property test (hypothesis): on RANDOM small corpora — arbitrary
+    sizes, values, and query choices, not just the pinned testdata —
+    the persistent serve holds its three contracts: (1) topk is
+    row-identical to the in-memory ivfpq_search under the same
+    artifacts, (2) filtered serving returns only allowed ids and
+    equals ivfpq_search on the pre-filtered frame, (3) topk_batch is
+    row-identical to a per-query loop. One index build per example
+    (max_examples kept low — Spark-per-example is the documented
+    hypothesis budget rule)."""
+    import math as _math
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iheardai_data_pipeline_spark.operators import pq
+    from iheardai_data_pipeline_spark.operators.similarity import (
+        _collect_centroids,
+    )
+
+    DIM, M, KC, NC, NPROBE = 8, 4, 4, 4, 2
+
+    def vec(seed, i):
+        return [
+            float(_math.sin(seed * 0.7 + i * 0.31 + d * 1.13))
+            + 0.05 * ((i + d) % 3)
+            for d in range(DIM)
+        ]
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        seed=st.integers(min_value=0, max_value=10_000),
+        n=st.integers(min_value=2 * KC, max_value=48),
+        modulus=st.sampled_from([2, 3]),
+    )
+    def check(seed, n, modulus):
+        emb = spark.createDataFrame(
+            [(i, vec(seed, i)) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+        norm = pq.normalize_rows(emb)
+        centroids = [
+            v
+            for _, v in _collect_centroids(
+                norm, NC, "vec_id", "embedding", "first"
+            )
+        ]
+        books = pq.pq_train(norm, m=M, k=KC, iters=1, allow_fewer=True)
+        shortlist = max(5, n // 3)
+        qid, qvec = 0, vec(seed, 0)
+        root = _tempfile.mkdtemp(prefix="prop_ann_")
+        try:
+            idx = PersistentAnnIndex.bootstrap(
+                spark, root, emb, centroids=centroids, books=books
+            )
+            got = idx.topk(
+                qvec, k=5, nprobe=NPROBE, shortlist=shortlist, exclude_id=qid
+            )
+            want = pq.ivfpq_search(
+                emb,
+                qvec,
+                k=5,
+                n_centroids=NC,
+                nprobe=NPROBE,
+                m=M,
+                k_codes=KC,
+                shortlist=shortlist,
+                exclude_id=qid,
+                seed_mode="first",
+                centroids=centroids,
+                books=books,
+            )
+            assert (
+                got.exceptAll(want).count() + want.exceptAll(got).count() == 0
+            )
+            # filtered: only allowed ids; equals in-memory on the subset
+            allowed = emb.where(F.col("vec_id") % modulus == 1).select(
+                "vec_id"
+            )
+            fgot = idx.topk(
+                qvec,
+                k=5,
+                nprobe=NPROBE,
+                shortlist=shortlist,
+                exclude_id=qid,
+                allowed=allowed,
+            )
+            assert (
+                fgot.where(F.col("vec_id") % modulus != 1).count() == 0
+            )
+            fwant = pq.ivfpq_search(
+                emb.join(allowed, "vec_id", "left_semi"),
+                qvec,
+                k=5,
+                n_centroids=NC,
+                nprobe=NPROBE,
+                m=M,
+                k_codes=KC,
+                shortlist=shortlist,
+                exclude_id=qid,
+                seed_mode="first",
+                centroids=centroids,
+                books=books,
+            )
+            assert (
+                fgot.exceptAll(fwant).count()
+                + fwant.exceptAll(fgot).count()
+                == 0
+            )
+            # batch == per-query loop (3 queries)
+            qids = [0, n // 2, n - 1]
+            queries = spark.createDataFrame(
+                [(i, vec(seed, i)) for i in qids],
+                "query_id long, embedding array<float>",
+            )
+            bgot = idx.topk_batch(
+                queries,
+                k=3,
+                nprobe=NPROBE,
+                shortlist=shortlist,
+                exclude_self=True,
+            )
+            per = None
+            for i in qids:
+                one = idx.topk(
+                    vec(seed, i),
+                    k=3,
+                    nprobe=NPROBE,
+                    shortlist=shortlist,
+                    exclude_id=i,
+                ).select(
+                    F.lit(i).cast("long").alias("query_id"),
+                    "vec_id",
+                    "l2_dist",
+                )
+                per = one if per is None else per.unionByName(one)
+            assert (
+                bgot.exceptAll(per).count() + per.exceptAll(bgot).count() == 0
+            )
+        finally:
+            _shutil.rmtree(root, ignore_errors=True)
+
+    check()
+
+
 def test_topk_batch_filtered_equals_per_query_filtered(spark, tmp_path):
     """topk_batch(allowed=) == per-query topk(allowed=) row-for-row —
     the filter lands at the identical (post-tombstone, pre-ADC) point

@@ -97,7 +97,10 @@ def main() -> int:
             and m.group(1) == m.group(2)
             and int(m.group(2)) > 0
         )
-        return ok, tail(p, 2)
+        # record the parsed tally, not the raw output tail (which is
+        # often a WARN line and useless in the round log)
+        detail = m.group(0) if m else tail(p, 2)
+        return ok, detail
 
     results.append(run("sweep", [py, "tools/sweep_oracle.py", sf], sweep_check))
     print(f"[3/6] sweep@{os.path.basename(sf)}: "

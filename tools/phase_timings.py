@@ -24,6 +24,9 @@ with stopwatches between the commits):
   gate (bloom-bitexact compare)
 - ``x_sim_index_batch_topk``: bootstrap | batch-serve | gate (8
   per-query serves + exceptAll)
+- ``x_sim_index_compact``: bootstrap+churn | serve-pre | compact |
+  serve-post (the compact row isolates the fold's own cost from the
+  churn that feeds it)
 
 Timings are min-of-N (default 2) over FULL fresh-index repeats, so
 one-time JIT/codegen amortizes the way bench.py's min-of-2 does.
@@ -223,10 +226,68 @@ def time_batch_topk(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def time_ann_compact(spark, sf_dir: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from iheardai_data_pipeline_spark.operators.ann_index import (
+        PersistentAnnIndex,
+    )
+    from iheardai_data_pipeline_spark.plans.extension_queries import (
+        _SERVE_BOOKS,
+        _SERVE_CENTROIDS,
+        _probe_vector,
+    )
+    from iheardai_data_pipeline_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    n = emb.count()
+    qid, qvec = _probe_vector(emb)
+    shortlist = max(100, n // 5)
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    b1 = emb.filter(F.col("vec_id") % 4 == 1)
+    b2 = emb.filter(F.col("vec_id") % 4 == 3)
+    deleted = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id")
+    root = _shm_tmp("pt_anncpt_")
+    out: dict[str, float] = {}
+    try:
+        t0 = time.time()
+        idx = PersistentAnnIndex.bootstrap(
+            spark, root, corpus, centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS
+        )
+        idx.append(b1, seq=2, epoch="b1")
+        idx.append(b1, seq=2, epoch="b1")
+        idx.delete(deleted, seq=3)
+        idx.append(b2, seq=4)
+        out["bootstrap+churn"] = time.time() - t0
+        t0 = time.time()
+        before = idx.topk(
+            qvec, k=10, nprobe=4, shortlist=shortlist, exclude_id=qid
+        ).localCheckpoint(eager=True)
+        out["serve-pre"] = time.time() - t0
+        t0 = time.time()
+        idx.compact()
+        out["compact"] = time.time() - t0
+        t0 = time.time()
+        after = idx.topk(
+            qvec, k=10, nprobe=4, shortlist=shortlist, exclude_id=qid
+        ).localCheckpoint(eager=True)
+        out["serve-post"] = time.time() - t0
+        assert (
+            before.exceptAll(after).count() + after.exceptAll(before).count()
+            == 0
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 ENTRIES = {
     "x_sim_index_update": time_ann_update,
     "x_dedup_indexed_exact": time_fp_exact,
     "x_sim_index_batch_topk": time_batch_topk,
+    "x_sim_index_compact": time_ann_compact,
 }
 
 
@@ -286,7 +347,11 @@ def main() -> int:
     ]
     for name, phases in results.items():
         for ph, s in phases.items():
-            bold = "**" if ph in ("serve", "batch-serve", "ingest") else ""
+            bold = (
+                "**"
+                if ph in ("serve", "batch-serve", "ingest", "compact")
+                else ""
+            )
             lines.append(f"| `{name}` | {bold}{ph}{bold} | {s:.2f} |")
         lines.append(
             f"| `{name}` | _total_ | {sum(phases.values()):.2f} |"
