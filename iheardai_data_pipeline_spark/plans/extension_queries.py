@@ -457,6 +457,90 @@ def x_sim_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Full value oracle: the per-vector cosine is the proven left-fold
+# arithmetic, MAX per group is order-independent over bit-identical
+# doubles, and the top-5 cut breaks ties by label — every stage exact
+# in both engines. Zero-norm members are excluded on both sides (a 0/0
+# cosine would NaN-poison the max, and DuckDB NaN compares GREATER —
+# the documented cross-engine trap).
+_DOC_MAXSIM_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+         sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+              list_transform(embedding::DOUBLE[], x -> x * x)), (a, b) -> a + b)) AS qn
+  FROM embeddings WHERE embedding IS NOT NULL
+  ORDER BY vec_id LIMIT 1
+),
+s AS (
+  SELECT e.label,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(list_zip(e.embedding::DOUBLE[], q.qv),
+                          z -> z[1] * z[2])), (a, b) -> a + b)
+         / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+              list_transform(e.embedding::DOUBLE[], x -> x * x)),
+              (a, b) -> a + b)) * q.qn) AS sim
+  FROM embeddings e, q
+  WHERE e.embedding IS NOT NULL AND e.vec_id <> q.qid
+    AND list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(e.embedding::DOUBLE[], x -> x * x)),
+          (a, b) -> a + b) > 0
+)
+SELECT label, round(mx, 6) AS max_sim FROM (
+  SELECT label, max(sim) AS mx,
+         row_number() OVER (ORDER BY max(sim) DESC, label ASC) AS rn
+  FROM s GROUP BY label
+) WHERE rn <= 5
+ORDER BY label
+"""
+
+
+@register(
+    "x_sim_doc_maxsim_topk",
+    oracle=_DOC_MAXSIM_ORACLE,
+    tags=("extension", "similarity"),
+    doc="MULTI-VECTOR document retrieval (round 10): each label is a "
+    "'document' whose member vectors are its chunk embeddings, and a "
+    "document scores max-over-chunks cosine to the query — the coarse "
+    "late-interaction shape (ColBERT-style MaxSim at the document "
+    "granularity; chunk-level indexing + doc-level answers is how a "
+    "100 TB retrieval corpus is actually served). One scan, the fused "
+    "cosine fold per vector, a partial-agg GROUP MAX per label (never "
+    "a per-doc collect), 5-row sort. Exact: MAX over bit-identical "
+    "doubles is aggregation-order-independent, so the whole answer "
+    "value-replays (operators/similarity.py fold discipline).",
+)
+def x_sim_doc_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from iheardai_data_pipeline_spark.sources.batch import eval_once
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    qid, qvec = _probe_vector(emb)
+    qcol = F.array(*[F.lit(float(v)) for v in qvec])
+    qn = math.sqrt(sum(float(x) * float(x) for x in qvec))
+    # norm behind a generator barrier: referenced by the zero-norm
+    # guard AND the cosine denominator (eval_once — CollapseProject
+    # would re-run the fold per reference)
+    base = eval_once(
+        emb.filter(F.col("vec_id") != qid),
+        __nrm=similarity.vector_norm(F.col("embedding")),
+    )
+    sim = similarity.dot_product(F.col("embedding"), qcol) / (
+        F.col("__nrm") * F.lit(qn)
+    )
+    rows = base.where(F.col("__nrm") > 0).select("label", sim.alias("sim"))
+    return (
+        rows.groupBy("label")
+        .agg(F.max("sim").alias("mx"))
+        .orderBy(F.desc("mx"), "label")
+        .limit(5)
+        .select("label", F.round("mx", 6).alias("max_sim"))
+        .orderBy("label")
+    )
+
+
 # Full value oracle for the IVF assignment step: seed centroids are the
 # first 16 vectors by id and the score is a LEFT-FOLD dot product times a
 # 1/|c| constant — DuckDB's list_reduce folds in the same order over the
