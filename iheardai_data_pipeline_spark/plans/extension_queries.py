@@ -1237,9 +1237,13 @@ def _index_serve_oracle(
     adc_sum = " + ".join(f"qq.l{s}[cand.c{s} + 1]" for s in range(m))
     # batch mode: every selection becomes a per-query window, the
     # queries join on qid, and zero-norm queries are excluded (the
-    # engine's topk_batch rule; single-query topk instead normalizes
-    # by qn0-or-1, so the single path keeps the unguarded division —
-    # each oracle mirrors its own engine path exactly)
+    # engine's topk_batch rule). Single-query topk instead normalizes
+    # by qn0-or-1 (ann_index.py topk's zero-norm rule), so the single
+    # path divides by CASE WHEN qn0 > 0 THEN qn0 ELSE 1.0 END — the
+    # guard is inert for the batch path (its WHERE already dropped
+    # qn0 = 0 rows) and keeps the single path from dividing by zero
+    # if a zero-norm vector ever wins min-vec_id (ADVICE r10
+    # extension_queries.py:1266).
     if n_queries > 1:
         q_limit, q_guard = f"LIMIT {n_queries}", "WHERE qn0 > 0 "
         part, qid_out = "PARTITION BY qid ", "qid AS query_id, "
@@ -1263,7 +1267,9 @@ qq AS (
          sqrt(list_reduce(list_prepend(0.0::DOUBLE,
               list_transform(v, x -> x * x)), (a, b) -> a + b)) AS qn,
          {lut_sql}
-  FROM (SELECT qid, list_transform(qraw, x -> x / qn0) AS v FROM q {q_guard})
+  FROM (SELECT qid, list_transform(qraw,
+            x -> x / (CASE WHEN qn0 > 0 THEN qn0 ELSE 1.0 END)) AS v
+        FROM q {q_guard})
 ),
 cent(cid, cvec, invn, cnrm) AS (VALUES
     {cent_values}),

@@ -179,6 +179,23 @@ def _occ_committed_epochs(commits_dir: str) -> set:
             seen.add(f)
             cached.update(epochs)
         out |= cached
+    else:
+        # No cache key means either the dir doesn't exist (nothing to
+        # read) or the generation marker is unavailable — a pre-existing
+        # store on a read-only mount, a filesystem without hard links,
+        # EPERM. Losing the CACHE there is fine; losing the SIDECAR is
+        # not: a replayed epoch older than vacuum retention would stop
+        # being recognized as committed and double-commit. So read the
+        # retired records uncached — correctness never depends on write
+        # access to the store (ADVICE r10 stores.py:167).
+        try:
+            names = os.listdir(epochs_dir)
+        except OSError:
+            names = []
+        for f in names:
+            if f.startswith("."):
+                continue
+            out.update(_read_epoch_record(os.path.join(epochs_dir, f)))
     return out
 
 

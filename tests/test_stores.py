@@ -729,6 +729,45 @@ def test_retired_epochs_fold_to_one_record_and_survive_cold_cache(
     assert st.read().collect()[0]["seq"] == 6
 
 
+def test_retired_epochs_read_without_generation_marker(
+    spark, tmp_path, monkeypatch
+):
+    """When the generation uuid can't be read OR minted (pre-existing
+    store on a read-only mount, FS without hard links, EPERM), the
+    retired-epoch CACHE is unavailable — but the sidecar must still be
+    read uncached, or a replayed epoch older than vacuum retention
+    would double-commit (ADVICE r10 stores.py:167: a None generation is
+    'always correct, just slower', and that claim must be true)."""
+    from iheardai_data_pipeline_spark.streaming import stores as st_mod
+
+    st = TransactionalParquetStore(
+        spark, str(tmp_path / "nogen"), key_cols=["k"], order_cols=["seq"]
+    )
+    upd = spark.createDataFrame([("a", 1, "x")], SCHEMA)
+
+    def fn(current):
+        if current is None:
+            return upd
+        return (
+            current.unionByName(upd)
+            .groupBy("k", "v")
+            .agg(F.sum("seq").alias("seq"))
+            .select("k", "seq", "v")
+        )
+
+    for ep in (1, 2, 3, 4):
+        st.apply(fn, epoch=ep)
+    st.vacuum(keep=1, grace_seconds=0.0)  # retires epochs 1-3
+    # simulate generation unavailability AND a cold process
+    monkeypatch.setattr(st_mod, "_epochs_generation", lambda d: None)
+    st_mod._RETIRED_EPOCH_CACHE.clear()
+    for ep in (1, 2, 3):
+        st.apply(fn, epoch=ep)  # retired epochs must STILL no-op
+    assert st.read().collect()[0]["seq"] == 4
+    st.apply(fn, epoch=5)  # a genuinely new epoch still merges
+    assert st.read().collect()[0]["seq"] == 5
+
+
 def test_recreated_store_does_not_inherit_retired_epochs(spark, tmp_path):
     """Deleting a store and recreating one at the SAME path must start
     with a clean epoch history: the retired-epoch cache is keyed by the

@@ -60,7 +60,8 @@ def time_ann_update(spark, sf_dir: str) -> dict[str, float]:
         PersistentAnnIndex,
     )
     from iheardai_data_pipeline_spark.plans.extension_queries import (
-        _ann_serving_artifacts,
+        _SERVE_BOOKS,
+        _SERVE_CENTROIDS,
         _probe_vector,
     )
     from iheardai_data_pipeline_spark.sources.batch import load_table
@@ -70,7 +71,12 @@ def time_ann_update(spark, sf_dir: str) -> dict[str, float]:
     )
     n = emb.count()
     qid, qvec = _probe_vector(emb)
-    centroids, books = _ann_serving_artifacts(spark, sf_dir, emb)
+    # the round-10 catalog entries serve under the PINNED sf0.01
+    # artifacts at every SF (the DuckDB replay embeds them as
+    # literals); the timer must use the same ones or it times a
+    # different cluster occupancy than the entry it claims to mirror
+    # (ADVICE r10 phase_timings.py:73)
+    centroids, books = _SERVE_CENTROIDS, _SERVE_BOOKS
     shortlist = max(100, n // 5)
     corpus = emb.filter(F.col("vec_id") % 2 == 0)
     b1 = emb.filter(F.col("vec_id") % 4 == 1)
@@ -174,7 +180,8 @@ def time_batch_topk(spark, sf_dir: str) -> dict[str, float]:
         PersistentAnnIndex,
     )
     from iheardai_data_pipeline_spark.plans.extension_queries import (
-        _ann_serving_artifacts,
+        _SERVE_BOOKS,
+        _SERVE_CENTROIDS,
     )
     from iheardai_data_pipeline_spark.sources.batch import load_table
 
@@ -182,7 +189,8 @@ def time_batch_topk(spark, sf_dir: str) -> dict[str, float]:
         F.col("embedding").isNotNull()
     )
     n = emb.count()
-    centroids, books = _ann_serving_artifacts(spark, sf_dir, emb)
+    # pinned artifacts — must match the catalog entry (ADVICE r10)
+    centroids, books = _SERVE_CENTROIDS, _SERVE_BOOKS
     shortlist = max(100, n // 5)
     qrows = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
