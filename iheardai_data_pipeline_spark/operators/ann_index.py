@@ -673,6 +673,104 @@ class PersistentAnnIndex:
             )
         )
 
+    def doc_topk(
+        self,
+        query_vec: list[float],
+        labels: DataFrame,
+        k_docs: int = 5,
+        chunk_k: int = 50,
+        nprobe: int = 4,
+        shortlist: int = 100,
+        exclude_id: int | None = None,
+        label_col: str = "label",
+    ) -> DataFrame:
+        """DOCUMENT-level retrieval served THROUGH the index — the
+        late-interaction (ColBERT-style MaxSim) shape at document
+        granularity: chunks are indexed, documents are answered. A
+        document's score is its best chunk's distance among the
+        ``chunk_k`` index-served chunks (min L2 over unit vectors ==
+        max cosine — the MaxSim reduction), and the top ``k_docs``
+        documents are returned as (label, best_l2) ascending.
+
+        This is the 100 TB replacement for a per-query full-corpus
+        MaxSim scan (plans/extension_queries.py:x_sim_doc_maxsim_topk
+        keeps the exact brute-force baseline): the chunk retrieval is
+        the existing bucket-pruned :meth:`topk` — ONLY the ``nprobe``
+        probed clusters' code/vector buckets are read, never the
+        corpus — and the doc reduction is a broadcast join of the tiny
+        chunk shortlist onto the label mapping plus one partial-agg
+        group MIN. Approximation semantics are the index's: a document
+        whose every chunk lives in non-probed clusters is missed, the
+        same way :meth:`topk` misses those chunks.
+
+        ``labels``: (id_col, label_col) mapping — typically a
+        projection of the source table; only the rows matching the
+        served chunks are ever materialized past the join.
+        """
+        chunks = self.topk(
+            query_vec,
+            k=chunk_k,
+            nprobe=nprobe,
+            shortlist=shortlist,
+            exclude_id=exclude_id,
+        )
+        return (
+            labels.select(self.id_col, label_col)
+            # the chunk shortlist is <= chunk_k rows — broadcast it so
+            # the label mapping is filtered in place, never shuffled
+            .join(F.broadcast(chunks), self.id_col)
+            .groupBy(label_col)
+            .agg(F.min("l2_dist").alias("best_l2"))
+            .orderBy("best_l2", label_col)
+            .limit(k_docs)
+            .orderBy(label_col)
+            .select(label_col, "best_l2")
+        )
+
+    def doc_topk_batch(
+        self,
+        queries: DataFrame,
+        labels: DataFrame,
+        k_docs: int = 5,
+        chunk_k: int = 50,
+        nprobe: int = 4,
+        shortlist: int = 100,
+        query_id_col: str = "query_id",
+        query_vec_col: str | None = None,
+        exclude_self: bool = False,
+        allowed: DataFrame | None = None,
+        label_col: str = "label",
+    ) -> DataFrame:
+        """Batch twin of :meth:`doc_topk`: document-level answers for a
+        FRAME of queries in one distributed plan. The chunk retrieval
+        is :meth:`topk_batch` (row-local probe ranking + ADC tables,
+        bucket-pruned store reads, per-query windows — no driver
+        loop); the doc reduction groups (query, label) to the best
+        chunk distance and window-cuts ``k_docs`` per query, REUSING
+        the query-keyed exchange the serve windows already built.
+        Returns (query_id, label, best_l2); per-query rows are
+        identical to a :meth:`doc_topk` loop with the same parameters
+        (pinned by test)."""
+        chunks = self.topk_batch(
+            queries,
+            k=chunk_k,
+            nprobe=nprobe,
+            shortlist=shortlist,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            exclude_self=exclude_self,
+            allowed=allowed,
+        )
+        w = Window.partitionBy(query_id_col).orderBy("best_l2", label_col)
+        return (
+            chunks.join(labels.select(self.id_col, label_col), self.id_col)
+            .groupBy(query_id_col, label_col)
+            .agg(F.min("l2_dist").alias("best_l2"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k_docs)
+            .select(query_id_col, label_col, "best_l2")
+        )
+
     def compact(self) -> None:
         """Fold append-dir lists + drop replayed duplicate rows; with
         tombstones present, also the VACUUM of the upsert model — each

@@ -1573,6 +1573,148 @@ def x_sim_index_filtered_batch_topk(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _doc_serve_oracle(
+    n_queries: int = 1, chunk_k: int = 50, k_docs: int = 5
+) -> str:
+    """DuckDB replay of PersistentAnnIndex.doc_topk / doc_topk_batch:
+    the full chunk-level serve replay (_index_serve_oracle — probe
+    ranking, PQ encode, ADC shortlist, exact re-rank, identical fold
+    arithmetic) wrapped in the document reduction: join the served
+    chunks' labels, MIN the rounded chunk distance per (query,)
+    document, window-cut k_docs per query ordered (best_l2 ASC, label
+    ASC). MIN over the already-rounded l2_dist doubles is order-
+    independent, and the tie-break is total, so the doc-level answer
+    value-replays end-to-end — a divergence anywhere in the serve OR
+    the reduction fails the hash."""
+    serve = _index_serve_oracle(n_queries=n_queries, k=chunk_k)
+    if n_queries > 1:
+        part, qid_out, qid_grp = "PARTITION BY s.query_id ", "query_id, ", "s.query_id, "
+        order = "ORDER BY query_id, label"
+    else:
+        part, qid_out, qid_grp = "", "", ""
+        order = "ORDER BY label"
+    return f"""
+WITH serve AS ({serve})
+SELECT {qid_out}label, best_l2 FROM (
+  SELECT {qid_grp}e.label, min(s.l2_dist) AS best_l2,
+         row_number() OVER ({part}ORDER BY min(s.l2_dist) ASC, e.label ASC) AS rn
+  FROM serve s JOIN embeddings e ON s.vec_id = e.vec_id
+  GROUP BY {qid_grp}e.label
+) WHERE rn <= {k_docs}
+{order}
+"""
+
+
+@register(
+    "x_sim_doc_maxsim_index",
+    oracle=_doc_serve_oracle(),
+    tags=("extension", "similarity", "approximate"),
+    doc="INDEX-SERVED multi-vector document retrieval (round 11): the "
+    "100 TB shape of x_sim_doc_maxsim_topk, whose exact brute-force "
+    "scan stays as the baseline. Chunks (label members) are indexed "
+    "once into the PersistentAnnIndex; doc_topk() serves the query's "
+    "top-50 chunks through the bucket-pruned topk path (ONLY the 4 "
+    "probed clusters' buckets are read, never the corpus), broadcast-"
+    "joins the tiny chunk shortlist onto the label mapping, and "
+    "reduces each document to its best chunk distance (min L2 over "
+    "unit vectors == MaxSim) — top-5 docs as (label, best_l2). The "
+    "answer hash-matches a DuckDB replay of the ENTIRE pipeline: the "
+    "full chunk serve replay (_index_serve_oracle) plus the identical "
+    "doc reduction (operators/ann_index.py:PersistentAnnIndex."
+    "doc_topk).",
+)
+def x_sim_doc_maxsim_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.ann_index import (
+        PersistentAnnIndex,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    n = emb.count()
+    qid, qvec = _probe_vector(emb)
+    shortlist = max(100, n // 5)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="anndoc_", dir=shm)
+    try:
+        idx = PersistentAnnIndex.bootstrap(
+            spark, root, emb, centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS
+        )
+        return idx.doc_topk(
+            qvec,
+            labels=emb.select("vec_id", "label"),
+            k_docs=5,
+            chunk_k=50,
+            nprobe=4,
+            shortlist=shortlist,
+            exclude_id=qid,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "x_sim_doc_maxsim_index_batch",
+    oracle=_doc_serve_oracle(n_queries=8),
+    tags=("extension", "similarity", "approximate"),
+    doc="BATCH index-served document retrieval (round 11): doc-level "
+    "answers for a FRAME of 8 queries in one distributed plan — "
+    "doc_topk_batch composes the bucket-pruned topk_batch chunk serve "
+    "(row-local probe ranking + ADC tables, per-query windows, no "
+    "driver loop) with a (query, label) group-MIN and a k_docs window "
+    "that reuses the serve's query-keyed exchange. (query_id, label, "
+    "best_l2) rows hash-match the DuckDB batch serve replay + doc "
+    "reduction (operators/ann_index.py:PersistentAnnIndex."
+    "doc_topk_batch).",
+)
+def x_sim_doc_maxsim_index_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.ann_index import (
+        PersistentAnnIndex,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    n = emb.count()
+    shortlist = max(100, n // 5)
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="anndocb_", dir=shm)
+    try:
+        idx = PersistentAnnIndex.bootstrap(
+            spark, root, emb, centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS
+        )
+        return (
+            idx.doc_topk_batch(
+                queries,
+                labels=emb.select("vec_id", "label"),
+                k_docs=5,
+                chunk_k=50,
+                nprobe=4,
+                shortlist=shortlist,
+                exclude_self=True,
+            )
+            .orderBy("query_id", "label")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # HYBRID oracle for the ANN index LWW/tombstone path (round 8; round
 # 10: the served rows are VALUE-replayed): after the 4-step churn
 # (bootstrap seq 0 -> epoch-replayed append seq 2 -> tombstone delete

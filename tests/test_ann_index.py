@@ -594,3 +594,124 @@ def test_topk_batch_filtered_equals_per_query_filtered(spark, tmp_path):
     )
     assert got == want
     assert got and all(vid % 2 == 1 for _, vid, _ in got)
+
+
+def _labels(corpus):
+    # _corpus ids are 100*d + j — the hundreds digit is the "document"
+    return corpus.select(
+        "vec_id", (F.col("vec_id") / 100).cast("long").alias("label")
+    )
+
+
+def test_doc_topk_is_grouped_min_of_chunk_serve(spark, tmp_path):
+    """doc_topk must be EXACTLY topk -> label join -> per-label MIN ->
+    (best_l2, label) cut — no extra arithmetic, no re-ranking of its
+    own. The MaxSim reduction: min L2 over unit vectors == max cosine."""
+    corpus = _corpus(spark)
+    cents, books = _artifacts(spark, corpus)
+    idx = PersistentAnnIndex.bootstrap(
+        spark, str(tmp_path / "anndoc"), corpus, centroids=cents, books=books
+    )
+    labels = _labels(corpus)
+    q = [0.0, 1.0, 0.3, 0.0, 0.0, 0.0, 0.0, 0.0]
+    got = sorted(
+        tuple(r)
+        for r in idx.doc_topk(
+            q, labels, k_docs=2, chunk_k=12, nprobe=2, shortlist=20
+        ).collect()
+    )
+    chunks = idx.topk(q, k=12, nprobe=2, shortlist=20).collect()
+    by_label: dict = {}
+    for r in chunks:
+        lab = r["vec_id"] // 100
+        d = r["l2_dist"]
+        by_label[lab] = min(by_label.get(lab, d), d)
+    want = sorted(
+        sorted(by_label.items(), key=lambda kv: (kv[1], kv[0]))[:2]
+    )
+    assert got == [(lab, d) for lab, d in want]
+    assert len(got) == 2
+
+
+def test_doc_topk_batch_row_identical_to_per_query_loop(spark, tmp_path):
+    """doc_topk_batch == a per-query doc_topk loop row-for-row (same
+    float32-rounded query values on both paths — the array<float>
+    frame rule)."""
+    import struct
+
+    def f32(xs):
+        return [struct.unpack("f", struct.pack("f", x))[0] for x in xs]
+
+    corpus = _corpus(spark)
+    cents, books = _artifacts(spark, corpus)
+    idx = PersistentAnnIndex.bootstrap(
+        spark, str(tmp_path / "anndb"), corpus, centroids=cents, books=books
+    )
+    labels = _labels(corpus)
+    qrows = [
+        (0, _unit(0)),
+        (1, [0.0, 1.0, 0.3, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (107, [x * 0.99 for x in _unit(1)]),
+    ]
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in qrows],
+        "query_id long, embedding array<float>",
+    )
+    got = sorted(
+        tuple(r)
+        for r in idx.doc_topk_batch(
+            queries,
+            labels,
+            k_docs=3,
+            chunk_k=12,
+            nprobe=2,
+            shortlist=20,
+            exclude_self=True,
+        ).collect()
+    )
+    want = sorted(
+        (qid, r["label"], r["best_l2"])
+        for qid, qv in qrows
+        for r in idx.doc_topk(
+            f32(qv),
+            labels,
+            k_docs=3,
+            chunk_k=12,
+            nprobe=2,
+            shortlist=20,
+            exclude_id=qid,
+        ).collect()
+    )
+    assert got == want
+    assert got  # non-vacuous
+
+
+def test_doc_topk_reads_only_probed_buckets(spark, tmp_path):
+    """The doc-level serve must inherit topk's bucket pruning: at a
+    pruned layout, the WHOLE doc_topk plan reads only the probed
+    cluster's codes/vectors buckets — the label mapping adds no store
+    scan (it is the in-memory corpus projection here; at scale it is
+    a column-pruned source-table read, never an index read)."""
+    corpus = _corpus(spark)
+    cents, books = _artifacts(spark, corpus)
+    idx = PersistentAnnIndex.bootstrap(
+        spark, str(tmp_path / "anndp"), corpus,
+        centroids=cents, books=books, n_buckets=256,
+    )
+    assert idx._prune_probes
+    out = idx.doc_topk(
+        _unit(3), _labels(corpus), k_docs=2, chunk_k=6, nprobe=1,
+        shortlist=10,
+    )
+    buckets = {
+        f.split("__bucket=")[1].split("/")[0]
+        for f in out.inputFiles()
+        if "__bucket=" in f
+    }
+    manifest = (idx._store._manifest(idx._store.current_version()) or {}).get(
+        "codes"
+    )
+    # one probed cluster -> that cluster's codes+vectors buckets only
+    assert len(buckets) == 1 < len(manifest)
+    got = out.collect()
+    assert got and got[0]["label"] == 3
