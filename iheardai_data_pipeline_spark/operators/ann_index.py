@@ -673,6 +673,61 @@ class PersistentAnnIndex:
             )
         )
 
+    def merge(self, other: "PersistentAnnIndex", epoch=None) -> None:
+        """Fold another SHARD's entire versioned state into this index
+        — how a 100 TB corpus is actually indexed: per-shard builds
+        (embarrassingly parallel, each an independent bootstrap+append
+        pipeline) followed by pairwise/treewise merges into the serving
+        index.
+
+        Correctness model: both shards must be pinned to the SAME
+        artifacts (centroids + codebooks) — assignments and PQ codes
+        from different artifacts are not comparable, so mismatched
+        artifacts raise. Rows are carried VERBATIM, version stamps
+        included, so the merged index is row-equal to one index that
+        received every shard's appends/deletes directly: LWW collapse
+        (greatest seq wins, tombstone wins ties) resolves overlapping
+        ids exactly as it would have in a single index, provided seq
+        values are globally meaningful across shards (disjoint-corpus
+        shards — the normal sharding — are trivially exact). Tombstone
+        state propagates: if the shard ever deleted, the merged index
+        serves LWW-collapsed from the first post-merge read.
+
+        Cost: ONE atomic O(shard) commit (the shard's rows shuffle
+        once into this store's bucket layout); nothing scales with the
+        destination index's size. ``epoch`` makes a crash-replayed
+        merge idempotent. The source index is left untouched."""
+        if other.centroids != self.centroids or other.books != self.books:
+            raise ValueError(
+                "refusing to merge ANN shards pinned to different "
+                "artifacts — assignments and PQ codes are only "
+                "comparable under one (centroids, books) pair"
+            )
+        oc, sc = other.id_col, self.id_col
+        ov, sv = other.vec_col, self.vec_col
+        upd = {}
+        for rel, payload in (
+            ("codes", ["codes", "centroid_id"]),
+            ("vectors", [ov, "centroid_id"]),
+            ("ids", ["centroid_id"]),
+        ):
+            rows = other._store.read(rel)
+            if rows is None:
+                return  # empty shard: nothing to merge
+            cols = [F.col(oc).alias(sc)]
+            for c in payload:
+                cols.append(F.col(c).alias(sv if c == ov else c))
+            upd[rel] = rows.select(*cols, "seq", "live")
+        if other._has_tombstones:
+            # flag BEFORE the commit (delete()'s ordering): a reader
+            # that sees merged tombstones must already LWW-collapse
+            try:
+                with open(self._flag_path, "x"):
+                    pass
+            except FileExistsError:
+                pass
+        self._store.append_keyed(upd, epoch=epoch)
+
     def doc_topk(
         self,
         query_vec: list[float],

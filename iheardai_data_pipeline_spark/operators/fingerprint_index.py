@@ -335,6 +335,50 @@ class FingerprintIndex:
         self._index_fps(survivors, epoch)
         return survivors
 
+    def merge(self, other: "FingerprintIndex", epoch=None) -> None:
+        """Fold another SHARD's state into this index — the per-shard
+        build + merge topology for a 100 TB exact-dedup corpus. Both
+        shards must share the Bloom layout (``m``, ``k``): bits from
+        different layouts cannot be OR-merged, so a mismatch raises.
+
+        Semantics: the merged fingerprint relation is the UNION of the
+        shards' relations, and the Bloom OR is the bit-union — so the
+        merged gate rejects exactly the contents either shard has seen
+        (membership joins are multiset-insensitive; a content stored by
+        both shards is represented once per shard until ``compact``,
+        harmlessly). Shards built on DISJOINT doc_id ranges preserve
+        the replay guard exactly; overlapping shards only strengthen
+        the gate (more stored introducers, never fewer).
+
+        Cost: ONE atomic O(shard) commit; the driver word cache is
+        invalidated (the next :meth:`words` re-folds — the merged
+        bitmap is the OR of everything stored, by the bit relation's
+        union algebra). ``epoch`` makes a replayed merge idempotent."""
+        if (other.m, other.k) != (self.m, self.k):
+            raise ValueError(
+                f"refusing to merge Bloom layouts m={other.m},k={other.k} "
+                f"into m={self.m},k={self.k} — bits are not OR-comparable"
+            )
+        fps = other._store.read("fingerprints")
+        bits = other._store.read("bloom_bits")
+        if fps is None or bits is None:
+            return  # empty shard
+        ofp, oic = other.fp_col, other.id_col
+        self._store.append_keyed(
+            {
+                "fingerprints": fps.select(
+                    F.col(ofp).alias(self.fp_col),
+                    F.col(oic).alias(self.id_col),
+                ),
+                "bloom_bits": bits.select("bit").dropDuplicates(["bit"]),
+            },
+            epoch=epoch,
+        )
+        # foreign bits aren't in the cache — drop it; next words()
+        # re-folds from the store (the _index_fps foreign-commit rule)
+        self._words = None
+        self._words_version = -1
+
     def compact(self) -> None:
         """Fold append-dir lists + drop rows duplicated by un-epoched
         replays (results never depend on them — the fingerprint

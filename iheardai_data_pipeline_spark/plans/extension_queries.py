@@ -1906,6 +1906,71 @@ def x_sim_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@register(
+    "x_sim_index_merge",
+    oracle=_index_serve_oracle(corpus_pred=" AND vec_id % 10 <> 0"),
+    tags=("extension", "similarity", "approximate"),
+    doc="Persistent ANN SHARD MERGE (round 11): how a 100 TB corpus is "
+    "actually indexed — per-shard builds (embarrassingly parallel), "
+    "then merge() folds a shard's entire versioned state into the "
+    "serving index in ONE atomic O(shard) commit, version stamps "
+    "carried verbatim so LWW order is preserved across the merge. "
+    "Here shard A (vec_id%2==0) also carries a tombstone delete "
+    "(%10==0, seq 3) to prove deletes survive merging; shard B is the "
+    "odd half. After merge(B -> A), the serve must hash-match the "
+    "DuckDB replay over the UNION's final logical state (all vectors "
+    "minus the deleted) — exactly the union-built-index replay, so a "
+    "dropped shard row, a stamp rewritten in transit, or a tombstone "
+    "that failed to propagate all change the served multiset "
+    "(operators/ann_index.py:PersistentAnnIndex.merge).",
+)
+def x_sim_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.ann_index import (
+        PersistentAnnIndex,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    n = emb.count()
+    qid, qvec = _probe_vector(emb)
+    shortlist = max(100, n // 5)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    deleted = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root_a = tempfile.mkdtemp(prefix="annmrg_a_", dir=shm)
+    root_b = tempfile.mkdtemp(prefix="annmrg_b_", dir=shm)
+    try:
+        shard_a = PersistentAnnIndex.bootstrap(
+            spark,
+            root_a,
+            half_a,
+            centroids=_SERVE_CENTROIDS,
+            books=_SERVE_BOOKS,
+        )
+        shard_a.delete(deleted, seq=3)
+        shard_b = PersistentAnnIndex.bootstrap(
+            spark,
+            root_b,
+            half_b,
+            centroids=_SERVE_CENTROIDS,
+            books=_SERVE_BOOKS,
+        )
+        shard_a.merge(shard_b, epoch="merge-b")
+        shard_a.merge(shard_b, epoch="merge-b")  # replay: must no-op
+        return shard_a.topk(
+            qvec, k=10, nprobe=4, shortlist=shortlist, exclude_id=qid
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root_a, ignore_errors=True)
+        shutil.rmtree(root_b, ignore_errors=True)
+
+
 # --- text analysis ---------------------------------------------------------------
 
 _STOPWORDS_SQL = ", ".join(f"'{w}'" for w in text.QUALITY_STOPWORDS)
@@ -3139,6 +3204,81 @@ def x_dedup_indexed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "x_dedup_indexed_merge",
+    oracle=_INDEXED_EXACT_ORACLE,
+    tags=("extension", "dedup", "incremental", "sketch"),
+    doc="FingerprintIndex SHARD MERGE (round 11): two exact-dedup "
+    "shards built independently on disjoint corpus halves "
+    "(doc_id%3==1 and %3==2), merge() folds shard B's fingerprint + "
+    "Bloom-bit relations into A in one atomic O(shard) commit (bit "
+    "union == OR — the relation's merge algebra), then the incoming "
+    "batch (doc_id%3==0) ingests through the MERGED index. Survivors "
+    "must equal the one-shot incremental answer against the whole "
+    "corpus (the x_dedup_indexed_exact oracle, unchanged — merge must "
+    "be invisible to the gate) — a fingerprint lost in the merge "
+    "admits a duplicate and fails the hash — and the merged bit "
+    "relation must equal a one-shot bloom_build over all stored "
+    "fingerprints (the pinned bloom_bitexact gate) "
+    "(operators/fingerprint_index.py:FingerprintIndex.merge).",
+)
+def x_dedup_indexed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.fingerprint_index import (
+        FingerprintIndex,
+    )
+    from iheardai_data_pipeline_spark.operators.sketch import bloom_build
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    n_docs = docs.count()
+    half_a = docs.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text")
+    half_b = docs.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text")
+    incoming = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "lang", "text"
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root_a = tempfile.mkdtemp(prefix="fpmrg_a_", dir=shm)
+    root_b = tempfile.mkdtemp(prefix="fpmrg_b_", dir=shm)
+    try:
+        shard_a = FingerprintIndex(spark, root_a, expected_docs=n_docs)
+        shard_a.append(half_a)
+        shard_b = FingerprintIndex(spark, root_b, expected_docs=n_docs)
+        shard_b.append(half_b)
+        shard_a.merge(shard_b, epoch="merge-b")
+        shard_a.merge(shard_b, epoch="merge-b")  # replay: must no-op
+        kept = shard_a.ingest(incoming).select("doc_id", "lang", "fingerprint")
+        # merged-Bloom gate: merged bit relation == one-shot build over
+        # ALL stored fingerprints (exact by the union algebra)
+        stored_bits = (
+            shard_a._store.read("bloom_bits")
+            .select("bit")
+            .dropDuplicates(["bit"])
+        )
+        one_shot = bloom_build(
+            shard_a._store.read("fingerprints")
+            .select("fingerprint")
+            .distinct(),
+            "fingerprint",
+            m=shard_a.m,
+            k=shard_a.k,
+        )
+        diff = (
+            stored_bits.exceptAll(one_shot).count()
+            + one_shot.exceptAll(stored_bits).count()
+        )
+        return kept.withColumn(
+            "bloom_bitexact", F.lit(diff == 0)
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root_a, ignore_errors=True)
+        shutil.rmtree(root_b, ignore_errors=True)
 
 
 # --- int8 embedding quantization --------------------------------------------------

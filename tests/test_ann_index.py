@@ -715,3 +715,79 @@ def test_doc_topk_reads_only_probed_buckets(spark, tmp_path):
     assert len(buckets) == 1 < len(manifest)
     got = out.collect()
     assert got and got[0]["label"] == 3
+
+
+def test_merge_disjoint_shards_serve_like_union_build(spark, tmp_path):
+    """merge() of two disjoint-corpus shards must serve row-identically
+    to ONE index bootstrapped on the union — stamps carried verbatim,
+    no row lost or rewritten in transit."""
+    corpus = _corpus(spark)
+    cents, books = _artifacts(spark, corpus)
+    half_a = corpus.where(F.col("vec_id") % 2 == 0)
+    half_b = corpus.where(F.col("vec_id") % 2 == 1)
+    a = PersistentAnnIndex.bootstrap(
+        spark, str(tmp_path / "mrg_a"), half_a, centroids=cents, books=books
+    )
+    b = PersistentAnnIndex.bootstrap(
+        spark, str(tmp_path / "mrg_b"), half_b, centroids=cents, books=books
+    )
+    a.merge(b, epoch="m1")
+    a.merge(b, epoch="m1")  # replayed merge must no-op
+    union = PersistentAnnIndex.bootstrap(
+        spark, str(tmp_path / "mrg_u"), corpus, centroids=cents, books=books
+    )
+    q = [0.0, 1.0, 0.3, 0.0, 0.0, 0.0, 0.0, 0.0]
+    got = a.topk(q, k=8, nprobe=2, shortlist=20)
+    want = union.topk(q, k=8, nprobe=2, shortlist=20)
+    assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
+    # replay really no-opped: one physical row per corpus id
+    assert a._store.read("codes").count() == corpus.count()
+
+
+def test_merge_carries_tombstones_and_lww_order(spark, tmp_path):
+    """A shard's tombstones must keep killing after the merge (the
+    flag propagates, stamps survive verbatim), and an id present in
+    both shards resolves by GLOBAL seq order — greatest seq wins
+    regardless of merge direction."""
+    corpus = _corpus(spark)
+    cents, books = _artifacts(spark, corpus)
+    a = PersistentAnnIndex.bootstrap(
+        spark, str(tmp_path / "lww_a"),
+        corpus.where(F.col("vec_id") % 2 == 0), centroids=cents, books=books,
+    )
+    b = PersistentAnnIndex.bootstrap(
+        spark, str(tmp_path / "lww_b"),
+        corpus.where(F.col("vec_id") % 2 == 1), centroids=cents, books=books,
+    )
+    # shard B: id 9000 appended at seq 1 on direction 1
+    b.append(_vecs(spark, [(9000, _unit(1))]), seq=1)
+    # shard A: id 9000 moved to direction 3 at seq 5 (the later write),
+    # and id 300 deleted at seq 2
+    a.append(_vecs(spark, [(9000, _unit(3))]), seq=5)
+    a.delete(spark.createDataFrame([(300,)], "vec_id long"), seq=2)
+    a.merge(b)
+    assert a._has_tombstones
+    # the deleted id never serves
+    got = a.topk(_unit(3), k=40, nprobe=4, shortlist=60).collect()
+    assert all(r["vec_id"] != 300 for r in got)
+    # 9000 serves under shard A's LATER write (direction 3, not 1)
+    top3 = a.topk(_unit(3), k=1, nprobe=2, shortlist=20).collect()
+    assert top3[0]["vec_id"] == 9000
+    top1 = a.topk(_unit(1), k=1, nprobe=2, shortlist=20).collect()
+    assert top1[0]["vec_id"] != 9000
+
+
+def test_merge_refuses_mismatched_artifacts(spark, tmp_path):
+    corpus = _corpus(spark)
+    cents, books = _artifacts(spark, corpus)
+    cents2 = [list(reversed(c)) for c in cents]
+    a = PersistentAnnIndex.bootstrap(
+        spark, str(tmp_path / "art_a"), corpus, centroids=cents, books=books
+    )
+    b = PersistentAnnIndex.bootstrap(
+        spark, str(tmp_path / "art_b"), corpus, centroids=cents2, books=books
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different"):
+        a.merge(b)

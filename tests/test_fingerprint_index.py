@@ -190,3 +190,65 @@ def test_words_cache_stays_warm_single_writer(spark, tmp_path):
     idx.ingest(_docs(spark, [(2, "two")]))
     assert idx._words is not None
     assert idx._words_version == v1 + 1 == idx._store.current_version()
+
+
+def test_merge_gate_equals_single_index(spark, tmp_path):
+    """Two shards built on disjoint corpus halves, merged, must gate an
+    incoming batch EXACTLY like one index that indexed the whole
+    corpus — and like the one-shot incremental answer. A lost
+    fingerprint admits a duplicate; a lost Bloom bit only unprunes
+    (no false negatives), so the survivor comparison catches the
+    former and the bit comparison below the latter."""
+    from iheardai_data_pipeline_spark.operators.sketch import bloom_build
+
+    rows = _corpus_rows()
+    half_a = [r for r in rows if r[0] % 2 == 0]
+    half_b = [r for r in rows if r[0] % 2 == 1]
+    a = FingerprintIndex(spark, str(tmp_path / "mrg_a"))
+    a.append(_docs(spark, half_a))
+    b = FingerprintIndex(spark, str(tmp_path / "mrg_b"))
+    b.append(_docs(spark, half_b))
+    a.merge(b, epoch="m1")
+    a.merge(b, epoch="m1")  # replayed merge: no duplicate state
+    got = sorted(
+        tuple(r)
+        for r in a.ingest(_docs(spark, _incoming_rows()))
+        .select("doc_id", "fingerprint")
+        .collect()
+    )
+    assert got == _one_shot(spark, rows, _incoming_rows())
+    # merged bits == one-shot build over all stored fingerprints
+    stored = a._store.read("bloom_bits").select("bit").dropDuplicates(["bit"])
+    one_shot = bloom_build(
+        a._store.read("fingerprints").select("fingerprint").distinct(),
+        "fingerprint",
+        m=a.m,
+        k=a.k,
+    )
+    assert (
+        stored.exceptAll(one_shot).count()
+        + one_shot.exceptAll(stored).count()
+        == 0
+    )
+
+
+def test_merge_refuses_mismatched_bloom_layout(spark, tmp_path):
+    a = FingerprintIndex(spark, str(tmp_path / "lay_a"), m=4096, k=6)
+    b = FingerprintIndex(spark, str(tmp_path / "lay_b"), m=2048, k=6)
+    b.append(_docs(spark, [(1, "x")]))
+    with pytest.raises(ValueError, match="OR-comparable"):
+        a.merge(b)
+
+
+def test_merge_invalidates_words_cache(spark, tmp_path):
+    """After a merge, the driver bitmap must include the shard's bits
+    — the cache is dropped and the next words() re-folds, so a
+    post-merge ingest classifies shard-B contents as maybe-present."""
+    a = FingerprintIndex(spark, str(tmp_path / "wc_a"))
+    a.append(_docs(spark, [(1, "alpha")]))
+    _ = a.words()  # warm the cache pre-merge
+    b = FingerprintIndex(spark, str(tmp_path / "wc_b"))
+    b.append(_docs(spark, [(2, "bravo")]))
+    a.merge(b)
+    kept = a.ingest(_docs(spark, [(10, "bravo"), (11, "charlie")]))
+    assert [r["doc_id"] for r in kept.select("doc_id").collect()] == [11]
