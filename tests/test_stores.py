@@ -837,3 +837,87 @@ def test_epochs_cache_key_survives_inode_recycling(tmp_path, monkeypatch):
     assert k2 != k1  # ...and the generation uuid still separates them
     # same dir, same generation: the key is stable across calls
     assert st_mod._epochs_cache_key(d) == k2
+
+
+def test_concurrent_streams_interleave_appends_exact_union(spark, tmp_path):
+    """STREAM-level concurrent-writer proof (unit-level OCC races are
+    covered above): two availableNow streaming queries run
+    CONCURRENTLY, each foreachBatch apply()-appending its own disjoint
+    batches to ONE TransactionalParquetStore. A deliberate sleep
+    between each apply's read and its commit widens the lost-update
+    window, so commits genuinely interleave and losers re-merge
+    through the retry loop. The final state must be the EXACT union of
+    every batch — a clobbered commit loses rows, a double commit
+    duplicates them — and every (writer, batch) epoch must appear in
+    exactly one commit marker."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    store = TransactionalParquetStore(
+        spark, str(tmp_path / "ccw"), key_cols=["k"], order_cols=["seq"]
+    )
+    srcs = []
+    all_rows: list[tuple] = []
+    for w in (1, 2):
+        src = str(tmp_path / f"src{w}")
+        _os.makedirs(src)
+        for b in range(4):
+            rows = [
+                (f"w{w}-b{b}-r{i}", 10 * w + b, f"v{w}") for i in range(5)
+            ]
+            all_rows.extend(rows)
+            spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+                _os.path.join(src, f"part{b}")
+            )
+        srcs.append(src)
+
+    def make_sink(w):
+        def sink(batch, batch_id):
+            rows = batch.localCheckpoint(eager=True)
+
+            def fn(current):
+                merged = (
+                    rows
+                    if current is None
+                    else current.unionByName(rows)
+                )
+                _time.sleep(0.05)  # widen the read->commit race window
+                return merged
+
+            store.apply(fn, epoch=f"w{w}-{batch_id}")
+
+        return sink
+
+    queries = []
+    for w, src in zip((1, 2), srcs):
+        q = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
+            .writeStream.foreachBatch(make_sink(w))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ckpt{w}"))
+            .start()
+        )
+        queries.append(q)
+    for q in queries:
+        q.awaitTermination()
+
+    got = sorted(tuple(r) for r in store.read().collect())
+    assert got == sorted(all_rows)
+    # every epoch committed exactly once, 8 commits total
+    commits_dir = store._commits_dir()
+    epochs = []
+    for f in _os.listdir(commits_dir):
+        if f.isdigit():
+            with open(_os.path.join(commits_dir, f)) as fh:
+                e = _json.load(fh).get("epoch")
+            if e is not None:
+                epochs.append(e)
+    assert sorted(epochs) == sorted(
+        f"w{w}-{b}" for w in (1, 2) for b in range(4)
+    )
+    assert store.current_version() == 8

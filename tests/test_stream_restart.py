@@ -265,3 +265,187 @@ def test_t21_ann_checkpoint_restart_replays_append_as_noop(spark, tmp_path):
     got = idx.topk(vec(0), k=5, nprobe=4, shortlist=20, exclude_id=0)
     want = one_shot.topk(vec(0), k=5, nprobe=4, shortlist=20, exclude_id=0)
     assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
+
+
+def test_t13_neardup_checkpoint_restart_replays_as_noop(spark, tmp_path):
+    """t20's restart proof for the BAND index (t13's shape): crash
+    after a batch's side effects (band append committed + per-batch
+    parquet written), restart from the same checkpoint with a
+    reopened index — the replayed epoch must no-op in the store (no
+    duplicate band rows) and the final accepted set must equal the
+    one-shot incremental answer."""
+    from iheardai_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+    from iheardai_data_pipeline_spark.operators.neardup_index import (
+        MinHashBandIndex,
+    )
+
+    base = " ".join(f"w{i}" for i in range(30))
+    uniq = " ".join(f"u{i}" for i in range(30))
+    other = " ".join(f"v{i}" for i in range(30))
+    third = " ".join(f"t{i}" for i in range(30))
+    corpus_rows = [(100, base), (101, other)]
+    parts = [
+        [(1, base + " extra"), (2, uniq), (3, uniq + " tail")],
+        [(10, other + " more"), (11, third), (12, uniq + " tail2")],
+        [(20, third + " x"), (21, " ".join(f"z{i}" for i in range(30)))],
+    ]
+    schema = "doc_id long, text string"
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+    idx_path = str(tmp_path / "idx")
+    crash_flag = str(tmp_path / "crashed-once")
+    os.makedirs(src_dir)
+    for i, part in enumerate(parts):
+        spark.createDataFrame(part, schema).coalesce(1).write.parquet(
+            os.path.join(src_dir, f"part{i}")
+        )
+    MinHashBandIndex(spark, idx_path, threshold=0.7).append(
+        spark.createDataFrame(corpus_rows, schema)
+    )
+
+    def run_attempt():
+        idx = MinHashBandIndex(spark, idx_path, threshold=0.7)  # reopen
+
+        def ingest(batch, batch_id):
+            idx.ingest(batch, epoch=f"t13r-{batch_id}").select(
+                "doc_id"
+            ).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"b={batch_id}")
+            )
+            if batch_id == 1 and not os.path.exists(crash_flag):
+                with open(crash_flag, "w") as fh:
+                    fh.write("crashed once")
+                raise RuntimeError("injected crash after band append")
+
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src_dir)
+            .writeStream.foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+            .awaitTermination()
+        )
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        run_attempt()
+    run_attempt()  # recovery: batch 1 replays (same epoch -> no-op)
+
+    got = {
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    }
+    incoming = spark.createDataFrame(
+        [r for p in parts for r in p], schema
+    )
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    want = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup(
+            incoming, corpus, threshold=0.7
+        ).collect()
+    }
+    assert got == want
+    # replayed epoch really no-opped: no duplicate (doc, band) rows
+    bands = MinHashBandIndex(spark, idx_path, threshold=0.7)._store.read(
+        "bands"
+    )
+    assert (
+        bands.groupBy("doc_id", "bkey")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        == 0
+    )
+
+
+def test_t18_semantic_checkpoint_restart_replays_as_noop(spark, tmp_path):
+    """t20's restart proof for the SEMANTIC index (t18's shape):
+    scaled directional copies guarantee dup pairs share a cluster, so
+    the gate decisions are deterministic; after a crash-and-restart
+    the accepted set must equal a one-shot ingest on a fresh index
+    and the store must hold exactly one row per vector ever seen
+    (kept AND rejected are appended — the t18 contract)."""
+    from iheardai_data_pipeline_spark.operators.semantic_index import (
+        SemanticDedupIndex,
+    )
+
+    def unit(d, scale=1.0):
+        v = [0.0] * 8
+        v[d] = scale
+        return v
+
+    schema = "vec_id long, embedding array<float>"
+    corpus_rows = [(100 + d, unit(d)) for d in range(4)]
+    parts = [
+        [(1, unit(0, 0.9)), (2, unit(4))],
+        [(10, unit(4, 0.8)), (11, unit(5)), (12, unit(0, 1.1))],
+        [(20, unit(5, 0.7)), (21, unit(6))],
+    ]
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+    idx_path = str(tmp_path / "idx")
+    crash_flag = str(tmp_path / "crashed-once")
+    os.makedirs(src_dir)
+    for i, part in enumerate(parts):
+        spark.createDataFrame(part, schema).coalesce(1).write.parquet(
+            os.path.join(src_dir, f"part{i}")
+        )
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    SemanticDedupIndex.bootstrap(
+        spark, idx_path, corpus, n_centroids=4, threshold=0.4
+    )
+
+    def run_attempt():
+        idx = SemanticDedupIndex(spark, idx_path, threshold=0.4)  # reopen
+
+        def ingest(batch, batch_id):
+            idx.ingest(batch, epoch=f"t18r-{batch_id}").select(
+                "vec_id"
+            ).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"b={batch_id}")
+            )
+            if batch_id == 1 and not os.path.exists(crash_flag):
+                with open(crash_flag, "w") as fh:
+                    fh.write("crashed once")
+                raise RuntimeError("injected crash after vector append")
+
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src_dir)
+            .writeStream.foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+            .awaitTermination()
+        )
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        run_attempt()
+    run_attempt()  # recovery: batch 1 replays (same epoch -> no-op)
+
+    got = {r["vec_id"] for r in spark.read.parquet(out_dir).collect()}
+    one_shot = SemanticDedupIndex.bootstrap(
+        spark, str(tmp_path / "oneshot"), corpus,
+        n_centroids=4, threshold=0.4,
+    )
+    incoming = spark.createDataFrame(
+        [r for p in parts for r in p], schema
+    )
+    want = {r["vec_id"] for r in one_shot.ingest(incoming).collect()}
+    assert got == want
+    # one physical row per vector ever seen (4 corpus + 7 incoming)
+    vecs = SemanticDedupIndex(spark, idx_path, threshold=0.4)._store.read(
+        "vectors"
+    )
+    assert vecs.count() == 11
+    assert vecs.select("vec_id").distinct().count() == 11
