@@ -260,7 +260,7 @@ class PersistentAnnIndex:
             keys = self.spark.createDataFrame(
                 [(int(i),) for i in probe_ids], "centroid_id int"
             )
-            return self._store.read_keys(rel, keys)
+            return self._store.read_keys(rel, keys, broadcast_keys=True)
         rows = self._store.read(rel)
         if rows is None:
             return None
@@ -605,7 +605,9 @@ class PersistentAnnIndex:
         # -- 3. probed codes (bounded key frame: <= n_centroids rows) -----
         probe_keys = exploded.select("centroid_id").distinct()
         if self._prune_probes:
-            codes = self._store.read_keys("codes", probe_keys)
+            codes = self._store.read_keys(
+                "codes", probe_keys, broadcast_keys=True
+            )
         else:
             codes = self._store.read("codes")
             if codes is not None:
@@ -645,7 +647,9 @@ class PersistentAnnIndex:
 
         # -- 5. exact re-rank over the probed clusters' vectors ------------
         if self._prune_probes:
-            vecs = self._store.read_keys("vectors", probe_keys)
+            vecs = self._store.read_keys(
+                "vectors", probe_keys, broadcast_keys=True
+            )
         else:
             vecs = self._store.read("vectors").join(
                 F.broadcast(probe_keys), "centroid_id", "left_semi"

@@ -352,7 +352,11 @@ class SemanticDedupIndex:
         # scan-all regime (rig-small layouts): plain read() — the
         # cluster equi-join below already filters (see neardup_index)
         stored = (
-            self._store.read_keys("vectors", assigned.select("centroid_id"))
+            self._store.read_keys(
+                "vectors",
+                assigned.select("centroid_id"),
+                broadcast_keys=True,
+            )
             if self._prune_probes
             else self._store.read("vectors")
         )

@@ -985,7 +985,11 @@ class MultiRelationTransactionalStore:
         return self.spark.read.parquet(*paths)
 
     def read_keys(
-        self, rel: str, keys: DataFrame, prune: bool = True
+        self,
+        rel: str,
+        keys: DataFrame,
+        prune: bool = True,
+        broadcast_keys: bool = False,
     ) -> DataFrame | None:
         """Bucket-pruned keyed lookup on one relation — identical
         contract to BucketedTransactionalStore.read_keys.
@@ -996,7 +1000,19 @@ class MultiRelationTransactionalStore:
         key frame; at small bucket counts scanning all dirs is cheaper
         than running it, so probe-heavy callers use the rule: prune
         when ``n_buckets`` is large (the 100 TB layout), scan when it
-        is rig-small (see MinHashBandIndex._prune_probes)."""
+        is rig-small (see MinHashBandIndex._prune_probes).
+
+        ``broadcast_keys=True`` hints the semi-join to broadcast the
+        key frame — pass it ONLY when the key set is bounded by
+        construction (e.g. the ANN probe path: <= n_centroids cluster
+        ids). Without the hint the planner may pick a sort-merge semi
+        join, which shuffles the STORE side on the key — and when the
+        key is a cluster id, a hot cluster concentrates that exchange
+        (the round-11 skew measurement's one adverse plan shape; with
+        the broadcast the store side keeps its scan partitioning and a
+        hot bucket's files still split by maxPartitionBytes). Leave it
+        False for batch-sized key frames (delete lookups, suspect
+        probes) where forcing a broadcast could OOM the driver."""
         manifest = self._manifest(self.current_version())
         if not manifest or not manifest.get(rel):
             return None
@@ -1023,6 +1039,10 @@ class MultiRelationTransactionalStore:
             ]
         if not paths:
             return None
+        if broadcast_keys:
+            from pyspark.sql import functions as F
+
+            kd = F.broadcast(kd)
         return self.spark.read.parquet(*paths).join(
             kd, self.relations[rel], "left_semi"
         )
