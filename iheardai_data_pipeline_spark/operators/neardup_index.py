@@ -382,6 +382,54 @@ class MinHashBandIndex:
             {"bands": empty_bands, "profiles": tomb}, epoch=epoch
         )
 
+    def merge(self, other: "MinHashBandIndex", epoch=None) -> None:
+        """Fold another SHARD's entire versioned state into this index
+        (the per-shard-build + merge topology; see
+        PersistentAnnIndex.merge for the full correctness model). Both
+        shards must share the banding parameters (n, k, bands,
+        threshold) — band keys and gate decisions from different
+        parameters are not comparable, so a mismatch raises (the same
+        rule the constructor's meta check enforces within one path).
+        Band rows are parameter-pure functions of text (no stamps);
+        profile rows carry their LWW stamps VERBATIM, so deletes and
+        re-ingests resolve across shards exactly as in one index.
+        Tombstone state propagates. ONE atomic O(shard) commit;
+        ``epoch`` makes a replayed merge idempotent."""
+        mine = (self.n, self.k, self.bands, self.threshold)
+        theirs = (other.n, other.k, other.bands, other.threshold)
+        if mine != theirs:
+            raise ValueError(
+                f"refusing to merge banding {theirs} into {mine} — "
+                "band keys are only comparable under one parameter set"
+            )
+        profiles = other._store.read("profiles")
+        if profiles is None:
+            return  # empty shard
+        oc, sc = other.id_col, self.id_col
+        bands = other._store.read("bands")
+        if bands is None:
+            # delete-only shard: no band rows were ever committed
+            bands = self.spark.createDataFrame(
+                [], f"bkey bigint, {sc} long"
+            )
+        else:
+            bands = bands.select("bkey", F.col(oc).alias(sc))
+        if other._has_tombstones:
+            try:
+                with open(self._flag_path, "x"):
+                    pass
+            except FileExistsError:
+                pass
+        self._store.append_keyed(
+            {
+                "bands": bands,
+                "profiles": profiles.select(
+                    F.col(oc).alias(sc), "sh_set", "n_sh", "seq", "live"
+                ),
+            },
+            epoch=epoch,
+        )
+
     def ingest(self, batch: DataFrame, epoch=None, seq: int = 0) -> DataFrame:
         """Gate ``batch`` against the index + lower-id batch peers,
         append ALL batch docs (kept and rejected — see module doc),

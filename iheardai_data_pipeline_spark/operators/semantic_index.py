@@ -309,6 +309,53 @@ class SemanticDedupIndex:
             epoch=epoch,
         )
 
+    def merge(self, other: "SemanticDedupIndex", epoch=None) -> None:
+        """Fold another SHARD's entire versioned state into this index
+        (the per-shard-build + merge topology; see
+        PersistentAnnIndex.merge for the full correctness model). Both
+        shards must be pinned to the SAME centroids and threshold —
+        assignments and gate decisions from different artifacts are not
+        comparable. Rows are carried VERBATIM (seq/live included) so
+        LWW resolves across shards exactly as in one index; tombstone
+        state propagates. ONE atomic O(shard) commit; ``epoch`` makes a
+        replayed merge idempotent."""
+        if (
+            other.centroids != self.centroids
+            or abs(other.threshold - self.threshold) > 1e-12
+        ):
+            raise ValueError(
+                "refusing to merge semantic-dedup shards pinned to "
+                "different centroids/threshold — gate decisions are "
+                "only comparable under one artifact pair"
+            )
+        vecs = other._store.read("vectors")
+        ids_rel = other._store.read("ids")
+        if vecs is None or ids_rel is None:
+            return  # empty shard
+        oc, sc = other.id_col, self.id_col
+        ov, sv = other.vec_col, self.vec_col
+        if other._has_tombstones:
+            try:
+                with open(self._flag_path, "x"):
+                    pass
+            except FileExistsError:
+                pass
+        self._store.append_keyed(
+            {
+                "vectors": vecs.select(
+                    F.col(oc).alias(sc),
+                    F.col(ov).alias(sv),
+                    "centroid_id",
+                    "seq",
+                    "live",
+                ),
+                "ids": ids_rel.select(
+                    F.col(oc).alias(sc), "centroid_id", "seq", "live"
+                ),
+            },
+            epoch=epoch,
+        )
+
     def ingest(self, batch: DataFrame, epoch=None, seq: int = 0) -> DataFrame:
         """Gate ``batch`` against the index + lower-id same-cluster
         batch peers, append ALL batch vectors, return surviving rows

@@ -279,3 +279,38 @@ def test_format_version_round_trips(spark, tmp_path):
     MinHashBandIndex(spark, path)  # reopen: no raise
     with pytest.raises(ValueError, match="one banding per index"):
         MinHashBandIndex(spark, path, bands=8)
+
+
+def test_merge_gates_like_union_index(spark, tmp_path):
+    """Two band-index shards on disjoint corpus halves, merged, must
+    gate incoming docs exactly like one index built on the union — and
+    a shard's tombstone keeps killing after the merge."""
+    corpus_rows = [(100, BASE), (101, OTHER)]
+    a = MinHashBandIndex(spark, str(tmp_path / "m_a"), threshold=0.7)
+    a.append(_docs(spark, [corpus_rows[0]]))
+    b = MinHashBandIndex(spark, str(tmp_path / "m_b"), threshold=0.7)
+    b.append(_docs(spark, [corpus_rows[1]]))
+    # shard B also deletes a doc it indexed (tombstone must propagate)
+    b.append(_docs(spark, [(200, UNIQ)]))
+    b.delete(_docs(spark, [(200, "")]).select("doc_id"), seq=5)
+    a.merge(b, epoch="m1")
+    a.merge(b, epoch="m1")  # replayed merge must no-op
+    assert a._has_tombstones
+    union = MinHashBandIndex(spark, str(tmp_path / "m_u"), threshold=0.7)
+    union.append(_docs(spark, corpus_rows))
+    incoming = _docs(
+        spark,
+        [
+            (1, BASE + " extra"),   # near-dup of shard A's corpus
+            (2, OTHER + " more"),   # near-dup of shard B's corpus
+            (3, UNIQ + " tail"),    # near-dup of B's DELETED doc -> kept
+            (4, " ".join(f"q{i}" for i in range(30))),  # fresh
+        ],
+    )
+    got = {r["doc_id"] for r in a.ingest(incoming).collect()}
+    want = {r["doc_id"] for r in union.ingest(incoming).collect()}
+    assert got == want == {3, 4}
+    # banding-parameter mismatch refuses
+    c = MinHashBandIndex(spark, str(tmp_path / "m_c"), bands=8)
+    with pytest.raises(ValueError, match="parameter set"):
+        a.merge(c)

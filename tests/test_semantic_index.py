@@ -196,3 +196,67 @@ def test_pre_versioned_layout_refuses_to_open(spark, tmp_path):
         json.dump({"threshold": 0.4, "centroids": [[1.0, 0.0, 0.0, 0.0]]}, fh)
     with pytest.raises(ValueError, match="on-disk format"):
         SemanticDedupIndex(spark, path)
+
+
+def test_merge_gates_like_union_index(spark, tmp_path):
+    """Two semantic-dedup shards on disjoint corpus halves, merged,
+    must gate incoming vectors exactly like one index built on the
+    union; shard tombstones keep killing; artifact mismatch refuses."""
+    from iheardai_data_pipeline_spark.operators.semantic_index import (
+        SemanticDedupIndex,
+    )
+
+    def unit(d, scale=1.0):
+        v = [0.0] * 8
+        v[d] = scale
+        return v
+
+    schema = "vec_id long, embedding array<float>"
+    import os as _os
+    import shutil
+
+    half_a = spark.createDataFrame([(100 + d, unit(d)) for d in (0, 1)], schema)
+    half_b = spark.createDataFrame([(102 + d, unit(2 + d)) for d in (0, 1)], schema)
+    corpus = half_a.unionByName(half_b)
+    # both shards must pin the SAME centroid artifact for a merge to be
+    # legal — mint it once from the union, then copy to each shard path
+    SemanticDedupIndex.bootstrap(
+        spark, str(tmp_path / "s_cent"), corpus, n_centroids=4, threshold=0.4
+    )
+
+    def shard(name, batch):
+        path = str(tmp_path / name)
+        _os.makedirs(path)
+        shutil.copy(
+            _os.path.join(str(tmp_path / "s_cent"), "_centroids.json"),
+            _os.path.join(path, "_centroids.json"),
+        )
+        idx = SemanticDedupIndex(spark, path, threshold=0.4)
+        idx.append(batch)
+        return idx
+
+    a = shard("sh_a", half_a)
+    b = shard("sh_b", half_b)
+    # shard B deletes one of its vectors (tombstone must propagate)
+    b.append(spark.createDataFrame([(200, unit(5))], schema))
+    b.delete(spark.createDataFrame([(200,)], "vec_id long"), seq=5)
+    a.merge(b, epoch="m1")
+    a.merge(b, epoch="m1")  # replayed merge must no-op
+    assert a._has_tombstones
+    incoming = spark.createDataFrame(
+        [
+            (1, unit(0, 0.9)),  # dup of shard A content -> dropped
+            (2, unit(3, 0.8)),  # dup of shard B content -> dropped
+            (3, unit(5, 0.7)),  # dup of B's DELETED vector -> kept
+            (4, unit(6)),       # fresh -> kept
+        ],
+        schema,
+    )
+    got = {r["vec_id"] for r in a.ingest(incoming).collect()}
+    assert got == {3, 4}
+    # mismatched threshold refuses
+    c = SemanticDedupIndex.bootstrap(
+        spark, str(tmp_path / "s_c"), corpus, n_centroids=4, threshold=0.5
+    )
+    with pytest.raises(ValueError, match="artifact pair"):
+        a.merge(c)
