@@ -321,3 +321,106 @@ def hashed_quality_scores(
         score.alias("score"),
         (score >= F.lit(keep_threshold)).alias("keep"),
     )
+
+
+def bm25_topk(
+    docs,
+    queries,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Top-k documents per query by Okapi BM25 — ranked retrieval, the
+    query-time complement of :func:`tfidf_top_terms`.
+
+    score(q, d) = sum over DISTINCT query terms t of
+        idf(t) * tf(t, d) * (k1 + 1) / (tf(t, d) + k1 * (1 - b + b * dl/avgdl))
+    with idf(t) = ln(1 + ((N - df) + 0.5) / (df + 0.5))  (always > 0).
+
+    Determinism discipline (the cross-engine value-replay rule): each
+    per-(query, doc, term) contribution is computed in doubles with a
+    FIXED parenthesization, then floored into integer micro-units
+    (floor(contrib * 1e6) as BIGINT) BEFORE the per-(query, doc) sum —
+    integer addition is order-independent, so the score is identical
+    under any partial-agg order on any engine; floor (unlike half-up
+    rounding) has no rounding-mode ambiguity. Ties break doc_id asc.
+
+    Shape: one (doc, term) shuffle builds tf; df and doclen are
+    partial-agg rollups of the same relation; N and avgdl are ONE
+    bounded scalar collect; the query-term frame is tiny and BROADCAST
+    onto tf, so candidate generation is postings-of-query-terms, never
+    a corpus scan per query; the final top-k window partitions by
+    query. At 100 TB the (doc, term) exchange carries (id, term, int)
+    rows only and everything downstream is bounded by the matched
+    postings. For repeated serving at scale, maintain the postings as
+    persistent state instead (operators/postings_index.py).
+    """
+    from pyspark.sql import Window
+
+    from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism
+
+    toks = ensure_parallelism(
+        docs.where(F.col(text_col).isNotNull())
+    ).select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    n_docs, total_len = doclen.agg(
+        F.count(F.lit(1)), F.sum("dl")
+    ).collect()[0]
+    n_docs_f = float(n_docs)
+    avgdl = float(total_len) / n_docs_f
+    qterms = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(
+                F.split(normalize_text(F.col(query_text_col)), " ")
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.lit(n_docs_f) - F.col("df")) + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.lit(avgdl))
+    )
+    contrib = idf * ((F.col("tf") * F.lit(k1 + 1.0)) / denom)
+    matched = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(qterms), "term")
+        .join(doclen, id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.floor(contrib * F.lit(1000000.0)).cast("long").alias("micro"),
+        )
+    )
+    scored = matched.groupBy(query_id_col, id_col).agg(
+        F.sum("micro").alias("score_micro"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score_micro"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            "n_terms",
+            "score_micro",
+            (F.col("score_micro") / F.lit(1000000.0)).alias("score"),
+            "rnk",
+        )
+    )

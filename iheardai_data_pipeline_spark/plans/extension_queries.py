@@ -2428,6 +2428,102 @@ def x_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rnk", F.col("rnk").cast("long"))
 
 
+# --- BM25 ranked retrieval --------------------------------------------------------
+
+# Fixed query workload for the BM25 entries: literal strings so the
+# Spark entry and the DuckDB oracle rank the identical queries.
+BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (0, "spark window merge"),
+    (1, "vector hash join group"),
+    (2, "slow scan filter"),
+    (3, "customer the batch"),
+)
+
+# BM25 constants inlined via repr() so the Spark literal and the SQL
+# literal parse to the SAME double (1.2 + 1.0 computed once, here).
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY_VALUES = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
+
+_BM25_ORACLE = f"""
+WITH q(query_id, qtext) AS (VALUES {_BM25_QUERY_VALUES}),
+toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+qt AS (
+  SELECT DISTINCT query_id,
+         unnest(string_split(trim(regexp_replace(lower(qtext), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM q
+),
+m AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(FLOOR(
+           ln(1.0 + ((s.n - dfreq.df) + 0.5) / (dfreq.df + 0.5))
+           * ((tf.tf * {_BM25_K1 + 1.0!r}) /
+              (tf.tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r} + {_BM25_B!r} * (dl.dl / s.avgdl))))
+           * 1000000.0
+         ) AS BIGINT) AS micro
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN qt USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id,
+         CAST(sum(micro) AS BIGINT) AS score_micro, count(*) AS n_terms
+  FROM m GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC
+  ) AS rnk
+  FROM scored
+)
+SELECT query_id, doc_id, n_terms, score_micro,
+       score_micro / 1000000.0 AS score, rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+def _bm25_query_frame(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        list(BM25_QUERIES), "query_id long, qtext string"
+    )
+
+
+@register(
+    "x_text_bm25_topk",
+    oracle=_BM25_ORACLE,
+    tags=("extension", "text", "retrieval"),
+    doc="Okapi BM25 top-5 documents per query (ranked retrieval, the "
+    "query-time complement of x_text_tfidf): one (doc, term) shuffle "
+    "builds tf, df/doclen are rollups of it, the fixed query-term "
+    "frame broadcasts onto tf so candidates are postings-of-query-"
+    "terms (never a per-query corpus scan), and each per-term "
+    "contribution floors into BIGINT micro-units before the per-"
+    "(query, doc) sum — order-independent, replayed exactly in "
+    "DuckDB (operators/text.py:bm25_topk).",
+)
+def x_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bm25_topk(
+        load_table(spark, sf_dir, "documents"),
+        _bm25_query_frame(spark),
+        k=5,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
 # --- deterministic sampling / sharding -------------------------------------------
 
 _SAMPLE_SHARD_ORACLE = """

@@ -1,0 +1,100 @@
+"""bm25_topk must equal an independently-coded pure-Python Okapi BM25
+(same micro-unit floor discipline) — the catalog oracle replays the SQL
+twin; this pins the operator against a THIRD implementation."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from iheardai_data_pipeline_spark.operators.text import bm25_topk
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the lazy dog sleeps all day the dog"),
+    (3, "quick quick quick brown foxes everywhere"),
+    (4, "a completely unrelated document about spark shuffles"),
+    (5, "dog"),
+    (6, None),  # null text: excluded everywhere
+    (7, "the the the the the"),
+]
+
+QUERIES = [
+    (10, "quick dog"),
+    (11, "spark shuffles"),
+    (12, "the lazy lazy"),  # duplicate query term: counted once
+    (13, "zzz_absent"),  # matches nothing -> no rows for this query
+]
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from iheardai_data_pipeline_spark.session import get_spark
+
+    return get_spark(app_name="test-bm25")
+
+
+def _python_bm25(k, k1=1.2, b=0.75):
+    docs = {i: t.split() for i, t in DOCS if t is not None}
+    n = len(docs)
+    avgdl = sum(len(ws) for ws in docs.values()) / float(n)
+    df: dict = {}
+    for ws in docs.values():
+        for t in set(ws):
+            df[t] = df.get(t, 0) + 1
+    out = []
+    for qid, qtext in QUERIES:
+        scored = []
+        for did, ws in docs.items():
+            micro = 0
+            n_terms = 0
+            for t in set(qtext.split()):
+                tf = ws.count(t)
+                if tf == 0:
+                    continue
+                n_terms += 1
+                idf = math.log(
+                    1.0 + ((float(n) - df[t]) + 0.5) / (df[t] + 0.5)
+                )
+                contrib = idf * (
+                    (tf * (k1 + 1.0))
+                    / (tf + k1 * ((1.0 - b) + b * (len(ws) / avgdl)))
+                )
+                micro += math.floor(contrib * 1000000.0)
+            if n_terms:
+                scored.append((did, micro, n_terms))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for rnk, (did, micro, n_terms) in enumerate(scored[:k], 1):
+            out.append((qid, did, n_terms, micro, micro / 1000000.0, rnk))
+    return sorted(out)
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+    got = sorted(
+        tuple(r) for r in bm25_topk(docs, queries, k=3).collect()
+    )
+    assert got == _python_bm25(k=3)
+
+
+def test_bm25_absent_query_yields_no_rows(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(99, "zzz_absent qqq_nothing")], "query_id long, qtext string"
+    )
+    assert bm25_topk(docs, queries, k=3).count() == 0
+
+
+def test_bm25_ties_break_doc_id_asc(spark):
+    # identical single-term docs -> equal scores; rnk must follow doc_id
+    docs = spark.createDataFrame(
+        [(3, "alpha"), (1, "alpha"), (2, "alpha")], "doc_id long, text string"
+    )
+    queries = spark.createDataFrame(
+        [(0, "alpha")], "query_id long, qtext string"
+    )
+    rows = bm25_topk(docs, queries, k=3).orderBy("rnk").collect()
+    assert [r["doc_id"] for r in rows] == [1, 2, 3]
+    assert len({r["score_micro"] for r in rows}) == 1
