@@ -1,0 +1,496 @@
+"""Persistent inverted index serving Okapi BM25 — ranked retrieval as
+durable state (the retrieval sibling of the dedup/ANN index family:
+fingerprint_index.py, neardup_index.py, semantic_index.py,
+ann_index.py).
+
+:func:`~iheardai_data_pipeline_spark.operators.text.bm25_topk`
+re-tokenizes and re-aggregates the WHOLE corpus every call. At 100 TB
+the postings are a maintained index: three relations of ONE
+:class:`~iheardai_data_pipeline_spark.streaming.stores.MultiRelationTransactionalStore`
+commit log —
+
+- ``postings`` (term-keyed): (term, doc_id, tf, seq) — the probe side.
+  A query's serve reads ONLY the buckets its terms hash to, and each
+  term's TRUE document frequency is computable from that one bucket
+  (every posting for a term lives there), so idf needs no corpus scan.
+- ``doclens`` (doc-keyed): (doc_id, dl, seq, live) — the LIVENESS
+  AUTHORITY. Every mutation writes the doc's doclen row and its
+  postings with the SAME seq; a candidate posting is live iff its seq
+  equals the doc's current live doclens seq. That one equality gives
+  delete (tombstone seq > posting seq -> no live doclen row), upsert
+  (new postings carry the new seq; stale terms' old rows fail the
+  equality), and replay-duplicate tolerance (duplicate rows agree on
+  seq; the serve aggregates per (term, doc) with max_by) — with ZERO
+  postings-side tombstones, so prune-exactness never needs a
+  tombstone to land in a term bucket.
+- ``stats`` (single-key): append-only (d_docs, d_len) deltas whose SUM
+  is the live (N, total_len) pair BM25's idf/avgdl need. Rows grow
+  one per mutating commit and :meth:`compact` folds them to one; the
+  serve-side read is commit-count-sized, never corpus-sized.
+
+SEQ CONTRACT (the family's LWW rule, specialized): every mutation of a
+doc id must carry a seq STRICTLY GREATER than any previous mutation of
+that id; ties collapse tombstone-first (delete-biased, as in
+semantic_index._latest_live). Single-writer-per-index is the supported
+deployment (see FingerprintIndex.words' multi-writer note) — the stats
+deltas are computed against the pre-commit state and would double-count
+under concurrent distinct writers.
+
+Serve arithmetic is bm25_topk's EXACTLY (same fixed parenthesization,
+same floor-to-micro-unit BIGINT sums), so the brute operator's DuckDB
+oracle replays the index's answers bit-for-bit over the live corpus —
+the x_text_bm25_indexed correctness gate.
+
+Reference parity: training-data extension set (SURVEY §2 extensions);
+the persistent variant of x_text_bm25_topk.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iheardai_data_pipeline_spark.operators.text import normalize_text
+from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism
+from iheardai_data_pipeline_spark.streaming.stores import (
+    MultiRelationTransactionalStore,
+)
+
+FORMAT_VERSION = 1
+
+
+class PostingsIndex:
+    """Persistent BM25-serving inverted index over a growing corpus.
+
+    ``append(docs, seq=...)`` indexes (or, at a strictly greater seq,
+    REPLACES) documents; ``delete(ids, seq=...)`` retracts them;
+    ``topk(queries)`` serves ranked retrieval reading only the query
+    terms' buckets. BM25 constants (k1, b) are part of the on-disk
+    state — scores from different constants are not comparable, so the
+    creator pins them and later opens must match (the
+    FingerprintIndex ``_fp_meta.json`` pattern).
+
+    ``n_buckets``: pass ``expected_docs=`` to size the postings
+    relation with the shared ``buckets_for_corpus`` rule (terms per doc
+    ~ doclen, but postings rows per doc are DISTINCT terms — the
+    ``bands=32`` default below approximates a short-document corpus;
+    override for long documents). The bare default (16, scan-all
+    regime) is only right for rig-scale corpora.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        k1: float = 1.2,
+        b: float = 0.75,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_buckets: int | None = None,
+        expected_docs: int | None = None,
+    ) -> None:
+        from iheardai_data_pipeline_spark.operators.neardup_index import (
+            buckets_for_corpus,
+        )
+
+        if n_buckets is None and expected_docs is not None:
+            n_buckets = buckets_for_corpus(expected_docs, bands=32)
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.text_col = text_col
+        os.makedirs(path, exist_ok=True)
+        meta = {"format": FORMAT_VERSION, "k1": k1, "b": b}
+        meta_path = os.path.join(path, "_bm25_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                persisted = json.load(fh)
+            if persisted != meta:
+                raise ValueError(
+                    f"postings index at {path} was created with "
+                    f"{persisted}; got {meta} — one BM25 parameterization "
+                    "per index (scores are not comparable across k1/b)"
+                )
+        else:
+            tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                json.dump(meta, fh)
+            try:
+                os.link(tmp, meta_path)  # exclusive: first creator wins
+            except FileExistsError:
+                with open(meta_path) as fh:
+                    if json.load(fh) != meta:
+                        raise
+            finally:
+                os.unlink(tmp)
+        self.k1, self.b = k1, b
+        self._store = MultiRelationTransactionalStore(
+            spark,
+            os.path.join(path, "state"),
+            relations={
+                "postings": ["term"],
+                "doclens": [id_col],
+                "stats": ["stat"],
+            },
+            n_buckets=n_buckets,
+        )
+        # prune-vs-scan rule — see MinHashBandIndex._prune_probes
+        self._prune_probes = self._store.n_buckets > 64
+
+    # -- internals ------------------------------------------------------------
+
+    def _tokens(self, docs: DataFrame) -> DataFrame:
+        """(doc_id, term) multiset under the canonical normalization —
+        bm25_topk's tokenizer verbatim."""
+        return ensure_parallelism(
+            docs.where(F.col(self.text_col).isNotNull())
+        ).select(
+            F.col(self.id_col),
+            F.explode(
+                F.split(normalize_text(F.col(self.text_col)), " ")
+            ).alias("term"),
+        )
+
+    def _batch_relations(self, docs: DataFrame, seq: int) -> tuple:
+        """tf + doclen rows for one batch, stamped with the LWW seq.
+        Both derive from ONE (doc, term) shuffle (the tf groupBy; dl is
+        its per-doc rollup). Eagerly checkpointed: the commit write and
+        the stats-delta aggregate both consume them."""
+        ic = self.id_col
+        s = F.lit(int(seq)).cast("long").alias("seq")
+        tf = (
+            self._tokens(docs)
+            .groupBy(ic, "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .localCheckpoint(eager=True)
+        )
+        dl = (
+            tf.groupBy(ic)
+            .agg(F.sum("tf").alias("dl"))
+            .localCheckpoint(eager=True)
+        )
+        return tf.select("term", ic, "tf", s), dl.select(
+            ic, "dl", s, F.lit(True).alias("live")
+        )
+
+    def _live_doclens(self, rows: DataFrame) -> DataFrame:
+        """LWW collapse per doc: greatest seq wins, tombstone wins ties
+        (delete-biased); returns live (doc_id, dl, seq)."""
+        ic = self.id_col
+        order = F.struct(
+            F.col("seq"), F.when(F.col("live"), F.lit(0)).otherwise(F.lit(1))
+        )
+        latest = rows.groupBy(ic).agg(
+            F.max_by(F.struct("dl", "seq", "live"), order).alias("s")
+        )
+        return latest.filter(F.col("s.live")).select(
+            ic, F.col("s.dl").alias("dl"), F.col("s.seq").alias("seq")
+        )
+
+    def _current_live_for(self, ids: DataFrame) -> DataFrame:
+        """Live (doc_id, dl) for the given ids — one bucket-pruned
+        doclens lookup (batch-bounded cost)."""
+        key_frame = ids.select(self.id_col)
+        rows = (
+            self._store.read_keys("doclens", key_frame)
+            if self._prune_probes
+            else self._store.read("doclens")
+        )
+        if rows is None:
+            return self.spark.createDataFrame(
+                [], f"{self.id_col} long, dl long, seq long"
+            )
+        return self._live_doclens(rows).join(
+            F.broadcast(key_frame), self.id_col, "left_semi"
+        )
+
+    def _stats_delta(self, d_docs: int, d_len: int) -> DataFrame:
+        return self.spark.createDataFrame(
+            [("corpus", int(d_docs), int(d_len))],
+            "stat string, d_docs long, d_len long",
+        )
+
+    def _empty(self, rel: str) -> DataFrame:
+        schemas = {
+            "postings": f"term string, {self.id_col} long, tf long, seq long",
+            "doclens": f"{self.id_col} long, dl long, seq long, live boolean",
+            "stats": "stat string, d_docs long, d_len long",
+        }
+        return self.spark.createDataFrame([], schemas[rel])
+
+    def stats(self) -> tuple[int, int]:
+        """Live (n_docs, total_len) — the SUM of the delta relation.
+        Commit-count-sized read (compact folds it to one row)."""
+        rows = self._store.read("stats")
+        if rows is None:
+            return 0, 0
+        r = rows.agg(
+            F.coalesce(F.sum("d_docs"), F.lit(0)).alias("n"),
+            F.coalesce(F.sum("d_len"), F.lit(0)).alias("t"),
+        ).collect()[0]
+        return int(r["n"]), int(r["t"])
+
+    # -- public API -------------------------------------------------------------
+
+    def append(self, docs: DataFrame, seq: int = 0, epoch=None) -> None:
+        """Index documents (bootstrap) or REPLACE live versions at a
+        strictly greater seq (the seq-equality liveness rule makes
+        replacement exact without a tombstone: stale postings fail the
+        seq match, vanished terms' old rows with them). Null-text rows
+        are skipped (no content to index). ONE atomic O(batch) commit
+        of postings + doclens + the stats delta.
+
+        Cost anatomy: one (doc, term) shuffle (tf), its per-doc rollup
+        (dl), a bucket-pruned doclens lookup of the batch ids (the
+        replaced docs' old lengths feed the stats delta), one bounded
+        one-row collect for the delta, one add-files commit. Nothing
+        scales with corpus size."""
+        tf, dl = self._batch_relations(docs, seq)
+        old = self._current_live_for(dl)
+        joined = dl.join(
+            old.select(self.id_col, F.col("dl").alias("old_dl")),
+            self.id_col,
+            "left",
+        )
+        r = joined.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("old_dl").isNull(), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("new_docs"),
+            F.coalesce(
+                F.sum(F.col("dl") - F.coalesce(F.col("old_dl"), F.lit(0))),
+                F.lit(0),
+            ).alias("d_len"),
+        ).collect()[0]
+        self._store.append_keyed(
+            {
+                "postings": tf,
+                "doclens": dl,
+                "stats": self._stats_delta(r["new_docs"], r["d_len"]),
+            },
+            epoch=epoch,
+        )
+
+    def delete(self, ids: DataFrame, seq: int, epoch=None) -> None:
+        """Retract documents by id (M1/M2 last-write-wins, the family
+        contract): one doclens tombstone per currently-live id — it
+        lands in the doc's own doclen bucket, and every posting of the
+        doc dies with it through the seq-equality rule, so NO term
+        bucket is touched. Deleting an unknown/dead id is a no-op.
+        Physical postings reclamation happens in :meth:`compact`."""
+        ic = self.id_col
+        old = self._current_live_for(ids).localCheckpoint(eager=True)
+        n_docs, total = (
+            old.agg(
+                F.coalesce(F.count(F.lit(1)), F.lit(0)),
+                F.coalesce(F.sum("dl"), F.lit(0)),
+            ).collect()[0]
+        )
+        if not n_docs:
+            return
+        s = F.lit(int(seq)).cast("long").alias("seq")
+        self._store.append_keyed(
+            {
+                "postings": self._empty("postings"),
+                "doclens": old.select(
+                    ic, "dl", s, F.lit(False).alias("live")
+                ),
+                "stats": self._stats_delta(-n_docs, -int(total)),
+            },
+            epoch=epoch,
+        )
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        query_id_col: str = "query_id",
+        query_text_col: str = "qtext",
+    ) -> DataFrame:
+        """Okapi BM25 top-k per query, served FROM THE INDEX: reads
+        only the query terms' postings buckets (+ the candidates'
+        doclens buckets + the commit-count-sized stats relation), never
+        the corpus. Output schema == bm25_topk's, and the arithmetic is
+        its fixed-parenthesization micro-unit discipline, so the brute
+        operator's oracle replays this serve exactly.
+
+        Plan shape: the query-term frame is bounded by the serving
+        workload — broadcast onto the postings read (the ANN probe-key
+        rule: the store side never exchanges on a — possibly hot —
+        term). df(t) aggregates the probed bucket's live postings; the
+        final top-k window partitions by query."""
+        from pyspark.sql import Window
+
+        ic = self.id_col
+        n_docs, total_len = self.stats()
+        qterms = (
+            queries.select(
+                F.col(query_id_col),
+                F.explode(
+                    F.split(normalize_text(F.col(query_text_col)), " ")
+                ).alias("term"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        out_schema = (
+            f"{query_id_col} long, {ic} long, n_terms long, "
+            "score_micro long, score double, rnk long"
+        )
+        if n_docs <= 0:
+            return self.spark.createDataFrame([], out_schema)
+        n_docs_f = float(n_docs)
+        avgdl = float(total_len) / n_docs_f
+        pl = (
+            self._store.read_keys(
+                "postings", qterms.select("term"), broadcast_keys=True
+            )
+            if self._prune_probes
+            else self._store.read("postings")
+        )
+        if pl is None:
+            return self.spark.createDataFrame([], out_schema)
+        pl = pl.join(F.broadcast(qterms.select("term").distinct()), "term")
+        # replayed un-epoched appends duplicate posting rows physically;
+        # rows for one (term, doc, seq) agree on tf, so max_by on seq
+        # both dedups and keeps only each doc's newest version per term
+        pl = pl.groupBy("term", ic).agg(
+            F.max_by(F.struct("tf", "seq"), F.col("seq")).alias("s")
+        ).select(
+            "term", ic, F.col("s.tf").alias("tf"), F.col("s.seq").alias("seq")
+        )
+        live = self._current_live_for(pl.select(ic)).localCheckpoint(
+            eager=True
+        )
+        # seq equality = liveness: the posting belongs to the doc's
+        # current version (kills deleted docs AND stale upsert rows)
+        cand = pl.join(
+            live.withColumnRenamed("seq", "live_seq"), ic
+        ).filter(F.col("seq") == F.col("live_seq"))
+        dfreq = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        idf = F.log(
+            F.lit(1.0)
+            + ((F.lit(n_docs_f) - F.col("df")) + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        denom = F.col("tf") + F.lit(self.k1) * (
+            F.lit(1.0 - self.b)
+            + F.lit(self.b) * (F.col("dl") / F.lit(avgdl))
+        )
+        contrib = idf * ((F.col("tf") * F.lit(self.k1 + 1.0)) / denom)
+        matched = (
+            cand.join(dfreq, "term")
+            .join(F.broadcast(qterms), "term")
+            .select(
+                query_id_col,
+                ic,
+                F.floor(contrib * F.lit(1000000.0))
+                .cast("long")
+                .alias("micro"),
+            )
+        )
+        scored = matched.groupBy(query_id_col, ic).agg(
+            F.sum("micro").alias("score_micro"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.desc("score_micro"), F.asc(ic)
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= k)
+            .select(
+                query_id_col,
+                ic,
+                "n_terms",
+                "score_micro",
+                (F.col("score_micro") / F.lit(1000000.0)).alias("score"),
+                "rnk",
+            )
+        )
+
+    def merge(self, other: "PostingsIndex", epoch=None) -> None:
+        """Fold another SHARD's entire state into this index (the
+        per-shard-build + merge topology; see PersistentAnnIndex.merge
+        for the correctness model). Rows carry verbatim (seq/live
+        included) so the seq-equality liveness rule resolves across
+        shards exactly as in one index; the stats deltas are additive
+        by construction. Shards must share (k1, b) — enforced — and
+        doc-id spaces must be disjoint OR per-id seqs globally ordered
+        (the family's LWW precondition). ONE atomic O(shard) commit;
+        ``epoch`` makes a replayed merge idempotent."""
+        if abs(other.k1 - self.k1) > 1e-12 or abs(other.b - self.b) > 1e-12:
+            raise ValueError(
+                "refusing to merge postings shards with different BM25 "
+                "constants — scores are only comparable under one (k1, b)"
+            )
+        rels = {}
+        for rel in ("postings", "doclens", "stats"):
+            rows = other._store.read(rel)
+            rels[rel] = rows if rows is not None else self._empty(rel)
+        if other.id_col != self.id_col:
+            rels["postings"] = rels["postings"].withColumnRenamed(
+                other.id_col, self.id_col
+            )
+            rels["doclens"] = rels["doclens"].withColumnRenamed(
+                other.id_col, self.id_col
+            )
+        self._store.append_keyed(rels, epoch=epoch)
+
+    def compact(self, epoch=None) -> None:
+        """Maintenance fold: doclens collapse to the live latest row
+        per doc, postings physically drop every row that fails the
+        seq-equality rule (deleted docs and stale upsert versions), and
+        the stats deltas fold to ONE row. The live-doc frame is
+        captured eagerly BEFORE the rewrite so the fold is
+        deterministic; same stale-replay caveat as the band index's
+        compact."""
+        ic = self.id_col
+        doclens = self._store.read("doclens")
+        live = (
+            self._live_doclens(doclens).select(ic, "seq")
+            if doclens is not None
+            else None
+        )
+        if live is not None:
+            live = live.localCheckpoint(eager=True)
+
+        def fold(rel: str, current: DataFrame, upd) -> DataFrame:
+            if rel == "doclens":
+                lw = self._live_doclens(current)
+                return lw.select(
+                    ic, "dl", "seq", F.lit(True).alias("live")
+                )
+            if rel == "postings":
+                if live is None:
+                    return current.limit(0)
+                dedup = current.groupBy("term", ic).agg(
+                    F.max_by(F.struct("tf", "seq"), F.col("seq")).alias("s")
+                ).select(
+                    "term",
+                    ic,
+                    F.col("s.tf").alias("tf"),
+                    F.col("s.seq").alias("seq"),
+                )
+                return dedup.join(
+                    live.withColumnRenamed("seq", "live_seq"), ic
+                ).filter(F.col("seq") == F.col("live_seq")).select(
+                    "term", ic, "tf", "seq"
+                )
+            return (
+                current.groupBy("stat")
+                .agg(
+                    F.sum("d_docs").alias("d_docs"),
+                    F.sum("d_len").alias("d_len"),
+                )
+                .select("stat", "d_docs", "d_len")
+            )
+
+        self._store.apply_keyed_all_buckets(fold, epoch=epoch)
+
+    def vacuum(self, keep: int = 2, grace_seconds: float = 3600.0) -> None:
+        self._store.vacuum(keep, grace_seconds)

@@ -2445,11 +2445,18 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 _BM25_QUERY_VALUES = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
 
-_BM25_ORACLE = f"""
+def _bm25_oracle_sql(src_sql: str) -> str:
+    """Full BM25 oracle over an arbitrary (doc_id, text) source CTE —
+    the brute entry passes the raw documents table; the persistent-
+    index entries pass the mutation scenario's FINAL live corpus (the
+    final-state-replay pattern, as in _index_serve_oracle)."""
+    return f"""
 WITH q(query_id, qtext) AS (VALUES {_BM25_QUERY_VALUES}),
+src AS ({src_sql}),
 toks AS (
-  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
-  FROM documents WHERE text IS NOT NULL
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM src
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
@@ -2495,6 +2502,24 @@ FROM ranked WHERE rnk <= 5
 """
 
 
+_BM25_ORACLE = _bm25_oracle_sql(
+    "SELECT doc_id, text FROM documents WHERE text IS NOT NULL"
+)
+
+# The persistent-index entries' mutation scenario, as its FINAL live
+# corpus (upsert wins over bootstrap, delete wins over both):
+#   bootstrap all docs (seq 0) -> upsert doc_id%7==3 with appended
+#   terms (seq 1) -> delete doc_id%5==0 (seq 2)
+_BM25_SCENARIO_SRC = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 3
+            THEN text || ' spark spark window' ELSE text END AS text
+FROM documents WHERE text IS NOT NULL AND doc_id % 5 <> 0
+"""
+
+_BM25_INDEXED_ORACLE = _bm25_oracle_sql(_BM25_SCENARIO_SRC)
+
+
 def _bm25_query_frame(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         list(BM25_QUERIES), "query_id long, qtext string"
@@ -2522,6 +2547,111 @@ def x_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k1=_BM25_K1,
         b=_BM25_B,
     )
+
+
+def _bm25_scenario_frames(spark: SparkSession, sf_dir: str):
+    """The indexed entries' shared mutation scenario: (bootstrap docs,
+    upsert docs, delete-id frame) — mirrors _BM25_SCENARIO_SRC."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    boot = docs.select("doc_id", "text")
+    upsert = docs.filter(F.col("doc_id") % 7 == 3).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" spark spark window")).alias("text"),
+    )
+    dele = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    return boot, upsert, dele
+
+
+def _bm25_serve(spark: SparkSession, idx) -> DataFrame:
+    return idx.topk(_bm25_query_frame(spark), k=5).localCheckpoint(
+        eager=True
+    )
+
+
+@register(
+    "x_text_bm25_indexed",
+    oracle=_BM25_INDEXED_ORACLE,
+    tags=("extension", "text", "retrieval", "incremental"),
+    doc="Persistent inverted index serving BM25 (PostingsIndex — the "
+    "retrieval member of the persistent-index family): bootstrap the "
+    "corpus (seq 0, epoch-replayed append must no-op), UPSERT "
+    "doc_id%7==3 with appended terms (seq 1 — the seq-equality "
+    "liveness rule retires the stale postings without term-bucket "
+    "tombstones), DELETE doc_id%5==0 (seq 2 — one doclens tombstone "
+    "per doc, no term bucket touched), then serve the fixed query "
+    "workload reading ONLY the query terms' postings buckets + the "
+    "candidates' doclens buckets + the commit-count-sized stats "
+    "deltas. Oracle = the brute BM25 SQL over the scenario's FINAL "
+    "live corpus (final-state replay; a stale posting, resurrected "
+    "delete, or drifted stats row changes a score and fails the hash) "
+    "(operators/postings_index.py:PostingsIndex).",
+)
+def x_text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.postings_index import (
+        PostingsIndex,
+    )
+
+    boot, upsert, dele = _bm25_scenario_frames(spark, sf_dir)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="bm25idx_", dir=shm)
+    try:
+        idx = PostingsIndex(spark, root, k1=_BM25_K1, b=_BM25_B)
+        idx.append(boot, seq=0, epoch="boot")
+        idx.append(boot, seq=0, epoch="boot")  # replay: must no-op
+        idx.append(upsert, seq=1, epoch="upsert")
+        idx.delete(dele, seq=2, epoch="delete")
+        return _bm25_serve(spark, idx)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "x_text_bm25_merge",
+    oracle=_BM25_INDEXED_ORACLE,
+    tags=("extension", "text", "retrieval", "incremental"),
+    doc="PostingsIndex SHARD MERGE: two inverted-index shards built "
+    "independently on disjoint corpus halves (doc_id%2), merge() "
+    "folds shard B's postings/doclens/stats into A in one atomic "
+    "O(shard) commit (rows verbatim — the seq-equality liveness rule "
+    "resolves across shards; stats deltas are additive), then the "
+    "SAME upsert+delete scenario runs through the merged index and "
+    "the serve must equal x_text_bm25_indexed's oracle exactly — "
+    "merge must be invisible to ranking (a lost posting changes df "
+    "and every score in its term's lists) "
+    "(operators/postings_index.py:PostingsIndex.merge).",
+)
+def x_text_bm25_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.postings_index import (
+        PostingsIndex,
+    )
+
+    boot, upsert, dele = _bm25_scenario_frames(spark, sf_dir)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root_a = tempfile.mkdtemp(prefix="bm25mrg_a_", dir=shm)
+    root_b = tempfile.mkdtemp(prefix="bm25mrg_b_", dir=shm)
+    try:
+        a = PostingsIndex(spark, root_a, k1=_BM25_K1, b=_BM25_B)
+        a.append(boot.filter(F.col("doc_id") % 2 == 0), seq=0)
+        b = PostingsIndex(spark, root_b, k1=_BM25_K1, b=_BM25_B)
+        b.append(boot.filter(F.col("doc_id") % 2 == 1), seq=0)
+        a.merge(b, epoch="merge-b")
+        a.merge(b, epoch="merge-b")  # replay: must no-op
+        a.append(upsert, seq=1)
+        a.delete(dele, seq=2)
+        return _bm25_serve(spark, a)
+    finally:
+        shutil.rmtree(root_a, ignore_errors=True)
+        shutil.rmtree(root_b, ignore_errors=True)
 
 
 # --- deterministic sampling / sharding -------------------------------------------

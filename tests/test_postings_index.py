@@ -1,0 +1,178 @@
+"""PostingsIndex: the persistent BM25 serve must equal the brute
+bm25_topk over the LIVE corpus after any mutation sequence — the index
+is an evaluation-strategy change only."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from iheardai_data_pipeline_spark.operators.postings_index import PostingsIndex
+from iheardai_data_pipeline_spark.operators.text import bm25_topk
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the lazy dog sleeps all day the dog"),
+    (3, "quick quick quick brown foxes everywhere"),
+    (4, "a completely unrelated document about spark shuffles"),
+    (5, "dog"),
+    (6, None),
+    (7, "the the the the the"),
+    (8, "spark window merge batch stream"),
+    (9, "hash join group vector scan"),
+]
+
+QUERIES = [
+    (10, "quick dog"),
+    (11, "spark shuffles"),
+    (12, "the lazy"),
+]
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from iheardai_data_pipeline_spark.session import get_spark
+
+    return get_spark(app_name="test-postings-index")
+
+
+def _docs(spark, rows=DOCS):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _queries(spark, rows=QUERIES):
+    return spark.createDataFrame(rows, "query_id long, qtext string")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _brute(spark, rows, k=4):
+    return _rows(bm25_topk(_docs(spark, rows), _queries(spark), k=k))
+
+
+def test_serve_equals_brute_after_bootstrap(spark, tmp_path):
+    idx = PostingsIndex(spark, str(tmp_path / "pi"))
+    idx.append(_docs(spark), seq=0)
+    live = [r for r in DOCS if r[1] is not None]
+    assert _rows(idx.topk(_queries(spark), k=4)) == _brute(spark, live, k=4)
+
+
+def test_upsert_and_delete_track_live_corpus(spark, tmp_path):
+    idx = PostingsIndex(spark, str(tmp_path / "pi2"))
+    idx.append(_docs(spark), seq=0)
+    # upsert: doc 4 loses its spark-ness, doc 2 gains terms
+    v2 = [
+        (4, "nothing to see here anymore"),
+        (2, "the lazy dog sleeps all day the dog spark spark"),
+    ]
+    idx.append(_docs(spark, v2), seq=1)
+    # delete doc 1 and an unknown id (no-op)
+    idx.delete(
+        spark.createDataFrame([(1,), (999,)], "doc_id long"), seq=2
+    )
+    live = {i: t for i, t in DOCS if t is not None}
+    live.update(dict(v2))
+    del live[1]
+    want = _brute(spark, sorted(live.items()), k=4)
+    assert _rows(idx.topk(_queries(spark), k=4)) == want
+    # stats track the live corpus exactly
+    n, total = idx.stats()
+    assert n == len(live)
+    assert total == sum(len(t.split()) for t in live.values())
+
+
+def test_reopen_append_epoch_replay_noops(spark, tmp_path):
+    root = str(tmp_path / "pi3")
+    idx = PostingsIndex(spark, root)
+    idx.append(_docs(spark), seq=0, epoch="boot")
+    before = idx.stats()
+    served = _rows(idx.topk(_queries(spark), k=4))
+    # reopen (fresh handle) and replay the same epoch: must no-op
+    idx2 = PostingsIndex(spark, root)
+    idx2.append(_docs(spark), seq=0, epoch="boot")
+    assert idx2.stats() == before
+    assert _rows(idx2.topk(_queries(spark), k=4)) == served
+
+
+def test_meta_pin_rejects_different_constants(spark, tmp_path):
+    root = str(tmp_path / "pi4")
+    PostingsIndex(spark, root, k1=1.2, b=0.75)
+    with pytest.raises(ValueError, match="one BM25 parameterization"):
+        PostingsIndex(spark, root, k1=2.0, b=0.75)
+
+
+def test_merge_disjoint_shards_serve_like_union_build(spark, tmp_path):
+    half_a = [r for r in DOCS if r[0] % 2 == 0]
+    half_b = [r for r in DOCS if r[0] % 2 == 1]
+    a = PostingsIndex(spark, str(tmp_path / "sa"))
+    a.append(_docs(spark, half_a), seq=0)
+    b = PostingsIndex(spark, str(tmp_path / "sb"))
+    b.append(_docs(spark, half_b), seq=0)
+    a.merge(b, epoch="m1")
+    a.merge(b, epoch="m1")  # replay: must no-op
+    live = [r for r in DOCS if r[1] is not None]
+    assert _rows(a.topk(_queries(spark), k=4)) == _brute(spark, live, k=4)
+    n, total = a.stats()
+    assert n == len(live)
+
+
+def test_merge_refuses_mismatched_constants(spark, tmp_path):
+    a = PostingsIndex(spark, str(tmp_path / "ma"), k1=1.2)
+    b = PostingsIndex(spark, str(tmp_path / "mb"), k1=1.5)
+    with pytest.raises(ValueError, match="BM25 constants"):
+        a.merge(b)
+
+
+def test_compact_preserves_serve_and_reclaims(spark, tmp_path):
+    idx = PostingsIndex(spark, str(tmp_path / "pc"))
+    idx.append(_docs(spark), seq=0)
+    idx.append(
+        _docs(spark, [(4, "nothing to see here anymore")]), seq=1
+    )
+    idx.delete(spark.createDataFrame([(1,)], "doc_id long"), seq=2)
+    before = _rows(idx.topk(_queries(spark), k=4))
+    stats_before = idx.stats()
+    idx.compact()
+    assert _rows(idx.topk(_queries(spark), k=4)) == before
+    assert idx.stats() == stats_before
+    # physical reclamation: no posting row survives for doc 1, no
+    # stale row for doc 4's v0 terms, stats folded to one row
+    pl = idx._store.read("postings")
+    assert pl.filter(F.col("doc_id") == 1).count() == 0
+    assert pl.filter(
+        (F.col("doc_id") == 4) & (F.col("term") == "spark")
+    ).count() == 0
+    assert idx._store.read("stats").count() == 1
+
+
+def test_serve_reads_only_probed_term_buckets(spark, tmp_path):
+    idx = PostingsIndex(spark, str(tmp_path / "pp"), n_buckets=128)
+    assert idx._prune_probes
+    idx.append(_docs(spark), seq=0)
+    out = idx.topk(_queries(spark, [(0, "dog")]), k=3)
+    rows = out.collect()
+    assert rows and rows[0]["doc_id"] in (1, 2, 5)
+    files = [f for f in out.inputFiles() if "__rel=postings" in f]
+    buckets = {
+        f.split("__bucket=")[1].split("/")[0]
+        for f in files
+        if "__bucket=" in f
+    }
+    manifest = (idx._store._manifest(idx._store.current_version()) or {})[
+        "postings"
+    ]
+    # one query term -> exactly the one bucket it hashes to
+    assert len(buckets) == 1 < len(manifest)
+
+
+def test_empty_index_and_no_match_queries(spark, tmp_path):
+    idx = PostingsIndex(spark, str(tmp_path / "pe"))
+    assert idx.topk(_queries(spark), k=3).count() == 0
+    idx.append(_docs(spark), seq=0)
+    assert (
+        idx.topk(_queries(spark, [(0, "zzz_absent")]), k=3).count() == 0
+    )
