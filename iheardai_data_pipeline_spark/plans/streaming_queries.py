@@ -1401,3 +1401,87 @@ def t21_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(root, ignore_errors=True)
     return res
+
+
+# --- T22 (extension): streaming ingest into the persistent postings index ----------
+
+
+def _t22_oracle() -> str:
+    from iheardai_data_pipeline_spark.plans.extension_queries import (
+        _BM25_ORACLE,
+    )
+
+    return _BM25_ORACLE
+
+
+_T22_ORACLE = _t22_oracle()
+
+
+@register(
+    "t22_stream_bm25_ingest",
+    oracle=_T22_ORACLE,
+    tags=("streaming", "text", "retrieval"),
+    doc="Streaming ingest into the PERSISTENT inverted index (the "
+    "PostingsIndex joins the t13/t18/t20/t21 twin family): every "
+    "micro-batch of documents appends EPOCH-GUARDED — one (doc, term) "
+    "tf shuffle, its doclen rollup, one additive stats delta, one "
+    "atomic O(batch) commit; nothing rescans the corpus. The "
+    "stream-built index's BM25 serve over the fixed query workload "
+    "must then hash-match the brute one-shot DuckDB replay "
+    "(x_text_bm25_topk's oracle): postings/doclens/stats are additive "
+    "across disjoint batches, so batch boundaries must be invisible — "
+    "a double-committed batch inflates tf/df/stats, a lost one "
+    "deflates them, either fails the hash.",
+)
+def t22_stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from iheardai_data_pipeline_spark.operators.postings_index import (
+        PostingsIndex,
+    )
+    from iheardai_data_pipeline_spark.plans.extension_queries import (
+        _BM25_B,
+        _BM25_K1,
+        _bm25_query_frame,
+    )
+    from iheardai_data_pipeline_spark.sources.batch import load_table
+    from iheardai_data_pipeline_spark.streaming.sinks import (
+        harness_checkpoint_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="t22_", dir=shm)
+    idx = PostingsIndex(
+        spark, os.path.join(root, "idx"), k1=_BM25_K1, b=_BM25_B
+    )
+
+    def ingest_batch(batch: DataFrame, batch_id: int) -> None:
+        idx.append(
+            batch.where(F.col("text").isNotNull()).select("doc_id", "text"),
+            seq=0,
+            epoch=f"t22-{batch_id}",
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    ckpt = harness_checkpoint_dir("t22_ckpt_")
+    try:
+        (
+            stream.writeStream.foreachBatch(ingest_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+            .awaitTermination()
+        )
+        res = idx.topk(_bm25_query_frame(spark), k=5).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+    return res

@@ -449,3 +449,86 @@ def test_t18_semantic_checkpoint_restart_replays_as_noop(spark, tmp_path):
     )
     assert vecs.count() == 11
     assert vecs.select("vec_id").distinct().count() == 11
+
+
+def test_t22_postings_checkpoint_restart_replays_as_noop(spark, tmp_path):
+    """t20's restart proof for the POSTINGS index (t22's shape): crash
+    after a batch's side effects (postings/doclens/stats committed),
+    restart from the same checkpoint with a reopened index — the
+    replayed epoch must no-op (tf/df/stats are additive, so a double
+    commit would inflate scores) and the final BM25 serve must equal
+    the brute one-shot answer over all parts."""
+    from iheardai_data_pipeline_spark.operators.postings_index import (
+        PostingsIndex,
+    )
+    from iheardai_data_pipeline_spark.operators.text import bm25_topk
+
+    parts = [
+        [(1, "the quick brown fox"), (2, "lazy dog dog")],
+        [(10, "quick quick dog"), (11, "spark shuffles forever")],
+        [(20, "the lazy fox sleeps"), (21, "dog spark dog")],
+    ]
+    schema = "doc_id long, text string"
+    queries = spark.createDataFrame(
+        [(0, "quick dog"), (1, "spark fox")], "query_id long, qtext string"
+    )
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    idx_path = str(tmp_path / "idx")
+    crash_flag = str(tmp_path / "crashed-once")
+    os.makedirs(src_dir)
+    for i, part in enumerate(parts):
+        spark.createDataFrame(part, schema).coalesce(1).write.parquet(
+            os.path.join(src_dir, f"part{i}")
+        )
+
+    def run_attempt():
+        idx = PostingsIndex(spark, idx_path)  # reopen
+
+        def ingest(batch, batch_id):
+            idx.append(batch, seq=0, epoch=f"t22r-{batch_id}")
+            if batch_id == 1 and not os.path.exists(crash_flag):
+                with open(crash_flag, "w") as fh:
+                    fh.write("crashed once")
+                raise RuntimeError("injected crash after postings append")
+
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src_dir)
+            .writeStream.foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+            .awaitTermination()
+        )
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        run_attempt()
+    run_attempt()  # recovery: batch 1 replays (same epoch -> no-op)
+
+    idx = PostingsIndex(spark, idx_path)
+    all_rows = [r for p in parts for r in p]
+    got = sorted(tuple(r) for r in idx.topk(queries, k=3).collect())
+    want = sorted(
+        tuple(r)
+        for r in bm25_topk(
+            spark.createDataFrame(all_rows, schema), queries, k=3
+        ).collect()
+    )
+    assert got == want
+    # the replayed epoch really no-opped: stats exact, no duplicate
+    # (term, doc) posting rows
+    n, total = idx.stats()
+    assert n == len(all_rows)
+    assert total == sum(len(t.split()) for _, t in all_rows)
+    pl = idx._store.read("postings")
+    assert (
+        pl.groupBy("term", "doc_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        == 0
+    )
