@@ -2519,6 +2519,15 @@ FROM documents WHERE text IS NOT NULL AND doc_id % 5 <> 0
 
 _BM25_INDEXED_ORACLE = _bm25_oracle_sql(_BM25_SCENARIO_SRC)
 
+# Compact entry: same serve, plus the physical-reclamation gate as a
+# pinned TRUE column (the x_sim_index_compact pattern — the gate rides
+# in the hashed output so a reclamation bug fails the value compare).
+_BM25_COMPACT_ORACLE = (
+    "SELECT s.*, TRUE AS reclaimed_exact FROM ("
+    + _bm25_oracle_sql(_BM25_SCENARIO_SRC)
+    + ") s"
+)
+
 
 def _bm25_query_frame(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
@@ -2652,6 +2661,76 @@ def x_text_bm25_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root_a, ignore_errors=True)
         shutil.rmtree(root_b, ignore_errors=True)
+
+
+@register(
+    "x_text_bm25_compact",
+    oracle=_BM25_COMPACT_ORACLE,
+    tags=("extension", "text", "retrieval", "incremental"),
+    doc="PostingsIndex COMPACT on the correctness path (the "
+    "x_sim_index_compact pattern): run the full mutation scenario "
+    "(bootstrap + upsert + delete), compact() — doclens collapse to "
+    "the live latest row, postings physically drop every row failing "
+    "the seq-equality liveness rule, stats deltas fold to ONE row — "
+    "then serve. The serve must STILL hash-match the final-state "
+    "oracle (reclamation must be invisible to ranking), and the "
+    "reclaimed_exact gate column pins the physical claim: post-compact "
+    "postings rows == live (term, doc) pairs, doclens rows == live "
+    "docs, stats rows == 1 "
+    "(operators/postings_index.py:PostingsIndex.compact).",
+)
+def x_text_bm25_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.postings_index import (
+        PostingsIndex,
+    )
+
+    boot, upsert, dele = _bm25_scenario_frames(spark, sf_dir)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="bm25cpt_", dir=shm)
+    try:
+        idx = PostingsIndex(spark, root, k1=_BM25_K1, b=_BM25_B)
+        idx.append(boot, seq=0)
+        idx.append(upsert, seq=1)
+        idx.delete(dele, seq=2)
+        idx.compact()
+        served = _bm25_serve(spark, idx)
+        # physical-reclamation gate: exactly the live state remains
+        n_live, _ = idx.stats()
+        live_pairs = (
+            boot.join(dele, "doc_id", "left_anti")
+            .join(upsert.select("doc_id"), "doc_id", "left_anti")
+            .unionByName(upsert.join(dele, "doc_id", "left_anti"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(
+                        F.split(
+                            text.normalize_text(F.col("text")), " "
+                        )
+                    )
+                ).alias("term"),
+            )
+            .count()
+        )
+        postings_rows = idx._store.read("postings").count()
+        doclens_rows = idx._store.read("doclens").count()
+        stats_rows = idx._store.read("stats").count()
+        live_docs = (
+            boot.join(dele, "doc_id", "left_anti").select("doc_id").count()
+        )
+        gate = (
+            postings_rows == live_pairs
+            and doclens_rows == live_docs
+            and stats_rows == 1
+            and n_live == live_docs
+        )
+        return served.withColumn("reclaimed_exact", F.lit(gate))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 # --- deterministic sampling / sharding -------------------------------------------
