@@ -291,11 +291,59 @@ def time_ann_compact(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def time_bm25_indexed(spark, sf_dir: str) -> dict[str, float]:
+    """Mirrors x_text_bm25_indexed + x_text_bm25_compact (round 11):
+    bootstrap | mutate (epoch-replayed append + upsert + delete) |
+    serve | compact | serve-post (post-compact serve must be
+    row-identical — the reclamation-invisible gate)."""
+    from iheardai_data_pipeline_spark.operators.postings_index import (
+        PostingsIndex,
+    )
+    from iheardai_data_pipeline_spark.plans.extension_queries import (
+        _BM25_B,
+        _BM25_K1,
+        _bm25_query_frame,
+        _bm25_scenario_frames,
+    )
+
+    boot, upsert, dele = _bm25_scenario_frames(spark, sf_dir)
+    queries = _bm25_query_frame(spark)
+    root = _shm_tmp("pt_bm25_")
+    out: dict[str, float] = {}
+    try:
+        t0 = time.time()
+        idx = PostingsIndex(spark, root, k1=_BM25_K1, b=_BM25_B)
+        idx.append(boot, seq=0, epoch="boot")
+        out["bootstrap"] = time.time() - t0
+        t0 = time.time()
+        idx.append(boot, seq=0, epoch="boot")  # replay: must no-op
+        idx.append(upsert, seq=1, epoch="upsert")
+        idx.delete(dele, seq=2, epoch="delete")
+        out["mutate"] = time.time() - t0
+        t0 = time.time()
+        before = idx.topk(queries, k=5).localCheckpoint(eager=True)
+        out["serve"] = time.time() - t0
+        t0 = time.time()
+        idx.compact()
+        out["compact"] = time.time() - t0
+        t0 = time.time()
+        after = idx.topk(queries, k=5).localCheckpoint(eager=True)
+        out["serve-post"] = time.time() - t0
+        assert (
+            before.exceptAll(after).count() + after.exceptAll(before).count()
+            == 0
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 ENTRIES = {
     "x_sim_index_update": time_ann_update,
     "x_dedup_indexed_exact": time_fp_exact,
     "x_sim_index_batch_topk": time_batch_topk,
     "x_sim_index_compact": time_ann_compact,
+    "x_text_bm25_indexed": time_bm25_indexed,
 }
 
 
