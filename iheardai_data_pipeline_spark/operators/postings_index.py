@@ -9,10 +9,14 @@ the postings are a maintained index: three relations of ONE
 :class:`~iheardai_data_pipeline_spark.streaming.stores.MultiRelationTransactionalStore`
 commit log —
 
-- ``postings`` (term-keyed): (term, doc_id, tf, seq) — the probe side.
-  A query's serve reads ONLY the buckets its terms hash to, and each
-  term's TRUE document frequency is computable from that one bucket
-  (every posting for a term lives there), so idf needs no corpus scan.
+- ``postings`` (term-keyed): (term, doc_id, tf, positions, seq) — the
+  probe side. A query's serve reads ONLY the buckets its terms hash
+  to, and each term's TRUE document frequency is computable from that
+  one bucket (every posting for a term lives there), so idf needs no
+  corpus scan. The POSITIONAL payload (sorted in-document token
+  offsets — the standard positional-index trade: roughly doubles
+  postings bytes) serves exact phrase queries (:meth:`phrase_topk`)
+  from the same buckets.
 - ``doclens`` (doc-keyed): (doc_id, dl, seq, live) — the LIVENESS
   AUTHORITY. Every mutation writes the doc's doclen row and its
   postings with the SAME seq; a candidate posting is live iff its seq
@@ -144,28 +148,33 @@ class PostingsIndex:
     # -- internals ------------------------------------------------------------
 
     def _tokens(self, docs: DataFrame) -> DataFrame:
-        """(doc_id, term) multiset under the canonical normalization —
-        bm25_topk's tokenizer verbatim."""
+        """(doc_id, pos, term) under the canonical normalization —
+        bm25_topk's tokenizer verbatim, plus the 0-based token offset
+        (the positional payload phrase serving needs)."""
         return ensure_parallelism(
             docs.where(F.col(self.text_col).isNotNull())
         ).select(
             F.col(self.id_col),
-            F.explode(
+            F.posexplode(
                 F.split(normalize_text(F.col(self.text_col)), " ")
-            ).alias("term"),
+            ).alias("pos", "term"),
         )
 
     def _batch_relations(self, docs: DataFrame, seq: int) -> tuple:
-        """tf + doclen rows for one batch, stamped with the LWW seq.
-        Both derive from ONE (doc, term) shuffle (the tf groupBy; dl is
-        its per-doc rollup). Eagerly checkpointed: the commit write and
-        the stats-delta aggregate both consume them."""
+        """tf + sorted positions + doclen rows for one batch, stamped
+        with the LWW seq. All derive from ONE (doc, term) shuffle (the
+        tf groupBy; dl is its per-doc rollup; positions ride the same
+        aggregate as a sort_array'd collect). Eagerly checkpointed: the
+        commit write and the stats-delta aggregate both consume them."""
         ic = self.id_col
         s = F.lit(int(seq)).cast("long").alias("seq")
         tf = (
             self._tokens(docs)
             .groupBy(ic, "term")
-            .agg(F.count(F.lit(1)).alias("tf"))
+            .agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+            )
             .localCheckpoint(eager=True)
         )
         dl = (
@@ -173,7 +182,7 @@ class PostingsIndex:
             .agg(F.sum("tf").alias("dl"))
             .localCheckpoint(eager=True)
         )
-        return tf.select("term", ic, "tf", s), dl.select(
+        return tf.select("term", ic, "tf", "positions", s), dl.select(
             ic, "dl", s, F.lit(True).alias("live")
         )
 
@@ -216,7 +225,8 @@ class PostingsIndex:
 
     def _empty(self, rel: str) -> DataFrame:
         schemas = {
-            "postings": f"term string, {self.id_col} long, tf long, seq long",
+            "postings": f"term string, {self.id_col} long, tf long, "
+            "positions array<int>, seq long",
             "doclens": f"{self.id_col} long, dl long, seq long, live boolean",
             "stats": "stat string, d_docs long, d_len long",
         }
@@ -233,6 +243,45 @@ class PostingsIndex:
             F.coalesce(F.sum("d_len"), F.lit(0)).alias("t"),
         ).collect()[0]
         return int(r["n"]), int(r["t"])
+
+    def _live_candidates(self, terms: DataFrame) -> DataFrame | None:
+        """The shared serve front half: bucket-pruned postings read for
+        the given (bounded, broadcastable) term frame, physical-
+        duplicate/stale-version collapse, and the seq-equality liveness
+        join — returns (term, doc_id, tf, positions, seq, dl) live
+        candidate postings, or None when nothing matches."""
+        ic = self.id_col
+        td = terms.select("term").distinct()
+        pl = (
+            self._store.read_keys("postings", td, broadcast_keys=True)
+            if self._prune_probes
+            else self._store.read("postings")
+        )
+        if pl is None:
+            return None
+        pl = pl.join(F.broadcast(td), "term")
+        # replayed un-epoched appends duplicate posting rows physically;
+        # rows for one (term, doc, seq) agree on payload, so max_by on
+        # seq both dedups and keeps only each doc's newest version
+        pl = pl.groupBy("term", ic).agg(
+            F.max_by(
+                F.struct("tf", "positions", "seq"), F.col("seq")
+            ).alias("s")
+        ).select(
+            "term",
+            ic,
+            F.col("s.tf").alias("tf"),
+            F.col("s.positions").alias("positions"),
+            F.col("s.seq").alias("seq"),
+        )
+        live = self._current_live_for(pl.select(ic)).localCheckpoint(
+            eager=True
+        )
+        # seq equality = liveness: the posting belongs to the doc's
+        # current version (kills deleted docs AND stale upsert rows)
+        return pl.join(
+            live.withColumnRenamed("seq", "live_seq"), ic
+        ).filter(F.col("seq") == F.col("live_seq"))
 
     # -- public API -------------------------------------------------------------
 
@@ -345,32 +394,9 @@ class PostingsIndex:
             return self.spark.createDataFrame([], out_schema)
         n_docs_f = float(n_docs)
         avgdl = float(total_len) / n_docs_f
-        pl = (
-            self._store.read_keys(
-                "postings", qterms.select("term"), broadcast_keys=True
-            )
-            if self._prune_probes
-            else self._store.read("postings")
-        )
-        if pl is None:
+        cand = self._live_candidates(qterms.select("term"))
+        if cand is None:
             return self.spark.createDataFrame([], out_schema)
-        pl = pl.join(F.broadcast(qterms.select("term").distinct()), "term")
-        # replayed un-epoched appends duplicate posting rows physically;
-        # rows for one (term, doc, seq) agree on tf, so max_by on seq
-        # both dedups and keeps only each doc's newest version per term
-        pl = pl.groupBy("term", ic).agg(
-            F.max_by(F.struct("tf", "seq"), F.col("seq")).alias("s")
-        ).select(
-            "term", ic, F.col("s.tf").alias("tf"), F.col("s.seq").alias("seq")
-        )
-        live = self._current_live_for(pl.select(ic)).localCheckpoint(
-            eager=True
-        )
-        # seq equality = liveness: the posting belongs to the doc's
-        # current version (kills deleted docs AND stale upsert rows)
-        cand = pl.join(
-            live.withColumnRenamed("seq", "live_seq"), ic
-        ).filter(F.col("seq") == F.col("live_seq"))
         dfreq = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         idf = F.log(
             F.lit(1.0)
@@ -411,6 +437,67 @@ class PostingsIndex:
                 (F.col("score_micro") / F.lit(1000000.0)).alias("score"),
                 "rnk",
             )
+        )
+
+    def phrase_topk(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        query_id_col: str = "query_id",
+        query_text_col: str = "qtext",
+    ) -> DataFrame:
+        """Exact-phrase top-k per query, served FROM THE INDEX's
+        positional payload: reads only the phrase terms' postings
+        buckets (+ the candidates' doclens buckets for liveness),
+        never the corpus. Semantics and output schema are
+        :func:`~iheardai_data_pipeline_spark.operators.text.phrase_topk`'s
+        exactly (overlapping matches count; duplicate-term phrases via
+        base-shift completion; pure integer scoring — no float
+        discipline at all), so the brute operator's oracle replays
+        this serve over the live corpus."""
+        from pyspark.sql import Window
+
+        ic = self.id_col
+        qtoks = queries.select(
+            F.col(query_id_col),
+            F.posexplode(
+                F.split(normalize_text(F.col(query_text_col)), " ")
+            ).alias("idx", "term"),
+        ).localCheckpoint(eager=True)
+        qlen = qtoks.groupBy(query_id_col).agg(
+            F.count(F.lit(1)).alias("phrase_len")
+        )
+        out_schema = (
+            f"{query_id_col} long, {ic} long, n_matches long, rnk long"
+        )
+        cand = self._live_candidates(qtoks.select("term"))
+        if cand is None:
+            return self.spark.createDataFrame([], out_schema)
+        hits = (
+            cand.select("term", ic, F.explode("positions").alias("pos"))
+            .join(F.broadcast(qtoks), "term")
+            .select(
+                query_id_col,
+                ic,
+                (F.col("pos") - F.col("idx")).alias("base"),
+            )
+        )
+        bases = hits.groupBy(query_id_col, ic, "base").agg(
+            F.count(F.lit(1)).alias("n_idx")
+        )
+        matched = (
+            bases.join(F.broadcast(qlen), query_id_col)
+            .filter(F.col("n_idx") == F.col("phrase_len"))
+            .groupBy(query_id_col, ic)
+            .agg(F.count(F.lit(1)).alias("n_matches"))
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.desc("n_matches"), F.asc(ic)
+        )
+        return (
+            matched.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= k)
+            .select(query_id_col, ic, "n_matches", "rnk")
         )
 
     def merge(self, other: "PostingsIndex", epoch=None) -> None:
@@ -469,17 +556,20 @@ class PostingsIndex:
                 if live is None:
                     return current.limit(0)
                 dedup = current.groupBy("term", ic).agg(
-                    F.max_by(F.struct("tf", "seq"), F.col("seq")).alias("s")
+                    F.max_by(
+                        F.struct("tf", "positions", "seq"), F.col("seq")
+                    ).alias("s")
                 ).select(
                     "term",
                     ic,
                     F.col("s.tf").alias("tf"),
+                    F.col("s.positions").alias("positions"),
                     F.col("s.seq").alias("seq"),
                 )
                 return dedup.join(
                     live.withColumnRenamed("seq", "live_seq"), ic
                 ).filter(F.col("seq") == F.col("live_seq")).select(
-                    "term", ic, "tf", "seq"
+                    "term", ic, "tf", "positions", "seq"
                 )
             return (
                 current.groupBy("stat")

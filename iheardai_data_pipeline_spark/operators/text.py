@@ -424,3 +424,79 @@ def bm25_topk(
             "rnk",
         )
     )
+
+
+def phrase_topk(
+    docs,
+    queries,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    k: int = 5,
+):
+    """Top-k documents per query by EXACT PHRASE occurrence count —
+    the positional complement of :func:`bm25_topk` (ranked retrieval
+    needs both: bag-of-words relevance and phrase precision).
+
+    A match at base position p means token p+i of the document equals
+    phrase token i for every i; overlapping matches count separately
+    ("a a a" occurs twice in "a a a a" — the left-to-right convention,
+    mirrored exactly by the SQL oracle). Scoring is pure integer
+    counting — no float discipline needed. Ties break doc_id asc;
+    documents with zero matches are absent.
+
+    Shape: tokenize WITH POSITIONS (posexplode — still one narrow
+    projection), broadcast the phrase-term frame (qid, idx, term) onto
+    the token relation, shift each hit to its would-be base position
+    (pos - idx), and a base completes a match iff all phrase_len
+    indexes are present — one groupBy(qid, doc, base) count + one
+    groupBy(qid, doc) rollup + the per-query top-k window. Candidate
+    volume is postings-of-phrase-terms, never a per-query corpus scan;
+    repeated phrase terms contribute one row per (idx, position) so
+    duplicate-term phrases ("dog dog") count correctly.
+    """
+    from pyspark.sql import Window
+
+    from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism
+
+    toks = ensure_parallelism(
+        docs.where(F.col(text_col).isNotNull())
+    ).select(
+        F.col(id_col),
+        F.posexplode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+            "pos", "term"
+        ),
+    )
+    qtoks = queries.select(
+        F.col(query_id_col),
+        F.posexplode(
+            F.split(normalize_text(F.col(query_text_col)), " ")
+        ).alias("idx", "term"),
+    )
+    qlen = qtoks.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).alias("phrase_len")
+    )
+    hits = toks.join(F.broadcast(qtoks), "term").select(
+        query_id_col,
+        id_col,
+        (F.col("pos") - F.col("idx")).alias("base"),
+        "idx",
+    )
+    bases = hits.groupBy(query_id_col, id_col, "base").agg(
+        F.count(F.lit(1)).alias("n_idx")
+    )
+    matched = (
+        bases.join(F.broadcast(qlen), query_id_col)
+        .filter(F.col("n_idx") == F.col("phrase_len"))
+        .groupBy(query_id_col, id_col)
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("n_matches"), F.asc(id_col)
+    )
+    return (
+        matched.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "n_matches", "rnk")
+    )

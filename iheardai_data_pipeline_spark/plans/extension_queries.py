@@ -2663,6 +2663,147 @@ def x_text_bm25_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root_b, ignore_errors=True)
 
 
+# --- exact phrase retrieval -------------------------------------------------------
+
+# Fixed phrase workload (a duplicate-term phrase, two bigrams, a
+# unigram, a trigram — every base-shift counting edge).
+PHRASE_QUERIES: tuple[tuple[int, str], ...] = (
+    (0, "batch batch"),
+    (1, "scan merge"),
+    (2, "vector"),
+    (3, "the fast key"),
+)
+
+_PHRASE_QUERY_VALUES = ", ".join(f"({i}, '{t}')" for i, t in PHRASE_QUERIES)
+
+_PHRASE_TOKS_SQL = (
+    "trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+)
+
+
+def _phrase_oracle_sql(src_sql: str) -> str:
+    """Exact-phrase top-k oracle over an arbitrary (doc_id, text)
+    source — pure integer counting (base-shift completion), so there
+    is no float discipline at all. 1-based DuckDB positions vs 0-based
+    Spark positions cancel in the pos - idx shift."""
+    norm_t = _PHRASE_TOKS_SQL.format(col="text")
+    norm_q = _PHRASE_TOKS_SQL.format(col="qtext")
+    return f"""
+WITH pq(query_id, qtext) AS (VALUES {_PHRASE_QUERY_VALUES}),
+src AS ({src_sql}),
+toks AS (
+  SELECT doc_id,
+         unnest(string_split({norm_t}, ' ')) AS term,
+         generate_subscripts(string_split({norm_t}, ' '), 1) AS pos
+  FROM src
+),
+qt AS (
+  SELECT query_id,
+         unnest(string_split({norm_q}, ' ')) AS term,
+         generate_subscripts(string_split({norm_q}, ' '), 1) AS idx
+  FROM pq
+),
+qlen AS (SELECT query_id, count(*) AS phrase_len FROM qt GROUP BY 1),
+hits AS (
+  SELECT qt.query_id, toks.doc_id, toks.pos - qt.idx AS base
+  FROM toks JOIN qt USING (term)
+),
+bases AS (
+  SELECT query_id, doc_id, base, count(*) AS n_idx
+  FROM hits GROUP BY 1, 2, 3
+),
+matched AS (
+  SELECT b.query_id, b.doc_id, count(*) AS n_matches
+  FROM bases b JOIN qlen USING (query_id)
+  WHERE b.n_idx = qlen.phrase_len
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY n_matches DESC, doc_id ASC
+  ) AS rnk
+  FROM matched
+)
+SELECT query_id, doc_id, n_matches, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+_PHRASE_ORACLE = _phrase_oracle_sql(
+    "SELECT doc_id, text FROM documents WHERE text IS NOT NULL"
+)
+
+
+def _phrase_query_frame(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        list(PHRASE_QUERIES), "query_id long, qtext string"
+    )
+
+
+@register(
+    "x_text_phrase_topk",
+    oracle=_PHRASE_ORACLE,
+    tags=("extension", "text", "retrieval"),
+    doc="Exact-phrase top-5 per query (overlapping occurrences count; "
+    "duplicate-term phrases exact by base-shift completion counting): "
+    "positional tokenize (posexplode), broadcast the phrase-term "
+    "frame, shift each hit to its would-be base (pos - idx), a base "
+    "completes iff all phrase indexes are present. Candidates are "
+    "postings-of-phrase-terms, never a per-query corpus scan; the "
+    "scoring is pure integer counting — no float discipline needed "
+    "(operators/text.py:phrase_topk).",
+)
+def x_text_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.phrase_topk(
+        load_table(spark, sf_dir, "documents"),
+        _phrase_query_frame(spark),
+        k=5,
+    )
+
+
+_PHRASE_INDEXED_ORACLE = _phrase_oracle_sql(_BM25_SCENARIO_SRC)
+
+
+@register(
+    "x_text_phrase_indexed",
+    oracle=_PHRASE_INDEXED_ORACLE,
+    tags=("extension", "text", "retrieval", "incremental"),
+    doc="Exact-phrase retrieval served FROM the persistent inverted "
+    "index's positional payload (PostingsIndex.phrase_topk): the same "
+    "bootstrap + upsert + delete scenario as x_text_bm25_indexed, "
+    "then the fixed phrase workload served reading only the phrase "
+    "terms' postings buckets — positions ride each posting row "
+    "(sorted in-document offsets), a hit shifts to its would-be base "
+    "(pos - idx) and a base completes iff all phrase indexes are "
+    "present. Oracle = the brute phrase SQL over the scenario's FINAL "
+    "live corpus: a stale position list (an upsert that kept v0 "
+    "offsets) or a resurrected delete changes a count and fails the "
+    "hash. Pure integer scoring — no float discipline "
+    "(operators/postings_index.py:PostingsIndex.phrase_topk).",
+)
+def x_text_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.postings_index import (
+        PostingsIndex,
+    )
+
+    boot, upsert, dele = _bm25_scenario_frames(spark, sf_dir)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="phridx_", dir=shm)
+    try:
+        idx = PostingsIndex(spark, root, k1=_BM25_K1, b=_BM25_B)
+        idx.append(boot, seq=0)
+        idx.append(upsert, seq=1)
+        idx.delete(dele, seq=2)
+        return idx.phrase_topk(
+            _phrase_query_frame(spark), k=5
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register(
     "x_text_bm25_compact",
     oracle=_BM25_COMPACT_ORACLE,

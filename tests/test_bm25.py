@@ -98,3 +98,59 @@ def test_bm25_ties_break_doc_id_asc(spark):
     rows = bm25_topk(docs, queries, k=3).orderBy("rnk").collect()
     assert [r["doc_id"] for r in rows] == [1, 2, 3]
     assert len({r["score_micro"] for r in rows}) == 1
+
+
+# --- exact phrase retrieval --------------------------------------------------
+
+
+def _python_phrases(rows, queries, k):
+    out = []
+    for qid, qtext in queries:
+        qws = qtext.split()
+        scored = []
+        for did, t in rows:
+            if t is None:
+                continue
+            ws = t.split()
+            n = sum(
+                1
+                for i in range(len(ws) - len(qws) + 1)
+                if ws[i : i + len(qws)] == qws
+            )
+            if n:
+                scored.append((did, n))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for rnk, (did, n) in enumerate(scored[:k], 1):
+            out.append((qid, did, n, rnk))
+    return sorted(out)
+
+
+PHRASE_DOCS = [
+    (1, "a a a a"),  # overlapping matches for "a a a" -> 2
+    (2, "the quick brown fox the quick brown fox"),
+    (3, "quick brown quick brown quick"),
+    (4, "brown fox"),
+    (5, None),
+    (6, "a b a b a"),
+]
+
+PHRASE_QS = [
+    (0, "a a a"),
+    (1, "quick brown"),
+    (2, "brown fox"),
+    (3, "a b a"),
+    (4, "zzz_absent"),
+]
+
+
+def test_phrase_topk_matches_pure_python(spark):
+    from iheardai_data_pipeline_spark.operators.text import phrase_topk
+
+    docs = spark.createDataFrame(PHRASE_DOCS, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        PHRASE_QS, "query_id long, qtext string"
+    )
+    got = sorted(tuple(r) for r in phrase_topk(docs, queries, k=3).collect())
+    assert got == _python_phrases(PHRASE_DOCS, PHRASE_QS, k=3)
+    # the overlap edge really exercised: "a a a" occurs twice in doc 1
+    assert (0, 1, 2, 1) in got

@@ -176,3 +176,43 @@ def test_empty_index_and_no_match_queries(spark, tmp_path):
     assert (
         idx.topk(_queries(spark, [(0, "zzz_absent")]), k=3).count() == 0
     )
+
+
+def test_phrase_serve_equals_brute_after_mutations(spark, tmp_path):
+    from iheardai_data_pipeline_spark.operators.text import phrase_topk
+
+    idx = PostingsIndex(spark, str(tmp_path / "ph"))
+    idx.append(_docs(spark), seq=0)
+    v2 = [(3, "quick brown quick brown"), (8, "lazy dog lazy dog lazy")]
+    idx.append(_docs(spark, v2), seq=1)
+    idx.delete(spark.createDataFrame([(2,)], "doc_id long"), seq=2)
+    live = {i: t for i, t in DOCS if t is not None}
+    live.update(dict(v2))
+    del live[2]
+    phrases = spark.createDataFrame(
+        [(0, "quick brown"), (1, "lazy dog"), (2, "the lazy dog")],
+        "query_id long, qtext string",
+    )
+    got = sorted(tuple(r) for r in idx.phrase_topk(phrases, k=4).collect())
+    want = sorted(
+        tuple(r)
+        for r in phrase_topk(
+            _docs(spark, sorted(live.items())), phrases, k=4
+        ).collect()
+    )
+    assert got == want
+    # the upserted doc's duplicated phrase really counts twice
+    assert (0, 3, 2, 1) in got
+
+
+def test_phrase_serve_survives_compact(spark, tmp_path):
+    idx = PostingsIndex(spark, str(tmp_path / "phc"))
+    idx.append(_docs(spark), seq=0)
+    idx.delete(spark.createDataFrame([(1,)], "doc_id long"), seq=1)
+    phrases = spark.createDataFrame(
+        [(0, "lazy dog")], "query_id long, qtext string"
+    )
+    before = sorted(tuple(r) for r in idx.phrase_topk(phrases, k=3).collect())
+    idx.compact()
+    after = sorted(tuple(r) for r in idx.phrase_topk(phrases, k=3).collect())
+    assert before == after and before
