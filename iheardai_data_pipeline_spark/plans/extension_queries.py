@@ -2445,7 +2445,7 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 _BM25_QUERY_VALUES = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
 
-def _bm25_oracle_sql(src_sql: str) -> str:
+def _bm25_oracle_sql(src_sql: str, k: int = 5) -> str:
     """Full BM25 oracle over an arbitrary (doc_id, text) source CTE —
     the brute entry passes the raw documents table; the persistent-
     index entries pass the mutation scenario's FINAL live corpus (the
@@ -2498,7 +2498,7 @@ ranked AS (
 )
 SELECT query_id, doc_id, n_terms, score_micro,
        score_micro / 1000000.0 AS score, rnk
-FROM ranked WHERE rnk <= 5
+FROM ranked WHERE rnk <= {k}
 """
 
 
@@ -2661,6 +2661,110 @@ def x_text_bm25_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root_a, ignore_errors=True)
         shutil.rmtree(root_b, ignore_errors=True)
+
+
+# --- hybrid retrieval: RRF fusion of BM25 + embedding cosine -----------------------
+
+# Each text query fuses with a semantic anchor vector (the embedding of
+# vec_id = 7 * query_id — documents and embeddings share the id space).
+_RRF_ANCHOR_VALUES = ", ".join(f"({i}, {7 * i})" for i, _ in BM25_QUERIES)
+
+_HYBRID_RRF_ORACLE = f"""
+WITH lex AS (
+  SELECT query_id, doc_id, rnk
+  FROM ({_bm25_oracle_sql("SELECT doc_id, text FROM documents WHERE text IS NOT NULL", k=20)})
+),
+anchors(query_id, aid) AS (VALUES {_RRF_ANCHOR_VALUES}),
+sems AS (
+  SELECT a.query_id, e.vec_id AS doc_id,
+         row_number() OVER (
+           PARTITION BY a.query_id
+           ORDER BY round(list_cosine_similarity(
+                      e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+                    e.vec_id ASC
+         ) AS rnk
+  FROM anchors a
+  JOIN embeddings q ON q.vec_id = a.aid
+  CROSS JOIN embeddings e
+  WHERE e.vec_id <> a.aid
+),
+sem AS (SELECT query_id, doc_id, rnk FROM sems WHERE rnk <= 20),
+contrib AS (
+  SELECT query_id, doc_id, 1000000 // (60 + rnk) AS c FROM lex
+  UNION ALL
+  SELECT query_id, doc_id, 1000000 // (60 + rnk) AS c FROM sem
+),
+fused AS (
+  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+         count(*) AS n_systems
+  FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id ASC
+  ) AS rnk
+  FROM fused
+)
+SELECT query_id, doc_id, rrf_micro, n_systems, rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@register(
+    "x_hybrid_rrf_topk",
+    oracle=_HYBRID_RRF_ORACLE,
+    tags=("extension", "text", "retrieval", "similarity"),
+    doc="Hybrid retrieval: Reciprocal Rank Fusion of the BM25 lexical "
+    "top-20 (the fixed query workload) with an embedding-cosine "
+    "semantic top-20 (anchor vector = embedding of vec_id 7*query_id; "
+    "documents and embeddings share the id space) — the standard "
+    "first fuse for text + vector search, needing no score "
+    "calibration. Contributions are EXACT integers (1e6 div "
+    "(60 + rank)), so the fused sum is order-independent and replays "
+    "bit-for-bit; ranks inside each system use that system's proven "
+    "deterministic order (micro-unit BM25; round-6 cosine with vec_id "
+    "tiebreak) (operators/retrieval.py:rrf_fuse).",
+)
+def x_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from iheardai_data_pipeline_spark.operators.retrieval import rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = text.bm25_topk(
+        docs, _bm25_query_frame(spark), k=20, k1=_BM25_K1, b=_BM25_B
+    ).select("query_id", "doc_id", "rnk")
+    anchor_ids = spark.createDataFrame(
+        [(i, 7 * i) for i, _ in BM25_QUERIES], "query_id long, aid long"
+    )
+    anchors = anchor_ids.join(
+        emb.select(F.col("vec_id").alias("aid"), F.col("embedding")), "aid"
+    ).select(
+        "query_id",
+        "aid",
+        F.col("embedding").alias("qvec"),
+        similarity.vector_norm(F.col("embedding")).alias("qnorm"),
+    )
+    sim = similarity.dot_product(F.col("embedding"), F.col("qvec")) / (
+        similarity.vector_norm(F.col("embedding")) * F.col("qnorm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    sem = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("aid"))
+        .select(
+            "query_id",
+            F.col("vec_id"),
+            F.round(sim, 6).alias("sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("query_id", F.col("vec_id").alias("doc_id"), "rnk")
+    )
+    return rrf_fuse([lex, sem], k=5)
 
 
 # --- exact phrase retrieval -------------------------------------------------------

@@ -154,3 +154,48 @@ def test_phrase_topk_matches_pure_python(spark):
     assert got == _python_phrases(PHRASE_DOCS, PHRASE_QS, k=3)
     # the overlap edge really exercised: "a a a" occurs twice in doc 1
     assert (0, 1, 2, 1) in got
+
+
+# --- RRF fusion ---------------------------------------------------------------
+
+
+def test_rrf_fuse_matches_pure_python(spark):
+    from iheardai_data_pipeline_spark.operators.retrieval import (
+        RRF_K,
+        RRF_SCALE,
+        rrf_fuse,
+    )
+
+    lex = [(0, 1, 1), (0, 2, 2), (0, 3, 3), (1, 9, 1)]
+    sem = [(0, 2, 1), (0, 4, 2), (1, 9, 2), (1, 8, 1)]
+    schema = "query_id long, doc_id long, rnk long"
+    got = sorted(
+        tuple(r)
+        for r in rrf_fuse(
+            [
+                spark.createDataFrame(lex, schema),
+                spark.createDataFrame(sem, schema),
+            ],
+            k=3,
+        ).collect()
+    )
+    scores: dict = {}
+    for sys_rows in (lex, sem):
+        for qid, did, rnk in sys_rows:
+            mic, n = scores.get((qid, did), (0, 0))
+            scores[(qid, did)] = (mic + RRF_SCALE // (RRF_K + rnk), n + 1)
+    want = []
+    for qid in {q for q, _, _ in lex + sem}:
+        rows = sorted(
+            (
+                (did, mic, n)
+                for (q, did), (mic, n) in scores.items()
+                if q == qid
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )
+        for rnk, (did, mic, n) in enumerate(rows[:3], 1):
+            want.append((qid, did, mic, n, rnk))
+    assert got == sorted(want)
+    # doc 2 ranked by both systems -> n_systems == 2 and fused first
+    assert (0, 2, RRF_SCALE // 62 + RRF_SCALE // 61, 2, 1) in got
