@@ -216,3 +216,28 @@ def test_phrase_serve_survives_compact(spark, tmp_path):
     idx.compact()
     after = sorted(tuple(r) for r in idx.phrase_topk(phrases, k=3).collect())
     assert before == after and before
+
+
+def test_phrase_serve_reads_only_probed_term_buckets(spark, tmp_path):
+    idx = PostingsIndex(spark, str(tmp_path / "php"), n_buckets=128)
+    assert idx._prune_probes
+    idx.append(_docs(spark), seq=0)
+    out = idx.phrase_topk(
+        spark.createDataFrame(
+            [(0, "lazy dog")], "query_id long, qtext string"
+        ),
+        k=3,
+    )
+    rows = out.collect()
+    assert rows and rows[0]["doc_id"] in (1, 2)
+    files = [f for f in out.inputFiles() if "__rel=postings" in f]
+    buckets = {
+        f.split("__bucket=")[1].split("/")[0]
+        for f in files
+        if "__bucket=" in f
+    }
+    manifest = (idx._store._manifest(idx._store.current_version()) or {})[
+        "postings"
+    ]
+    # two phrase terms -> at most their two buckets, never the layout
+    assert 1 <= len(buckets) <= 2 < len(manifest)
