@@ -359,6 +359,7 @@ class PostingsIndex:
         k: int = 5,
         query_id_col: str = "query_id",
         query_text_col: str = "qtext",
+        allowed: DataFrame | None = None,
     ) -> DataFrame:
         """Okapi BM25 top-k per query, served FROM THE INDEX: reads
         only the query terms' postings buckets (+ the candidates'
@@ -366,6 +367,17 @@ class PostingsIndex:
         the corpus. Output schema == bm25_topk's, and the arithmetic is
         its fixed-parenthesization micro-unit discipline, so the brute
         operator's oracle replays this serve exactly.
+
+        ``allowed``: optional (doc_id) frame of eligible documents —
+        the metadata-filtered serving the ANN index's ``topk(allowed=)``
+        gives vectors. The mask filters CANDIDATES ONLY; df/N/avgdl
+        stay corpus-global (the standard search-engine filter-query
+        contract: a filter narrows results, it does not re-weight the
+        collection statistics), so a doc's score is identical with or
+        without the mask. The semi-join runs at the identical
+        (post-liveness, pre-scoring) point for every query, and the
+        join strategy is left to the optimizer (small id sets
+        broadcast, huge ones shuffle — the filtered-ANN rule).
 
         Plan shape: the query-term frame is bounded by the serving
         workload — broadcast onto the postings read (the ANN probe-key
@@ -397,7 +409,10 @@ class PostingsIndex:
         cand = self._live_candidates(qterms.select("term"))
         if cand is None:
             return self.spark.createDataFrame([], out_schema)
+        # df BEFORE the mask: collection statistics are corpus-global
         dfreq = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        if allowed is not None:
+            cand = cand.join(allowed.select(ic).distinct(), ic, "left_semi")
         idf = F.log(
             F.lit(1.0)
             + ((F.lit(n_docs_f) - F.col("df")) + F.lit(0.5))

@@ -2445,7 +2445,7 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 _BM25_QUERY_VALUES = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
 
-def _bm25_oracle_sql(src_sql: str, k: int = 5) -> str:
+def _bm25_oracle_sql(src_sql: str, k: int = 5, allowed_sql: str = 'TRUE') -> str:
     """Full BM25 oracle over an arbitrary (doc_id, text) source CTE —
     the brute entry passes the raw documents table; the persistent-
     index entries pass the mutation scenario's FINAL live corpus (the
@@ -2494,7 +2494,7 @@ ranked AS (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC
   ) AS rnk
-  FROM scored
+  FROM scored WHERE {allowed_sql}
 )
 SELECT query_id, doc_id, n_terms, score_micro,
        score_micro / 1000000.0 AS score, rnk
@@ -2862,6 +2862,50 @@ def x_text_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _phrase_query_frame(spark),
         k=5,
     )
+
+
+_BM25_FILTERED_ORACLE = _bm25_oracle_sql(
+    _BM25_SCENARIO_SRC, allowed_sql="doc_id % 3 <> 1"
+)
+
+
+@register(
+    "x_text_bm25_filtered",
+    oracle=_BM25_FILTERED_ORACLE,
+    tags=("extension", "text", "retrieval", "incremental"),
+    doc="Metadata-FILTERED BM25 serving (the postings twin of the ANN "
+    "index's topk(allowed=)): the same mutation scenario, then the "
+    "serve masked to doc_id%3<>1. The mask filters CANDIDATES ONLY — "
+    "df/N/avgdl stay corpus-global (the search-engine filter-query "
+    "contract: a filter narrows results without re-weighting "
+    "collection statistics), so every surviving score is identical to "
+    "the unfiltered serve's, which the oracle pins by replaying the "
+    "FULL-corpus scoring and applying the predicate only before the "
+    "rank cut (operators/postings_index.py:PostingsIndex.topk).",
+)
+def x_text_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.postings_index import (
+        PostingsIndex,
+    )
+
+    boot, upsert, dele = _bm25_scenario_frames(spark, sf_dir)
+    allowed = boot.filter(F.col("doc_id") % 3 != 1).select("doc_id")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="bm25flt_", dir=shm)
+    try:
+        idx = PostingsIndex(spark, root, k1=_BM25_K1, b=_BM25_B)
+        idx.append(boot, seq=0)
+        idx.append(upsert, seq=1)
+        idx.delete(dele, seq=2)
+        return idx.topk(
+            _bm25_query_frame(spark), k=5, allowed=allowed
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 _PHRASE_INDEXED_ORACLE = _phrase_oracle_sql(_BM25_SCENARIO_SRC)

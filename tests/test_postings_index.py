@@ -241,3 +241,40 @@ def test_phrase_serve_reads_only_probed_term_buckets(spark, tmp_path):
     ]
     # two phrase terms -> at most their two buckets, never the layout
     assert 1 <= len(buckets) <= 2 < len(manifest)
+
+
+def test_filtered_serve_scores_unchanged_under_mask(spark, tmp_path):
+    """allowed= filters candidates only — a surviving doc's score must
+    be IDENTICAL to its unfiltered score (df/N/avgdl stay global)."""
+    idx = PostingsIndex(spark, str(tmp_path / "pf"))
+    idx.append(_docs(spark), seq=0)
+    allowed = spark.createDataFrame(
+        [(i,) for i, t in DOCS if t is not None and i % 2 == 1],
+        "doc_id long",
+    )
+    full = {
+        (r["query_id"], r["doc_id"]): (r["score_micro"], r["n_terms"])
+        for r in idx.topk(_queries(spark), k=100).collect()
+    }
+    got = idx.topk(_queries(spark), k=100, allowed=allowed).collect()
+    assert got and all(r["doc_id"] % 2 == 1 for r in got)
+    for r in got:
+        assert full[(r["query_id"], r["doc_id"])] == (
+            r["score_micro"],
+            r["n_terms"],
+        )
+    # and the filtered ranking is the full ranking restricted + re-cut
+    for qid in {r["query_id"] for r in got}:
+        want_order = [
+            d
+            for (q, d), _ in sorted(
+                full.items(), key=lambda kv: (-kv[1][0], kv[0][1])
+            )
+            if q == qid and d % 2 == 1
+        ]
+        got_order = [
+            r["doc_id"]
+            for r in sorted(got, key=lambda r: r["rnk"])
+            if r["query_id"] == qid
+        ]
+        assert got_order == want_order[: len(got_order)]
