@@ -520,11 +520,16 @@ class PostingsIndex:
         per-shard-build + merge topology; see PersistentAnnIndex.merge
         for the correctness model). Rows carry verbatim (seq/live
         included) so the seq-equality liveness rule resolves across
-        shards exactly as in one index; the stats deltas are additive
-        by construction. Shards must share (k1, b) — enforced — and
-        doc-id spaces must be disjoint OR per-id seqs globally ordered
-        (the family's LWW precondition). ONE atomic O(shard) commit;
-        ``epoch`` makes a replayed merge idempotent."""
+        shards exactly as in one index. Shards must share (k1, b) —
+        enforced — and doc-id spaces MUST BE DISJOINT: that is what
+        makes the stats deltas additive (each shard counted each live
+        doc exactly once). Mere per-id seq ordering — the sibling
+        indexes' weaker LWW precondition — is NOT enough here: if both
+        shards indexed versions of the same doc, the seq-equality rule
+        serves the right version but both shards' +1 doc deltas
+        survive the merge and N drifts high. Overlapping-id merges
+        need a delete-then-merge on one side first. ONE atomic
+        O(shard) commit; ``epoch`` makes a replayed merge idempotent."""
         if abs(other.k1 - self.k1) > 1e-12 or abs(other.b - self.b) > 1e-12:
             raise ValueError(
                 "refusing to merge postings shards with different BM25 "
