@@ -2767,6 +2767,121 @@ def x_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex, sem], k=5)
 
 
+def _hybrid_indexed_oracle() -> str:
+    """RRF over two INDEX-SERVED rankings, both already value-proven:
+    the BM25 oracle (k=20) and the ANN batch-serve replay
+    (_index_serve_oracle, 4 queries = the 4 smallest vec_ids, which in
+    the dense testdata id space are exactly the BM25 query ids 0-3).
+    Ranks derive from each replay's own rows — l2_dist bit-identity
+    (proven by x_sim_index_batch_topk at 3 SFs) makes the semantic
+    rank cross-engine stable; the BM25 rank is integer by
+    construction."""
+    lex_sql = _bm25_oracle_sql(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL", k=20
+    )
+    ann_sql = _index_serve_oracle(n_queries=4, k=20)
+    return f"""
+WITH lex AS (SELECT query_id, doc_id, rnk FROM ({lex_sql})),
+ann AS (SELECT query_id, vec_id, l2_dist FROM ({ann_sql})),
+sem AS (
+  SELECT query_id, vec_id AS doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY l2_dist ASC, vec_id ASC
+         ) AS rnk
+  FROM ann
+),
+contrib AS (
+  SELECT query_id, doc_id, 1000000 // (60 + rnk) AS c FROM lex
+  UNION ALL
+  SELECT query_id, doc_id, 1000000 // (60 + rnk) AS c FROM sem
+),
+fused AS (
+  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+         count(*) AS n_systems
+  FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id ASC
+  ) AS rnk
+  FROM fused
+)
+SELECT query_id, doc_id, rrf_micro, n_systems, rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@register(
+    "x_hybrid_rrf_indexed",
+    oracle=_hybrid_indexed_oracle(),
+    tags=("extension", "text", "retrieval", "similarity", "incremental"),
+    doc="INDEX-SERVED hybrid retrieval (the production shape of "
+    "x_hybrid_rrf_topk): the lexical leg is PostingsIndex BM25 top-20 "
+    "(probed term buckets only), the semantic leg is "
+    "PersistentAnnIndex.topk_batch top-20 for the 4 smallest vec_ids "
+    "(= the BM25 query ids in the dense testdata id space; probed "
+    "cluster buckets only, pinned artifacts, exclude_self), fused by "
+    "the same exact-integer RRF. Oracle = RRF over the two legs' own "
+    "value-proven replays (the BM25 SQL at k=20 + _index_serve_oracle "
+    "at 4 queries/k=20), so a drift in EITHER index's serve — or in "
+    "the fusion — fails the hash (operators/retrieval.py:rrf_fuse).",
+)
+def x_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from iheardai_data_pipeline_spark.operators.ann_index import (
+        PersistentAnnIndex,
+    )
+    from iheardai_data_pipeline_spark.operators.postings_index import (
+        PostingsIndex,
+    )
+    from iheardai_data_pipeline_spark.operators.retrieval import rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    n = emb.count()
+    shortlist = max(100, n // 5)
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root_p = tempfile.mkdtemp(prefix="hyb_pi_", dir=shm)
+    root_a = tempfile.mkdtemp(prefix="hyb_ann_", dir=shm)
+    try:
+        pidx = PostingsIndex(spark, root_p, k1=_BM25_K1, b=_BM25_B)
+        pidx.append(docs, seq=0)
+        lex = pidx.topk(_bm25_query_frame(spark), k=20).select(
+            "query_id", "doc_id", "rnk"
+        )
+        aidx = PersistentAnnIndex.bootstrap(
+            spark, root_a, emb, centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS
+        )
+        served = aidx.topk_batch(
+            queries, k=20, nprobe=4, shortlist=shortlist, exclude_self=True
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("l2_dist"), F.asc("vec_id")
+        )
+        sem = (
+            served.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .select("query_id", F.col("vec_id").alias("doc_id"), "rnk")
+        )
+        return rrf_fuse([lex, sem], k=5).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root_p, ignore_errors=True)
+        shutil.rmtree(root_a, ignore_errors=True)
+
+
 # --- exact phrase retrieval -------------------------------------------------------
 
 # Fixed phrase workload (a duplicate-term phrase, two bigrams, a
