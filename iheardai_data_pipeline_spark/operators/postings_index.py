@@ -31,6 +31,12 @@ commit log —
   is the live (N, total_len) pair BM25's idf/avgdl need. Rows grow
   one per mutating commit and :meth:`compact` folds them to one; the
   serve-side read is commit-count-sized, never corpus-sized.
+  CAVEAT — replay tolerance EXCLUDES stats: duplicate postings/doclens
+  rows self-heal through the max_by collapse, but a replayed
+  un-epoched mutation appends its (d_docs, d_len) delta AGAIN and the
+  sum double-counts, drifting every idf/avgdl-dependent score.
+  At-least-once writers MUST pass ``epoch`` (the store then makes the
+  whole replayed commit a no-op); the shipped catalog entries all do.
 
 SEQ CONTRACT (the family's LWW rule, specialized): every mutation of a
 doc id must carry a seq STRICTLY GREATER than any previous mutation of
@@ -200,9 +206,18 @@ class PostingsIndex:
             ic, F.col("s.dl").alias("dl"), F.col("s.seq").alias("seq")
         )
 
-    def _current_live_for(self, ids: DataFrame) -> DataFrame:
+    def _current_live_for(
+        self, ids: DataFrame, broadcast_keys: bool = True
+    ) -> DataFrame:
         """Live (doc_id, dl) for the given ids — one bucket-pruned
-        doclens lookup (batch-bounded cost)."""
+        doclens lookup. ``broadcast_keys`` hints the semi-join to
+        broadcast the id frame: mutation callers (append/delete) pass
+        batch-bounded frames and keep the default; the SERVE path
+        passes False because its frame is every live doc containing a
+        query term — unbounded when a query carries a hot term, and
+        forcing a broadcast of an unbounded frame can OOM the driver
+        (read_keys' own rule). Without the hint the optimizer picks
+        the strategy from the frame's actual size (AQE)."""
         key_frame = ids.select(self.id_col)
         rows = (
             self._store.read_keys("doclens", key_frame)
@@ -213,9 +228,8 @@ class PostingsIndex:
             return self.spark.createDataFrame(
                 [], f"{self.id_col} long, dl long, seq long"
             )
-        return self._live_doclens(rows).join(
-            F.broadcast(key_frame), self.id_col, "left_semi"
-        )
+        kf = F.broadcast(key_frame) if broadcast_keys else key_frame
+        return self._live_doclens(rows).join(kf, self.id_col, "left_semi")
 
     def _stats_delta(self, d_docs: int, d_len: int) -> DataFrame:
         return self.spark.createDataFrame(
@@ -274,9 +288,11 @@ class PostingsIndex:
             F.col("s.positions").alias("positions"),
             F.col("s.seq").alias("seq"),
         )
-        live = self._current_live_for(pl.select(ic)).localCheckpoint(
-            eager=True
-        )
+        # serve-path candidate set = every live doc containing a query
+        # term — unbounded for hot terms, so no broadcast hint here
+        live = self._current_live_for(
+            pl.select(ic), broadcast_keys=False
+        ).localCheckpoint(eager=True)
         # seq equality = liveness: the posting belongs to the doc's
         # current version (kills deleted docs AND stale upsert rows)
         return pl.join(
@@ -297,7 +313,14 @@ class PostingsIndex:
         (dl), a bucket-pruned doclens lookup of the batch ids (the
         replaced docs' old lengths feed the stats delta), one bounded
         one-row collect for the delta, one add-files commit. Nothing
-        scales with corpus size."""
+        scales with corpus size.
+
+        At-least-once delivery REQUIRES ``epoch``: a replayed
+        un-epoched append duplicates postings/doclens rows (harmless —
+        the serve's max_by collapse heals them) but ALSO re-appends
+        the stats delta, and the stats SUM has no dedup — N/total_len
+        double-count and every score drifts (module header's stats
+        caveat)."""
         tf, dl = self._batch_relations(docs, seq)
         old = self._current_live_for(dl)
         joined = dl.join(
@@ -520,21 +543,48 @@ class PostingsIndex:
         per-shard-build + merge topology; see PersistentAnnIndex.merge
         for the correctness model). Rows carry verbatim (seq/live
         included) so the seq-equality liveness rule resolves across
-        shards exactly as in one index. Shards must share (k1, b) —
-        enforced — and doc-id spaces MUST BE DISJOINT: that is what
-        makes the stats deltas additive (each shard counted each live
-        doc exactly once). Mere per-id seq ordering — the sibling
-        indexes' weaker LWW precondition — is NOT enough here: if both
-        shards indexed versions of the same doc, the seq-equality rule
-        serves the right version but both shards' +1 doc deltas
-        survive the merge and N drifts high. Overlapping-id merges
-        need a delete-then-merge on one side first. ONE atomic
-        O(shard) commit; ``epoch`` makes a replayed merge idempotent."""
+        shards exactly as in one index. Shards must share (k1, b) and
+        doc-id spaces must be disjoint — BOTH ENFORCED (raise, no
+        commit). Disjointness is what makes the stats deltas additive
+        (each shard counted each live doc exactly once). Mere per-id
+        seq ordering — the sibling indexes' weaker LWW precondition —
+        is NOT enough here: if both shards indexed versions of the
+        same doc, the seq-equality rule serves the right version but
+        both shards' +1 doc deltas survive the merge and N drifts
+        high, corrupting every idf. The overlap probe is a bucket-
+        pruned semi-join of the shard's live doclens against this
+        index's (the delete()-lookup cost class, O(shard)); the
+        remedy for a true overlap is delete-then-merge on one side.
+        ONE atomic O(shard) commit; ``epoch`` makes a replayed merge
+        idempotent (checked FIRST, so a replay skips the probe — a
+        post-first-merge replay would otherwise see its own rows as
+        an overlap)."""
         if abs(other.k1 - self.k1) > 1e-12 or abs(other.b - self.b) > 1e-12:
             raise ValueError(
                 "refusing to merge postings shards with different BM25 "
                 "constants — scores are only comparable under one (k1, b)"
             )
+        if self._store.epoch_committed(epoch):
+            return  # replayed merge: the commit below would no-op
+        other_doclens = other._store.read("doclens")
+        if other_doclens is not None:
+            if other.id_col != self.id_col:
+                other_doclens = other_doclens.withColumnRenamed(
+                    other.id_col, self.id_col
+                )
+            shard_live = self._live_doclens(other_doclens)
+            overlap = self._current_live_for(
+                shard_live, broadcast_keys=False
+            )
+            sample = [r[self.id_col] for r in overlap.limit(5).collect()]
+            if sample:
+                raise ValueError(
+                    "refusing to merge postings shards with OVERLAPPING "
+                    f"live doc ids (e.g. {sample}): both shards' +1 doc "
+                    "stats deltas would survive and N would drift high, "
+                    "corrupting every idf — delete the overlapping ids "
+                    "from one side first (delete-then-merge), then retry"
+                )
         rels = {}
         for rel in ("postings", "doclens", "stats"):
             rows = other._store.read(rel)

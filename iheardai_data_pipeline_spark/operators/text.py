@@ -375,6 +375,15 @@ def bm25_topk(
     n_docs, total_len = doclen.agg(
         F.count(F.lit(1)), F.sum("dl")
     ).collect()[0]
+    if not n_docs:
+        # empty / all-NULL-text corpus: total_len is NULL and avgdl
+        # undefined — the ranked answer is simply no rows (mirrors
+        # PostingsIndex.topk's n_docs <= 0 guard)
+        return docs.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} long, {id_col} long, n_terms long, "
+            "score_micro long, score double, rnk long",
+        )
     n_docs_f = float(n_docs)
     avgdl = float(total_len) / n_docs_f
     qterms = (

@@ -2546,7 +2546,11 @@ def _bm25_query_frame(spark: SparkSession) -> DataFrame:
     "terms (never a per-query corpus scan), and each per-term "
     "contribution floors into BIGINT micro-units before the per-"
     "(query, doc) sum — order-independent, replayed exactly in "
-    "DuckDB (operators/text.py:bm25_topk).",
+    "DuckDB. NOTE (DETERMINISM.md #7): the replay hinges on JVM "
+    "Math.log == DuckDB ln bit-for-bit inside the floor — proven at "
+    "3 SFs; a lone sweep failure in the bm25 family is a float-"
+    "boundary suspect before it is a regression "
+    "(operators/text.py:bm25_topk).",
 )
 def x_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_topk(

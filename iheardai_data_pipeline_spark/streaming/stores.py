@@ -933,6 +933,17 @@ class MultiRelationTransactionalStore:
     def current_version(self) -> int:
         return _occ_current_version(self._commits_dir())
 
+    def epoch_committed(self, epoch) -> bool:
+        """True iff this idempotent-commit marker was already committed
+        (or retired into the _epochs sidecar by vacuum). Callers with
+        EXPENSIVE precondition probes (PostingsIndex.merge's overlap
+        check) test this first so a replayed commit skips the probe —
+        append_keyed/apply_keyed would no-op it anyway, but only after
+        the caller had paid for staging."""
+        return epoch is not None and epoch in _occ_committed_epochs(
+            self._commits_dir()
+        )
+
     def _manifest(self, version: int) -> dict[str, dict[str, list[str]]] | None:
         """{rel: {bucket: [snapshot, ...]}} — a bucket's rows are the
         concatenation of its snapshot-dir list (appends add pointers;

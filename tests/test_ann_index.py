@@ -418,7 +418,7 @@ def test_property_serve_invariants_on_random_corpora(spark, tmp_path):
     import shutil as _shutil
     import tempfile as _tempfile
 
-    from hypothesis import given, settings
+    from hypothesis import example, given, settings
     from hypothesis import strategies as st
 
     from iheardai_data_pipeline_spark.operators import pq
@@ -435,6 +435,12 @@ def test_property_serve_invariants_on_random_corpora(spark, tmp_path):
             for d in range(DIM)
         ]
 
+    # the round-10 falsifying draw, pinned: hypothesis runs explicit
+    # examples on EVERY invocation, so the dtype regression (float32-
+    # rounded batch query vs float64 per-query loop crossing a
+    # ROUND(x, 6) boundary) replays deterministically instead of only
+    # when the 4 random draws happen to land on it
+    @example(seed=3284, n=22, modulus=2)
     @settings(max_examples=4, deadline=None)
     @given(
         seed=st.integers(min_value=0, max_value=10_000),

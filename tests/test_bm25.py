@@ -87,6 +87,24 @@ def test_bm25_absent_query_yields_no_rows(spark):
     assert bm25_topk(docs, queries, k=3).count() == 0
 
 
+def test_bm25_empty_corpus_yields_no_rows(spark):
+    # ADVICE r11: an empty or all-NULL-text corpus used to crash on
+    # float(None)/ZeroDivisionError before any result was built
+    queries = spark.createDataFrame(
+        [(10, "quick dog")], "query_id long, qtext string"
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_topk(empty, queries, k=3).count() == 0
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, text string"
+    )
+    got = bm25_topk(all_null, queries, k=3)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == [
+        "query_id", "doc_id", "n_terms", "score_micro", "score", "rnk",
+    ]
+
+
 def test_bm25_ties_break_doc_id_asc(spark):
     # identical single-term docs -> equal scores; rnk must follow doc_id
     docs = spark.createDataFrame(

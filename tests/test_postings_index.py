@@ -127,6 +127,34 @@ def test_merge_refuses_mismatched_constants(spark, tmp_path):
         a.merge(b)
 
 
+def test_merge_refuses_overlapping_doc_ids(spark, tmp_path):
+    # VERDICT r11 #4 hardening: overlapping-id merges used to silently
+    # drift N high (both shards' +1 doc deltas survive) — now enforced
+    a = PostingsIndex(spark, str(tmp_path / "oa"))
+    a.append(_docs(spark, [r for r in DOCS if r[0] <= 5]), seq=0)
+    b = PostingsIndex(spark, str(tmp_path / "ob"))
+    b.append(_docs(spark, [r for r in DOCS if r[0] >= 5]), seq=0)  # 5 overlaps
+    with pytest.raises(ValueError, match="OVERLAPPING"):
+        a.merge(b)
+    # no commit happened: A's stats are untouched
+    n, _ = a.stats()
+    assert n == len([r for r in DOCS if r[0] <= 5 and r[1] is not None])
+    # an EPOCH-replayed merge of a disjoint shard must still no-op even
+    # though its rows now overlap with itself post-merge (the epoch
+    # check runs BEFORE the overlap probe)
+    c = PostingsIndex(spark, str(tmp_path / "oc"))
+    c.append(_docs(spark, [r for r in DOCS if r[0] >= 7]), seq=0)
+    a2 = PostingsIndex(spark, str(tmp_path / "oa"))
+    a2.merge(c, epoch="mc")
+    a2.merge(c, epoch="mc")  # replay: must not raise, must no-op
+    n2, _ = a2.stats()
+    live_ids = {r[0] for r in DOCS if r[1] is not None}
+    assert n2 == len([i for i in live_ids if i <= 5 or i >= 7])
+    # an UN-epoched replayed merge now raises instead of corrupting
+    with pytest.raises(ValueError, match="OVERLAPPING"):
+        a2.merge(c)
+
+
 def test_compact_preserves_serve_and_reclaims(spark, tmp_path):
     idx = PostingsIndex(spark, str(tmp_path / "pc"))
     idx.append(_docs(spark), seq=0)
