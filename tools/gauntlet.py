@@ -20,6 +20,19 @@ Steps (each timed, each with an unambiguous PASS/FAIL):
      entries, so a serving regression can't hide in bootstrap noise)
   6. docs gate — tools/regen_docs.py --round N
 
+Every step's FULL stdout+stderr is teed to
+/tmp/gauntlet_r{N}_{step}.log (VERDICT r11 #2: the round-11 sweep
+flake could not be attributed to an entry because only a 2-line tail
+survived), and a failing sweep/pytest step surfaces its FAIL lines —
+entry/test names — in the summary table.
+
+FLAKE POLICY (established round 11, printed on failure): a gauntlet
+step that fails is re-run ONCE standalone on the identical tree
+before it counts as a regression — the shared-box environment has
+produced one proven sweep flake (green 203/203 standalone after a
+FAILED in-gauntlet run). A SECOND failure is real; for bm25-family
+single-entry failures see DETERMINISM.md #7 (float-boundary suspect).
+
 Total wall ~25-30 min. Exit code = number of failed steps.
 """
 
@@ -28,6 +41,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -35,14 +49,31 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(name: str, cmd: list[str], check) -> tuple[str, bool, float, str]:
+def run(
+    name: str, cmd: list[str], check, log_path: str
+) -> tuple[str, bool, float, str, str]:
     t0 = time.time()
-    proc = subprocess.run(
-        cmd, cwd=REPO, capture_output=True, text=True
-    )
+    proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
     dt = time.time() - t0
+    with open(log_path, "w") as fh:
+        fh.write(f"$ {' '.join(cmd)}\nexit {proc.returncode} in {dt:.1f}s\n")
+        fh.write("---- stdout ----\n" + proc.stdout)
+        fh.write("\n---- stderr ----\n" + proc.stderr)
     ok, detail = check(proc)
-    return name, ok, dt, detail
+    return name, ok, dt, detail, log_path
+
+
+def _fail_lines(p, pattern: str, limit: int = 8) -> list[str]:
+    """The per-item FAIL lines from a step's output — the names are
+    the whole point of keeping them (a tally alone forces a blind
+    full rerun to find the failing entry)."""
+    out = []
+    for ln in (p.stdout + "\n" + p.stderr).splitlines():
+        if re.search(pattern, ln):
+            out.append(ln.strip())
+        if len(out) >= limit:
+            break
+    return out
 
 
 def main() -> int:
@@ -58,6 +89,9 @@ def main() -> int:
     py = sys.executable
     results = []
 
+    def log(step):
+        return f"/tmp/gauntlet_r{args.round}_{step}.log"
+
     def tail(p, n=3):
         return " | ".join((p.stdout + p.stderr).strip().splitlines()[-n:])
 
@@ -68,16 +102,24 @@ def main() -> int:
              "from iheardai_data_pipeline_spark.plans.catalog import "
              "query_map; q = query_map(); print(len(q), 'entries')"],
             lambda p: (p.returncode == 0, tail(p, 1)),
+            log("integrity"),
         )
     )
     print(f"[1/6] integrity: {'PASS' if results[-1][1] else 'FAIL'}")
+
+    def pytest_check(p):
+        if p.returncode == 0:
+            return True, tail(p, 2)
+        fails = _fail_lines(p, r"^(FAILED|ERROR) ")
+        return False, "; ".join(fails) if fails else tail(p, 2)
 
     results.append(
         run(
             "pytest",
             [py, "-m", "pytest", "tests/", "-q", "-x",
              "-p", "no:cacheprovider"],
-            lambda p: (p.returncode == 0, tail(p, 2)),
+            pytest_check,
+            log("pytest"),
         )
     )
     print(f"[2/6] pytest: {'PASS' if results[-1][1] else 'FAIL'}")
@@ -88,8 +130,6 @@ def main() -> int:
         # parse the "N/N green" tally explicitly (ADVICE r9: the old
         # '"0 FAILED" not in tail' clause was dead logic — sweep_oracle
         # prints 'FAILED: <names>', never a '0 FAILED' tally)
-        import re
-
         m = re.search(r"(\d+)/(\d+) green", p.stdout + p.stderr)
         ok = (
             p.returncode == 0
@@ -97,12 +137,19 @@ def main() -> int:
             and m.group(1) == m.group(2)
             and int(m.group(2)) > 0
         )
-        # record the parsed tally, not the raw output tail (which is
-        # often a WARN line and useless in the round log)
-        detail = m.group(0) if m else tail(p, 2)
-        return ok, detail
+        if ok:
+            return True, m.group(0)
+        # surface the failing ENTRY NAMES, not just the tally —
+        # per-entry lines carry FAIL/ERR markers, and the final
+        # 'FAILED: <names>' tally lists them again
+        fails = _fail_lines(p, r"\b(FAIL|ERR)\b|^FAILED:")
+        parts = ([m.group(0)] if m else []) + fails
+        return False, "; ".join(parts) if parts else tail(p, 2)
 
-    results.append(run("sweep", [py, "tools/sweep_oracle.py", sf], sweep_check))
+    results.append(
+        run("sweep", [py, "tools/sweep_oracle.py", sf], sweep_check,
+            log("sweep"))
+    )
     print(f"[3/6] sweep@{os.path.basename(sf)}: "
           f"{'PASS' if results[-1][1] else 'FAIL'}")
 
@@ -121,7 +168,7 @@ def main() -> int:
             f"queries" if not miss else f"missing keys {miss}",
         )
 
-    results.append(run("bench", [py, "bench.py"], bench_check))
+    results.append(run("bench", [py, "bench.py"], bench_check, log("bench")))
     print(f"[4/6] bench: {'PASS' if results[-1][1] else 'FAIL'}")
 
     results.append(
@@ -131,6 +178,7 @@ def main() -> int:
             + (["--sf-dir", "/root/testdata/sf0.01", "--repeats", "1"]
                if args.fast else []),
             lambda p: (p.returncode == 0, tail(p, 1)),
+            log("phases"),
         )
     )
     print(f"[5/6] phase timings: {'PASS' if results[-1][1] else 'FAIL'}")
@@ -140,18 +188,29 @@ def main() -> int:
             "docs",
             [py, "tools/regen_docs.py", "--round", str(args.round)],
             lambda p: (p.returncode == 0, tail(p, 3)),
+            log("docs"),
         )
     )
     print(f"[6/6] docs: {'PASS' if results[-1][1] else 'FAIL'}")
 
     print("\n== gauntlet ==")
     failed = 0
-    for name, ok, dt, detail in results:
+    for name, ok, dt, detail, log_path in results:
         status = "PASS" if ok else "FAIL"
         failed += 0 if ok else 1
         print(f"  {status}  {name:<10} {dt:7.1f}s  {detail}")
-    print("SNAPSHOT OK" if failed == 0 else f"{failed} step(s) FAILED "
-          "— do not snapshot")
+        print(f"        log: {log_path}")
+    if failed == 0:
+        print("SNAPSHOT OK")
+    else:
+        print(f"{failed} step(s) FAILED — do not snapshot")
+        print(
+            "FLAKE POLICY: re-run each failed step ONCE standalone on "
+            "the identical tree before treating it as a regression "
+            "(round-11 precedent: one in-gauntlet sweep FAIL, standalone "
+            "green). A second failure is real. Full output is in the "
+            "step's /tmp log above."
+        )
     return failed
 
 
