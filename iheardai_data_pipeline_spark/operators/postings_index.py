@@ -383,6 +383,8 @@ class PostingsIndex:
         query_id_col: str = "query_id",
         query_text_col: str = "qtext",
         allowed: DataFrame | None = None,
+        prune: bool = False,
+        diag: dict | None = None,
     ) -> DataFrame:
         """Okapi BM25 top-k per query, served FROM THE INDEX: reads
         only the query terms' postings buckets (+ the candidates'
@@ -406,8 +408,20 @@ class PostingsIndex:
         workload — broadcast onto the postings read (the ANN probe-key
         rule: the store side never exchanges on a — possibly hot —
         term). df(t) aggregates the probed bucket's live postings; the
-        final top-k window partitions by query."""
+        final top-k window partitions by query.
+
+        ``prune=True``: serve through :meth:`_topk_pruned` — EXACT
+        max-score/WAND-family pruning for hot-term workloads (same
+        output, bit for bit; the only difference is which postings
+        flow through the scoring exchange). ``diag``: an optional dict
+        the pruned path fills with measured row counts (extra count
+        jobs — measurement only)."""
         from pyspark.sql import Window
+
+        if prune:
+            return self._topk_pruned(
+                queries, k, query_id_col, query_text_col, allowed, diag
+            )
 
         ic = self.id_col
         n_docs, total_len = self.stats()
@@ -466,6 +480,326 @@ class PostingsIndex:
         )
         return (
             scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= k)
+            .select(
+                query_id_col,
+                ic,
+                "n_terms",
+                "score_micro",
+                (F.col("score_micro") / F.lit(1000000.0)).alias("score"),
+                "rnk",
+            )
+        )
+
+    def _live_pruned(self, terms: DataFrame) -> DataFrame | None:
+        """The pruned-serve scan: live (term, doc_id, tf) for the given
+        bounded term frame, WITHOUT the positions payload (BM25 never
+        needs it — column pruning halves probed postings bytes) and
+        WITHOUT a corpus-sized doclens join. Liveness resolves against
+        M = the DELTA of doclens rows mutated after bootstrap
+        (``seq > 0 OR NOT live`` — parquet min/max stats prune every
+        bootstrap-only file, so M is mutation-sized, not corpus-sized):
+
+        - doc in M: its global LWW verdict IS M's (every M row outranks
+          any excluded row — excluded rows are live seq-0, which lose
+          to any seq > 0 and to a tied seq-0 tombstone) -> a posting is
+          live iff M says live and seq matches.
+        - doc not in M: all its doclens rows are live seq-0 (append
+          always pairs postings with doclens in one commit) -> a
+          posting is live iff its seq == 0.
+
+        Physical-duplicate/stale-version collapse is the serve's usual
+        max_by. Returns None when the store has no postings."""
+        ic = self.id_col
+        td = terms.select("term").distinct()
+        pl = (
+            self._store.read_keys("postings", td, broadcast_keys=True)
+            if self._prune_probes
+            else self._store.read("postings")
+        )
+        doclens = self._store.read("doclens")
+        if pl is None or doclens is None:
+            return None
+        pl = (
+            pl.select("term", ic, "tf", "seq")
+            .join(F.broadcast(td), "term")
+            .groupBy("term", ic)
+            .agg(F.max_by(F.struct("tf", "seq"), F.col("seq")).alias("s"))
+            .select(
+                "term", ic,
+                F.col("s.tf").alias("tf"),
+                F.col("s.seq").alias("seq"),
+            )
+        )
+        order = F.struct(
+            F.col("seq"), F.when(F.col("live"), F.lit(0)).otherwise(F.lit(1))
+        )
+        m = (
+            doclens.filter((F.col("seq") > 0) | (~F.col("live")))
+            .groupBy(ic)
+            .agg(F.max_by(F.struct("seq", "live"), order).alias("s"))
+            .select(
+                ic,
+                F.col("s.seq").alias("m_seq"),
+                F.col("s.live").alias("m_live"),
+            )
+            .localCheckpoint(eager=True)  # delta-sized
+        )
+        alive = F.when(
+            F.col("m_seq").isNull(), F.col("seq") == F.lit(0)
+        ).otherwise(F.col("m_live") & (F.col("seq") == F.col("m_seq")))
+        return (
+            pl.join(m, ic, "left").filter(alive).select("term", ic, "tf")
+        )
+
+    def _topk_pruned(
+        self,
+        queries: DataFrame,
+        k: int,
+        query_id_col: str,
+        query_text_col: str,
+        allowed: DataFrame | None,
+        diag: dict | None,
+    ) -> DataFrame:
+        """EXACT top-k BM25 under max-score pruning (Turtle & Flood's
+        max-score, the WAND family, re-expressed set-at-a-time): the
+        hot term's postings never enter the scoring exchange.
+
+        Anatomy (every step named because SCALE.md measures it):
+
+        1. One column-pruned stats pass over the probed live postings:
+           exact df(t) and max live tf(t) per query term — a narrow
+           partial-agg count, the serve's one irreducible
+           Σ-postings-of-query-terms term (exact idf REQUIRES exact
+           live df; no impact ordering can remove a count).
+        2. Driver-side per-term upper bounds: UB(t) = idf(t) *
+           sat(max_tf) with sat(tf) = tf(k1+1)/(tf + k1(1-b)) — valid
+           for every posting since dl >= 1 makes the true denominator
+           strictly larger. Floored into micro-units with a +1 margin
+           and a 1e-9 relative inflation, so a ulp difference between
+           the driver's libm log and the engine's JVM log can never
+           make the bound unsound (pruning DECISIONS tolerate slack;
+           scoring itself stays in the engine, bit-identical to the
+           unpruned serve).
+        3. Per query, terms sort by UB descending; the leading
+           'essential' prefix generates candidates, and the iteration
+           extends the prefix until the k-th best EXACT candidate
+           score theta beats the non-essential suffix's UB sum
+           STRICTLY (strict < : a non-candidate can then neither beat
+           NOR TIE theta, so the doc-id tiebreak cannot be stolen).
+           Scoring a candidate set reads all query terms' postings
+           SEMI-JOINED to the candidate docs — map-side filtered
+           before the exchange — with doclens fetched for candidates
+           only. Iterations batch across unfinished queries; each
+           strictly grows some prefix, so the loop is bounded by the
+           longest query's term count (driver loop over QUERY TERMS,
+           never over data).
+
+        Exactness: every candidate's score is the engine's usual
+        floored-micro sum over ALL its matched query terms, and any
+        non-candidate matches only suffix terms, so its score <=
+        suffix UB sum < theta. Output == the unpruned serve's, row for
+        row — the x_text_bm25_wand entry gates that against the same
+        oracle as x_text_bm25_indexed."""
+        import math
+
+        from pyspark.sql import Window
+        from pyspark.sql.types import StructType
+
+        ic = self.id_col
+        out_schema = (
+            f"{query_id_col} long, {ic} long, n_terms long, "
+            "score_micro long, score double, rnk long"
+        )
+        n_docs, total_len = self.stats()
+        if n_docs <= 0:
+            return self.spark.createDataFrame([], out_schema)
+        n_docs_f = float(n_docs)
+        avgdl = float(total_len) / n_docs_f
+        qterms = (
+            queries.select(
+                F.col(query_id_col),
+                F.explode(
+                    F.split(normalize_text(F.col(query_text_col)), " ")
+                ).alias("term"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        live = self._live_pruned(qterms)
+        if live is None:
+            return self.spark.createDataFrame([], out_schema)
+        # materialize the probed live working set ONCE (stats pass +
+        # every iteration reuse it; re-running the scan+collapse per
+        # iteration would triple the probe cost). Narrow rows (term,
+        # id, tf) — the serve's working set, block-manager-spillable.
+        live = live.localCheckpoint(eager=True)
+
+        # -- 1. exact per-term stats (the one Σ-postings count) ----------
+        stats_rows = (
+            live.groupBy("term")
+            .agg(
+                F.count(F.lit(1)).alias("df"),
+                F.max("tf").alias("max_tf"),
+            )
+            .collect()
+        )  # bounded by the workload's distinct terms
+        term_stats = {r["term"]: (int(r["df"]), int(r["max_tf"])) for r in stats_rows}
+        if not term_stats:
+            return self.spark.createDataFrame([], out_schema)
+        if diag is not None:
+            diag["live_postings_rows"] = sum(
+                d for d, _ in term_stats.values()
+            )
+            diag["scoring_rows"] = 0
+            diag["candidate_docs"] = 0
+            diag["iterations"] = 0
+
+        # -- 2. driver-side sound upper bounds (micro units) -------------
+        k1, b = self.k1, self.b
+        ubm: dict[str, int] = {}
+        for t, (dfv, mtf) in term_stats.items():
+            idf = math.log(1.0 + ((n_docs_f - dfv) + 0.5) / (dfv + 0.5))
+            sat = (mtf * (k1 + 1.0)) / (mtf + k1 * (1.0 - b))
+            ubm[t] = int(math.floor(idf * sat * 1e6 * (1.0 + 1e-9))) + 1
+
+        q_terms: dict = {}
+        for r in qterms.collect():  # bounded by the serving workload
+            if r["term"] in term_stats:
+                q_terms.setdefault(r[query_id_col], []).append(r["term"])
+        for qid in q_terms:
+            q_terms[qid].sort(key=lambda t: (-ubm[t], t))
+        if not q_terms:
+            return self.spark.createDataFrame([], out_schema)
+
+        dfreq = F.broadcast(
+            self.spark.createDataFrame(
+                [(t, d) for t, (d, _) in sorted(term_stats.items())],
+                "term string, df long",
+            )
+        )
+        pair_schema = StructType(
+            [qterms.schema[query_id_col], qterms.schema["term"]]
+        )
+        idf_col = F.log(
+            F.lit(1.0)
+            + ((F.lit(n_docs_f) - F.col("df")) + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        denom = F.col("tf") + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.lit(avgdl))
+        )
+        contrib = idf_col * ((F.col("tf") * F.lit(k1 + 1.0)) / denom)
+        allowed_ids = (
+            allowed.select(ic).distinct().localCheckpoint(eager=True)
+            if allowed is not None
+            else None
+        )
+
+        # -- 3. essential-prefix iteration, batched across queries -------
+        ess = {qid: 1 for qid in q_terms}
+        unfinished = set(q_terms)
+        finals: list[DataFrame] = []
+        while unfinished:
+            if diag is not None:
+                diag["iterations"] += 1
+            ess_pairs = [
+                (qid, t)
+                for qid in sorted(unfinished)
+                for t in q_terms[qid][: ess[qid]]
+            ]
+            ess_df = self.spark.createDataFrame(ess_pairs, pair_schema)
+            cand = (
+                live.join(F.broadcast(ess_df), "term")
+                .select(query_id_col, ic)
+                .distinct()
+            )
+            if allowed_ids is not None:
+                cand = cand.join(allowed_ids, ic, "left_semi")
+            cand = cand.localCheckpoint(eager=True)
+            cdocs = cand.select(ic).distinct()
+            dl_c = self._current_live_for(
+                cdocs, broadcast_keys=False
+            ).select(ic, "dl")
+            sub_pairs = [
+                (qid, t) for qid in sorted(unfinished) for t in q_terms[qid]
+            ]
+            sub_qterms = self.spark.createDataFrame(sub_pairs, pair_schema)
+            rows = (
+                live.join(cdocs, ic, "left_semi")
+                .join(F.broadcast(sub_qterms), "term")
+                .join(cand, [query_id_col, ic], "left_semi")
+            )
+            if diag is not None:
+                diag["scoring_rows"] += rows.count()
+                diag["candidate_docs"] += cdocs.count()
+            scored = (
+                rows.join(dl_c, ic)
+                .join(dfreq, "term")
+                .select(
+                    query_id_col,
+                    ic,
+                    F.floor(contrib * F.lit(1000000.0))
+                    .cast("long")
+                    .alias("micro"),
+                )
+                .groupBy(query_id_col, ic)
+                .agg(
+                    F.sum("micro").alias("score_micro"),
+                    F.count(F.lit(1)).alias("n_terms"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            w = Window.partitionBy(query_id_col).orderBy(
+                F.desc("score_micro"), F.asc(ic)
+            )
+            thetas = {
+                r[query_id_col]: int(r["score_micro"])
+                for r in scored.withColumn(
+                    "rnk", F.row_number().over(w)
+                )
+                .filter(F.col("rnk") == k)
+                .collect()
+            }
+            done_now = []
+            for qid in sorted(unfinished):
+                terms, e = q_terms[qid], ess[qid]
+                theta = thetas.get(qid)
+                suffix = sum(ubm[t] for t in terms[e:])
+                if e >= len(terms) or (
+                    theta is not None and suffix < theta
+                ):
+                    done_now.append(qid)
+                    continue
+                # jump straight to the minimal prefix whose suffix UB
+                # already loses to the CURRENT theta (theta only grows
+                # with more candidates, so the jump stays sound)
+                while e < len(terms) and not (
+                    theta is not None
+                    and sum(ubm[t] for t in terms[e:]) < theta
+                ):
+                    e += 1
+                ess[qid] = e
+            if done_now:
+                done_lit = self.spark.createDataFrame(
+                    [(qid,) for qid in done_now],
+                    StructType([qterms.schema[query_id_col]]),
+                )
+                finals.append(
+                    scored.join(F.broadcast(done_lit), query_id_col)
+                )
+                unfinished -= set(done_now)
+
+        from functools import reduce
+
+        all_scored = reduce(lambda a, c: a.unionByName(c), finals)
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.desc("score_micro"), F.asc(ic)
+        )
+        return (
+            all_scored.withColumn(
+                "rnk", F.row_number().over(w).cast("long")
+            )
             .filter(F.col("rnk") <= k)
             .select(
                 query_id_col,

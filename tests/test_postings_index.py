@@ -306,3 +306,121 @@ def test_filtered_serve_scores_unchanged_under_mask(spark, tmp_path):
             if r["query_id"] == qid
         ]
         assert got_order == want_order[: len(got_order)]
+
+
+# --- max-score pruned serving (round 12) -----------------------------------
+
+
+def test_pruned_serve_equals_unpruned_after_mutations(spark, tmp_path):
+    """topk(prune=True) is an evaluation-strategy change ONLY: same
+    rows, bit for bit, through the full mutation scenario (bootstrap +
+    epoch replay + upsert + delete). The workload includes a hot term
+    ('the' appears in most docs) so the pruning path actually prunes."""
+    idx = PostingsIndex(spark, str(tmp_path / "pw"))
+    idx.append(_docs(spark), seq=0, epoch="boot")
+    idx.append(_docs(spark), seq=0, epoch="boot")  # replay: no-op
+    v2 = [
+        (4, "nothing to see here anymore"),
+        (2, "the lazy dog sleeps all day the dog spark spark"),
+    ]
+    idx.append(_docs(spark, v2), seq=1, epoch="up")
+    idx.delete(spark.createDataFrame([(1,)], "doc_id long"), seq=2,
+               epoch="del")
+    queries = spark.createDataFrame(
+        [(10, "quick dog"), (11, "spark shuffles"),
+         (12, "the lazy"), (13, "the")],
+        "query_id long, qtext string",
+    )
+    for k in (1, 3, 100):
+        want = _rows(idx.topk(queries, k=k))
+        assert want  # non-degenerate comparison
+        assert _rows(idx.topk(queries, k=k, prune=True)) == want
+
+
+def test_pruned_serve_prunes_hot_term_from_scoring(spark, tmp_path):
+    """On a hot-term + rare-term query the scoring exchange must see
+    FEWER rows than the naive per-query postings volume, and diag
+    reports the measured quantities."""
+    # 40 docs all containing 'the'; only 3 contain 'zebra'
+    rows = [
+        (i, "the filler text " + ("zebra " if i % 13 == 0 else "pad ") * 2)
+        for i in range(40)
+    ]
+    idx = PostingsIndex(spark, str(tmp_path / "ph"))
+    idx.append(_docs(spark, rows), seq=0)
+    queries = spark.createDataFrame(
+        [(0, "zebra the")], "query_id long, qtext string"
+    )
+    diag: dict = {}
+    got = _rows(idx.topk(queries, k=2, prune=True, diag=diag))
+    assert got == _rows(idx.topk(queries, k=2))
+    # naive volume = df(zebra) + df(the) = 4 + 40 (i%13==0 hits 0, 13,
+    # 26, 39); pruned scoring must touch only the rare term's
+    # candidates (x their matched terms)
+    assert diag["live_postings_rows"] == 44
+    assert diag["scoring_rows"] < 44
+    assert diag["candidate_docs"] <= 5
+    assert diag["iterations"] >= 1
+
+
+def test_pruned_serve_with_allowed_mask(spark, tmp_path):
+    idx = PostingsIndex(spark, str(tmp_path / "pa"))
+    idx.append(_docs(spark), seq=0)
+    allowed = spark.createDataFrame(
+        [(i,) for i, t in DOCS if t is not None and i % 2 == 1],
+        "doc_id long",
+    )
+    for k in (2, 100):
+        want = _rows(idx.topk(_queries(spark), k=k, allowed=allowed))
+        got = _rows(
+            idx.topk(_queries(spark), k=k, allowed=allowed, prune=True)
+        )
+        assert got == want
+
+
+def test_pruned_serve_edge_cases(spark, tmp_path):
+    # empty index
+    idx = PostingsIndex(spark, str(tmp_path / "pe"))
+    q = _queries(spark)
+    assert idx.topk(q, k=3, prune=True).count() == 0
+    # absent-terms query
+    idx.append(_docs(spark), seq=0)
+    qa = spark.createDataFrame(
+        [(9, "zzz_absent qqq_nope")], "query_id long, qtext string"
+    )
+    assert idx.topk(qa, k=3, prune=True).count() == 0
+    # mixed present/absent + k exceeding matches
+    qm = spark.createDataFrame(
+        [(9, "zzz_absent dog")], "query_id long, qtext string"
+    )
+    assert _rows(idx.topk(qm, k=50, prune=True)) == _rows(
+        idx.topk(qm, k=50)
+    )
+
+
+def test_pruned_serve_randomized_equality(spark, tmp_path):
+    """Randomized corpora/queries (fixed seeds): pruned == unpruned on
+    every draw — ties, duplicate terms, single-doc corpora, k edges."""
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        vocab = [f"w{j}" for j in range(12)]
+        n = rng.randint(1, 30)
+        rows = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(1, 8))))
+            for i in range(n)
+        ]
+        idx = PostingsIndex(spark, str(tmp_path / f"pr{seed}"))
+        idx.append(_docs(spark, rows), seq=0)
+        queries = spark.createDataFrame(
+            [
+                (qi, " ".join(rng.choices(vocab, k=rng.randint(1, 4))))
+                for qi in range(3)
+            ],
+            "query_id long, qtext string",
+        )
+        k = rng.choice([1, 2, 5])
+        assert _rows(idx.topk(queries, k=k, prune=True)) == _rows(
+            idx.topk(queries, k=k)
+        ), f"seed={seed}"
