@@ -49,7 +49,11 @@ under concurrent distinct writers.
 Serve arithmetic is bm25_topk's EXACTLY (same fixed parenthesization,
 same floor-to-micro-unit BIGINT sums), so the brute operator's DuckDB
 oracle replays the index's answers bit-for-bit over the live corpus —
-the x_text_bm25_indexed correctness gate.
+the x_text_bm25_indexed correctness gate. ``topk(prune=True)`` serves
+the same rows through EXACT max-score pruning (:meth:`_topk_pruned` —
+the hot-term scale lever: a stopword's postings feed only the df
+count, never the scoring exchange; gated by x_text_bm25_wand on the
+identical oracle).
 
 Reference parity: training-data extension set (SURVEY §2 extensions);
 the persistent variant of x_text_bm25_topk.

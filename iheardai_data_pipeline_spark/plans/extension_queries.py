@@ -2814,7 +2814,7 @@ def x_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex, sem], k=5)
 
 
-def _hybrid_indexed_oracle() -> str:
+def _hybrid_indexed_oracle(allowed_mod: int | None = None) -> str:
     """RRF over two INDEX-SERVED rankings, both already value-proven:
     the BM25 oracle (k=20) and the ANN batch-serve replay
     (_index_serve_oracle, 4 queries = the 4 smallest vec_ids, which in
@@ -2822,11 +2822,23 @@ def _hybrid_indexed_oracle() -> str:
     Ranks derive from each replay's own rows — l2_dist bit-identity
     (proven by x_sim_index_batch_topk at 3 SFs) makes the semantic
     rank cross-engine stable; the BM25 rank is integer by
-    construction."""
+    construction. ``allowed_mod``: when set, BOTH legs carry the same
+    candidate predicate id % allowed_mod <> 1 — the filtered hybrid
+    (tenant/ACL) shape."""
     lex_sql = _bm25_oracle_sql(
-        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL", k=20
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL",
+        k=20,
+        allowed_sql=(
+            f"doc_id % {allowed_mod} <> 1" if allowed_mod else "TRUE"
+        ),
     )
-    ann_sql = _index_serve_oracle(n_queries=4, k=20)
+    ann_sql = _index_serve_oracle(
+        n_queries=4,
+        k=20,
+        extra_pred=(
+            f" AND a.vec_id % {allowed_mod} <> 1" if allowed_mod else ""
+        ),
+    )
     return f"""
 WITH lex AS (SELECT query_id, doc_id, rnk FROM ({lex_sql})),
 ann AS (SELECT query_id, vec_id, l2_dist FROM ({ann_sql})),
@@ -2915,6 +2927,87 @@ def x_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         served = aidx.topk_batch(
             queries, k=20, nprobe=4, shortlist=shortlist, exclude_self=True
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("l2_dist"), F.asc("vec_id")
+        )
+        sem = (
+            served.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .select("query_id", F.col("vec_id").alias("doc_id"), "rnk")
+        )
+        return rrf_fuse([lex, sem], k=5).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root_p, ignore_errors=True)
+        shutil.rmtree(root_a, ignore_errors=True)
+
+
+@register(
+    "x_hybrid_rrf_filtered",
+    oracle=_hybrid_indexed_oracle(allowed_mod=3),
+    tags=("extension", "text", "retrieval", "similarity", "incremental"),
+    doc="FILTERED index-served hybrid retrieval (round 12 — the "
+    "production search shape: tenant/ACL filtering): ONE candidate "
+    "predicate (id % 3 <> 1) flows through BOTH legs — "
+    "PostingsIndex.topk(allowed=) masks the lexical candidates after "
+    "liveness and before scoring (df/N/avgdl stay corpus-global), "
+    "PersistentAnnIndex.topk_batch(allowed=) masks the probed "
+    "clusters' live candidates before ADC ranking — then the same "
+    "exact-integer RRF fuses the two filtered top-20 lists. Oracle = "
+    "RRF over the two legs' own value-proven FILTERED replays (each "
+    "leg's oracle + one predicate, exactly as each engine plan is the "
+    "unfiltered plan + one semi-join), so a drift in either filtered "
+    "serve or in the fusion fails the hash "
+    "(operators/retrieval.py:rrf_fuse).",
+)
+def x_hybrid_rrf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from iheardai_data_pipeline_spark.operators.ann_index import (
+        PersistentAnnIndex,
+    )
+    from iheardai_data_pipeline_spark.operators.postings_index import (
+        PostingsIndex,
+    )
+    from iheardai_data_pipeline_spark.operators.retrieval import rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    n = emb.count()
+    shortlist = max(100, n // 5)
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    lex_allowed = docs.where(F.col("doc_id") % 3 != 1).select("doc_id")
+    sem_allowed = emb.where(F.col("vec_id") % 3 != 1).select("vec_id")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root_p = tempfile.mkdtemp(prefix="hybf_pi_", dir=shm)
+    root_a = tempfile.mkdtemp(prefix="hybf_ann_", dir=shm)
+    try:
+        pidx = PostingsIndex(spark, root_p, k1=_BM25_K1, b=_BM25_B)
+        pidx.append(docs, seq=0)
+        lex = pidx.topk(
+            _bm25_query_frame(spark), k=20, allowed=lex_allowed
+        ).select("query_id", "doc_id", "rnk")
+        aidx = PersistentAnnIndex.bootstrap(
+            spark, root_a, emb, centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS
+        )
+        served = aidx.topk_batch(
+            queries,
+            k=20,
+            nprobe=4,
+            shortlist=shortlist,
+            exclude_self=True,
+            allowed=sem_allowed,
         )
         w = Window.partitionBy("query_id").orderBy(
             F.asc("l2_dist"), F.asc("vec_id")

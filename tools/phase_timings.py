@@ -324,6 +324,17 @@ def time_bm25_indexed(spark, sf_dir: str) -> dict[str, float]:
         before = idx.topk(queries, k=5).localCheckpoint(eager=True)
         out["serve"] = time.time() - t0
         t0 = time.time()
+        pruned = idx.topk(queries, k=5, prune=True).localCheckpoint(
+            eager=True
+        )
+        out["serve-pruned"] = time.time() - t0
+        # the max-score serve is an evaluation-strategy change only
+        assert (
+            before.exceptAll(pruned).count()
+            + pruned.exceptAll(before).count()
+            == 0
+        )
+        t0 = time.time()
         idx.compact()
         out["compact"] = time.time() - t0
         t0 = time.time()
