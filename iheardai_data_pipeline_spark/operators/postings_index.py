@@ -420,15 +420,10 @@ class PostingsIndex:
         flow through the scoring exchange). ``diag``: an optional dict
         the pruned path fills with measured row counts (extra count
         jobs — measurement only)."""
-        from pyspark.sql import Window
-
         if prune:
             return self._topk_pruned(
                 queries, k, query_id_col, query_text_col, allowed, diag
             )
-
-        ic = self.id_col
-        n_docs, total_len = self.stats()
         qterms = (
             queries.select(
                 F.col(query_id_col),
@@ -439,6 +434,23 @@ class PostingsIndex:
             .distinct()
             .localCheckpoint(eager=True)
         )
+        return self._topk_terms(qterms, k, query_id_col, allowed)
+
+    def _topk_terms(
+        self,
+        qterms: DataFrame,
+        k: int,
+        query_id_col: str,
+        allowed: DataFrame | None = None,
+    ) -> DataFrame:
+        """The serve body behind :meth:`topk`, taking an already-
+        tokenized (query_id, term) frame — also the pass-2 entry point
+        for :meth:`prf_topk`, whose expanded term sets exist only as a
+        frame, never as query text."""
+        from pyspark.sql import Window
+
+        ic = self.id_col
+        n_docs, total_len = self.stats()
         out_schema = (
             f"{query_id_col} long, {ic} long, n_terms long, "
             "score_micro long, score double, rnk long"
@@ -814,6 +826,104 @@ class PostingsIndex:
                 "rnk",
             )
         )
+
+    def prf_topk(
+        self,
+        queries: DataFrame,
+        docs: DataFrame,
+        k: int = 5,
+        fb_docs: int = 3,
+        fb_terms: int = 2,
+        query_id_col: str = "query_id",
+        query_text_col: str = "qtext",
+        allowed: DataFrame | None = None,
+    ) -> DataFrame:
+        """Pseudo-relevance-feedback BM25 SERVED FROM THE INDEX (the
+        persistent twin of
+        :func:`~iheardai_data_pipeline_spark.operators.text.bm25_prf_topk`):
+        pass 1 is the normal bucket-pruned serve at k=``fb_docs``;
+        expansion terms come from the feedback documents with the same
+        EXACT integer vote (tf * floor(idf*1e6), original terms
+        excluded, term-asc ties); pass 2 re-serves the expanded term
+        sets through :meth:`_topk_terms`.
+
+        ``docs``: the LIVE corpus (doc_id, text) — the index stores no
+        raw text (postings are term-keyed; a doc's own term list is
+        not reachable without a corpus-wide read), so the caller
+        supplies it and the expansion tokenize touches ONLY the
+        feedback docs (a semi-join pushed into the scan;
+        fb_docs x |queries| documents). A ``docs`` frame inconsistent
+        with the index's live state yields expansion votes over stale
+        text — the caller owns that consistency, exactly as the
+        x_text_bm25_prf_indexed entry derives both from one scenario.
+
+        Everything else stays bucket-pruned: the expansion terms' df
+        comes from ONE column-pruned probe of their buckets
+        (:meth:`_live_pruned` + a count — exact live df under the
+        delta-liveness rule), and both passes read only their terms'
+        buckets. Output schema == bm25_topk's; the brute PRF oracle
+        replays the whole pipeline over the live corpus."""
+        ic = self.id_col
+        qterms = (
+            queries.select(
+                F.col(query_id_col),
+                F.explode(
+                    F.split(normalize_text(F.col(query_text_col)), " ")
+                ).alias("term"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # ``allowed`` applies to BOTH passes: restricted serving should
+        # also take feedback only from eligible documents
+        fb = (
+            self._topk_terms(qterms, fb_docs, query_id_col, allowed)
+            .select(query_id_col, ic)
+            .localCheckpoint(eager=True)
+        )
+        n_docs, _total = self.stats()
+        if n_docs <= 0 or not fb.take(1):
+            # no corpus or no pass-1 matches anywhere: pass 2 == pass 1
+            return self._topk_terms(qterms, k, query_id_col, allowed)
+        fb_text = docs.join(fb.select(ic).distinct(), ic, "left_semi")
+        tf_fb = (
+            self._tokens(fb_text)
+            .groupBy(ic, "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .localCheckpoint(eager=True)  # fb_docs x |queries| docs
+        )
+        live = self._live_pruned(tf_fb.select("term"))
+        if live is None:
+            return self._topk_terms(qterms, k, query_id_col, allowed)
+        dfreq = live.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        idf_micro = F.floor(
+            F.log(
+                F.lit(1.0)
+                + ((F.lit(float(n_docs)) - F.col("df")) + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * F.lit(1000000.0)
+        ).cast("long")
+        idfm = dfreq.select("term", idf_micro.alias("idf_micro"))
+        from pyspark.sql import Window
+
+        we = Window.partitionBy(query_id_col).orderBy(
+            F.desc("w"), F.asc("term")
+        )
+        exp = (
+            fb.join(tf_fb, ic)
+            .join(idfm, "term")
+            .groupBy(query_id_col, "term")
+            .agg(F.sum(F.col("tf") * F.col("idf_micro")).alias("w"))
+            .join(qterms, [query_id_col, "term"], "left_anti")
+            .withColumn("rn", F.row_number().over(we))
+            .filter(F.col("rn") <= fb_terms)
+            .select(query_id_col, "term")
+        )
+        qt2 = (
+            qterms.unionByName(exp).distinct().localCheckpoint(eager=True)
+        )
+        return self._topk_terms(qt2, k, query_id_col, allowed)
 
     def phrase_topk(
         self,

@@ -435,6 +435,147 @@ def bm25_topk(
     )
 
 
+def bm25_prf_topk(
+    docs,
+    queries,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    k: int = 5,
+    fb_docs: int = 3,
+    fb_terms: int = 2,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Two-pass BM25 with PSEUDO-RELEVANCE-FEEDBACK query expansion
+    (Rocchio/RM3-lite — the classic second retrieval stage): pass 1
+    ranks with the raw query, the top ``fb_docs`` documents 'vote' for
+    expansion terms, the ``fb_terms`` best NEW terms join the query,
+    and pass 2 re-ranks with the expanded term set.
+
+    Expansion-term weight is EXACT integer arithmetic so both engines
+    pick identical terms: w(q, t) = sum over q's feedback docs of
+    tf(t, d) * idf_micro(t), with idf_micro = floor(idf * 1e6) as
+    BIGINT — a per-term constant times integer tf, order-independent
+    under any partial-agg schedule. Original query terms are excluded
+    from expansion (they are already in the query); ties break term
+    asc. Both scoring passes are bm25_topk's fixed-parenthesization
+    micro-unit discipline, so the whole two-pass pipeline replays
+    bit-for-bit in SQL.
+
+    Shape: tf/df/doclen build ONCE (the same one (doc, term) shuffle
+    as bm25_topk) and feed both passes; pass 1's candidates are
+    postings-of-query-terms; the expansion join touches only the
+    feedback docs' tf rows (fb_docs * |queries| docs — tiny); pass 2's
+    candidates are postings-of-expanded-terms. One DAG, no iteration.
+    Output schema == bm25_topk's.
+    """
+    from pyspark.sql import Window
+
+    from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism
+
+    toks = ensure_parallelism(
+        docs.where(F.col(text_col).isNotNull())
+    ).select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    n_docs, total_len = doclen.agg(
+        F.count(F.lit(1)), F.sum("dl")
+    ).collect()[0]
+    if not n_docs:
+        return docs.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} long, {id_col} long, n_terms long, "
+            "score_micro long, score double, rnk long",
+        )
+    n_docs_f = float(n_docs)
+    avgdl = float(total_len) / n_docs_f
+    qterms = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(
+                F.split(normalize_text(F.col(query_text_col)), " ")
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.lit(n_docs_f) - F.col("df")) + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.lit(avgdl))
+    )
+    contrib = idf * ((F.col("tf") * F.lit(k1 + 1.0)) / denom)
+
+    def scored_for(qt):
+        matched = (
+            tf.join(dfreq, "term")
+            .join(F.broadcast(qt), "term")
+            .join(doclen, id_col)
+            .select(
+                query_id_col,
+                id_col,
+                F.floor(contrib * F.lit(1000000.0))
+                .cast("long")
+                .alias("micro"),
+            )
+        )
+        return matched.groupBy(query_id_col, id_col).agg(
+            F.sum("micro").alias("score_micro"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score_micro"), F.asc(id_col)
+    )
+    fb = (
+        scored_for(qterms)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= fb_docs)
+        .select(query_id_col, id_col)
+    )
+    # expansion-term vote: integer weight = sum of tf * idf_micro over
+    # the query's feedback docs; original terms excluded; term asc ties
+    idf_micro = F.floor(idf * F.lit(1000000.0)).cast("long")
+    idfm = dfreq.select("term", idf_micro.alias("idf_micro"))
+    cand = (
+        fb.join(tf, id_col)
+        .join(idfm, "term")
+        .groupBy(query_id_col, "term")
+        .agg(F.sum(F.col("tf") * F.col("idf_micro")).alias("w"))
+        .join(qterms, [query_id_col, "term"], "left_anti")
+    )
+    we = Window.partitionBy(query_id_col).orderBy(
+        F.desc("w"), F.asc("term")
+    )
+    exp = (
+        cand.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= fb_terms)
+        .select(query_id_col, "term")
+    )
+    qt2 = qterms.unionByName(exp).distinct()
+    return (
+        scored_for(qt2)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            "n_terms",
+            "score_micro",
+            (F.col("score_micro") / F.lit(1000000.0)).alias("score"),
+            "rnk",
+        )
+    )
+
+
 def phrase_topk(
     docs,
     queries,

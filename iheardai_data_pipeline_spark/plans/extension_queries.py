@@ -2562,6 +2562,145 @@ def x_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_prf_oracle_sql(
+    src_sql: str, k: int = 5, fb_docs: int = 3, fb_terms: int = 2
+) -> str:
+    """Full two-pass PRF-BM25 replay: pass-1 ranking, integer
+    expansion-term vote (tf * floor(idf*1e6), original terms excluded,
+    term-asc ties), pass-2 ranking over the expanded term sets — the
+    same CTE skeleton as _bm25_oracle_sql with the scoring body
+    shared verbatim between the passes."""
+    contrib = f"""CAST(FLOOR(
+           ln(1.0 + ((s.n - dfreq.df) + 0.5) / (dfreq.df + 0.5))
+           * ((tf.tf * {_BM25_K1 + 1.0!r}) /
+              (tf.tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r} + {_BM25_B!r} * (dl.dl / s.avgdl))))
+           * 1000000.0
+         ) AS BIGINT)"""
+    return f"""
+WITH q(query_id, qtext) AS (VALUES {_BM25_QUERY_VALUES}),
+src AS ({src_sql}),
+toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM src
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+qt AS (
+  SELECT DISTINCT query_id,
+         unnest(string_split(trim(regexp_replace(lower(qtext), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM q
+),
+m1 AS (
+  SELECT qt.query_id, tf.doc_id, {contrib} AS micro
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN qt USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+s1 AS (
+  SELECT query_id, doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
+  FROM m1 GROUP BY 1, 2
+),
+fb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC
+    ) AS rnk FROM s1
+  ) WHERE rnk <= {fb_docs}
+),
+idfm AS (
+  SELECT dfreq.term,
+         CAST(FLOOR(ln(1.0 + ((s.n - dfreq.df) + 0.5) / (dfreq.df + 0.5))
+                    * 1000000.0) AS BIGINT) AS idf_micro
+  FROM dfreq CROSS JOIN stats s
+),
+cand AS (
+  SELECT fb.query_id, tf.term,
+         CAST(sum(tf.tf * idfm.idf_micro) AS BIGINT) AS w
+  FROM fb JOIN tf USING (doc_id) JOIN idfm ON idfm.term = tf.term
+  GROUP BY 1, 2
+),
+cand2 AS (
+  SELECT c.query_id, c.term, c.w FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM qt WHERE qt.query_id = c.query_id AND qt.term = c.term
+  )
+),
+exp AS (
+  SELECT query_id, term FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY w DESC, term ASC
+    ) AS rn FROM cand2
+  ) WHERE rn <= {fb_terms}
+),
+qt2 AS (
+  SELECT query_id, term FROM qt
+  UNION
+  SELECT query_id, term FROM exp
+),
+m2 AS (
+  SELECT qt.query_id, tf.doc_id, {contrib} AS micro
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN qt2 qt USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id,
+         CAST(sum(micro) AS BIGINT) AS score_micro, count(*) AS n_terms
+  FROM m2 GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC
+  ) AS rnk
+  FROM scored
+)
+SELECT query_id, doc_id, n_terms, score_micro,
+       score_micro / 1000000.0 AS score, rnk
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+@register(
+    "x_text_bm25_prf",
+    oracle=_bm25_prf_oracle_sql(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL"
+    ),
+    tags=("extension", "text", "retrieval"),
+    doc="Pseudo-relevance-feedback BM25 (Rocchio/RM3-lite — the "
+    "classic second retrieval stage): pass 1 ranks with the raw "
+    "query, the top-3 documents vote for expansion terms with EXACT "
+    "integer weights (tf * floor(idf*1e6) summed as BIGINT — "
+    "engine-order-independent, so both engines pick identical terms; "
+    "original terms excluded, term-asc ties), the 2 best new terms "
+    "join the query, and pass 2 re-ranks with the expanded set under "
+    "the same micro-unit scoring discipline. tf/df/doclen build once "
+    "and feed both passes; the expansion join touches only the "
+    "feedback docs' tf rows. The whole two-pass pipeline replays "
+    "bit-for-bit in DuckDB (operators/text.py:bm25_prf_topk).",
+)
+def x_text_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bm25_prf_topk(
+        load_table(spark, sf_dir, "documents"),
+        _bm25_query_frame(spark),
+        k=5,
+        fb_docs=3,
+        fb_terms=2,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
 def _bm25_scenario_frames(spark: SparkSession, sf_dir: str):
     """The indexed entries' shared mutation scenario: (bootstrap docs,
     upsert docs, delete-id frame) — mirrors _BM25_SCENARIO_SRC."""
@@ -2575,6 +2714,24 @@ def _bm25_scenario_frames(spark: SparkSession, sf_dir: str):
     )
     dele = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
     return boot, upsert, dele
+
+
+def _bm25_scenario_live_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scenario's FINAL live corpus as a Spark frame — the engine
+    twin of _BM25_SCENARIO_SRC (upsert text wins, deleted ids gone);
+    prf_topk's expansion-docs input must be exactly this."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.col("doc_id") % 5 != 0)
+    )
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(F.col("text"), F.lit(" spark spark window")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
 
 
 def _bm25_serve(spark: SparkSession, idx) -> DataFrame:
@@ -2620,6 +2777,53 @@ def x_text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.append(upsert, seq=1, epoch="upsert")
         idx.delete(dele, seq=2, epoch="delete")
         return _bm25_serve(spark, idx)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "x_text_bm25_prf_indexed",
+    oracle=_bm25_prf_oracle_sql(_BM25_SCENARIO_SRC),
+    tags=("extension", "text", "retrieval", "incremental"),
+    doc="INDEX-SERVED pseudo-relevance-feedback BM25 (the production "
+    "shape of x_text_bm25_prf, through the FULL mutation scenario): "
+    "bootstrap + epoch-replayed append + upsert + delete, then "
+    "PostingsIndex.prf_topk — pass 1 serves k=3 from probed term "
+    "buckets, expansion tokenizes ONLY the feedback docs (semi-join "
+    "into the scan) with the exact integer vote, the expansion "
+    "terms' exact live df comes from ONE column-pruned probe of "
+    "their buckets, and pass 2 re-serves the expanded term sets. "
+    "Oracle = the brute two-pass PRF SQL over the scenario's FINAL "
+    "live corpus, so a stale posting, a resurrected delete, or a "
+    "drifted expansion vote in EITHER pass fails the hash "
+    "(operators/postings_index.py:PostingsIndex.prf_topk).",
+)
+def x_text_bm25_prf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.postings_index import (
+        PostingsIndex,
+    )
+
+    boot, upsert, dele = _bm25_scenario_frames(spark, sf_dir)
+    live_docs = _bm25_scenario_live_docs(spark, sf_dir)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="bm25prf_", dir=shm)
+    try:
+        idx = PostingsIndex(spark, root, k1=_BM25_K1, b=_BM25_B)
+        idx.append(boot, seq=0, epoch="boot")
+        idx.append(boot, seq=0, epoch="boot")  # replay: must no-op
+        idx.append(upsert, seq=1, epoch="upsert")
+        idx.delete(dele, seq=2, epoch="delete")
+        return idx.prf_topk(
+            _bm25_query_frame(spark),
+            live_docs,
+            k=5,
+            fb_docs=3,
+            fb_terms=2,
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

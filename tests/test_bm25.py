@@ -217,3 +217,113 @@ def test_rrf_fuse_matches_pure_python(spark):
     assert got == sorted(want)
     # doc 2 ranked by both systems -> n_systems == 2 and fused first
     assert (0, 2, RRF_SCALE // 62 + RRF_SCALE // 61, 2, 1) in got
+
+
+# --- PRF query expansion (round 12) -----------------------------------------
+
+
+def _python_bm25_prf(k, fb_docs=2, fb_terms=2, k1=1.2, b=0.75):
+    """Independent pure-Python PRF-BM25 (third implementation — the
+    catalog oracle is the SQL twin)."""
+    docs = {i: t.split() for i, t in DOCS if t is not None}
+    n = len(docs)
+    avgdl = sum(len(ws) for ws in docs.values()) / float(n)
+    df: dict = {}
+    for ws in docs.values():
+        for t in set(ws):
+            df[t] = df.get(t, 0) + 1
+
+    def idf(t):
+        return math.log(1.0 + ((float(n) - df[t]) + 0.5) / (df[t] + 0.5))
+
+    def score(qid, terms):
+        scored = []
+        for did, ws in docs.items():
+            micro, n_terms = 0, 0
+            for t in terms:
+                tf = ws.count(t)
+                if tf == 0:
+                    continue
+                n_terms += 1
+                contrib = idf(t) * (
+                    (tf * (k1 + 1.0))
+                    / (tf + k1 * ((1.0 - b) + b * (len(ws) / avgdl)))
+                )
+                micro += math.floor(contrib * 1000000.0)
+            if n_terms:
+                scored.append((did, micro, n_terms))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored
+
+    out = []
+    for qid, qtext in QUERIES:
+        terms = set(qtext.split())
+        pass1 = score(qid, terms)
+        fb = [did for did, _, _ in pass1[:fb_docs]]
+        votes: dict = {}
+        for did in fb:
+            for t in set(docs[did]):
+                if t in terms:
+                    continue
+                votes[t] = votes.get(t, 0) + docs[did].count(t) * math.floor(
+                    idf(t) * 1000000.0
+                )
+        exp = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_terms]
+        terms2 = terms | {t for t, _ in exp}
+        for rnk, (did, micro, n_terms) in enumerate(score(qid, terms2)[:k], 1):
+            out.append((qid, did, n_terms, micro, micro / 1000000.0, rnk))
+    return sorted(out)
+
+
+def test_bm25_prf_matches_pure_python_reference(spark):
+    from iheardai_data_pipeline_spark.operators.text import bm25_prf_topk
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+    got = sorted(
+        tuple(r)
+        for r in bm25_prf_topk(
+            docs, queries, k=3, fb_docs=2, fb_terms=2
+        ).collect()
+    )
+    assert got == _python_bm25_prf(k=3, fb_docs=2, fb_terms=2)
+
+
+def test_bm25_prf_expansion_changes_ranking(spark):
+    """The expansion must actually DO something on a corpus built for
+    it: a query matching a hub doc pulls in the hub's salient term,
+    surfacing a doc the raw query never matches."""
+    from iheardai_data_pipeline_spark.operators.text import bm25_prf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "solar panels energy grid"),          # pass-1 hit (hub)
+            (2, "energy grid storage battery"),       # no 'solar'
+            (3, "unrelated cooking recipe text"),
+            (4, "grid battery inverter"),             # no 'solar'
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(0, "solar")], "query_id long, qtext string"
+    )
+    base = {r["doc_id"] for r in bm25_topk(docs, queries, k=4).collect()}
+    prf = {
+        r["doc_id"]
+        for r in bm25_prf_topk(
+            docs, queries, k=4, fb_docs=1, fb_terms=2
+        ).collect()
+    }
+    assert base == {1}          # raw query matches only the hub
+    assert {1} < prf            # expansion surfaced new docs
+    assert 3 not in prf         # but not the unrelated one
+
+
+def test_bm25_prf_empty_corpus(spark):
+    from iheardai_data_pipeline_spark.operators.text import bm25_prf_topk
+
+    queries = spark.createDataFrame(
+        [(0, "solar")], "query_id long, qtext string"
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_prf_topk(empty, queries, k=3).count() == 0

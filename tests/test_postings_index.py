@@ -424,3 +424,50 @@ def test_pruned_serve_randomized_equality(spark, tmp_path):
         assert _rows(idx.topk(queries, k=k, prune=True)) == _rows(
             idx.topk(queries, k=k)
         ), f"seed={seed}"
+
+
+# --- index-served PRF (round 12) --------------------------------------------
+
+
+def test_prf_serve_equals_brute_after_mutations(spark, tmp_path):
+    """prf_topk over the index + the live corpus frame must equal the
+    brute bm25_prf_topk over the same live corpus, through upsert and
+    delete — and the expansion must matter (pass 2 != plain topk)."""
+    from iheardai_data_pipeline_spark.operators.text import bm25_prf_topk
+
+    idx = PostingsIndex(spark, str(tmp_path / "prf"))
+    idx.append(_docs(spark), seq=0, epoch="boot")
+    v2 = [
+        (4, "nothing to see here anymore"),
+        (2, "the lazy dog sleeps all day the dog spark spark"),
+    ]
+    idx.append(_docs(spark, v2), seq=1, epoch="up")
+    idx.delete(spark.createDataFrame([(1,)], "doc_id long"), seq=2,
+               epoch="del")
+    live = {i: t for i, t in DOCS if t is not None}
+    live.update(dict(v2))
+    del live[1]
+    live_rows = sorted(live.items())
+    queries = _queries(spark)
+    want = _rows(
+        bm25_prf_topk(
+            _docs(spark, live_rows), queries, k=4, fb_docs=2, fb_terms=2
+        )
+    )
+    got = _rows(
+        idx.prf_topk(
+            queries, _docs(spark, live_rows), k=4, fb_docs=2, fb_terms=2
+        )
+    )
+    assert got == want
+    # expansion is not a no-op on this corpus
+    assert got != _rows(idx.topk(queries, k=4))
+
+
+def test_prf_serve_no_matches_falls_back(spark, tmp_path):
+    idx = PostingsIndex(spark, str(tmp_path / "prfe"))
+    idx.append(_docs(spark), seq=0)
+    qa = spark.createDataFrame(
+        [(9, "zzz_absent")], "query_id long, qtext string"
+    )
+    assert idx.prf_topk(qa, _docs(spark), k=3).count() == 0
