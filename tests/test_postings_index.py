@@ -471,3 +471,21 @@ def test_prf_serve_no_matches_falls_back(spark, tmp_path):
         [(9, "zzz_absent")], "query_id long, qtext string"
     )
     assert idx.prf_topk(qa, _docs(spark), k=3).count() == 0
+
+
+def test_pruned_serve_nonzero_bootstrap_seq(spark, tmp_path):
+    """The delta-liveness rule's last uncovered corner: a corpus whose
+    FIRST append is at seq > 0 (every doc lands in the M delta, none
+    on the seq==0 fast path) must serve identically pruned and
+    unpruned — including after an upsert above it."""
+    idx = PostingsIndex(spark, str(tmp_path / "pnz"))
+    idx.append(_docs(spark), seq=5)
+    idx.append(
+        _docs(spark, [(2, "the lazy dog sleeps all day the dog spark")]),
+        seq=7,
+    )
+    idx.delete(spark.createDataFrame([(3,)], "doc_id long"), seq=8)
+    for k in (2, 50):
+        want = _rows(idx.topk(_queries(spark), k=k))
+        assert want
+        assert _rows(idx.topk(_queries(spark), k=k, prune=True)) == want
