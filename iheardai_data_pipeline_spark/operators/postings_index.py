@@ -747,6 +747,8 @@ class PostingsIndex:
                 .join(cand, [query_id_col, ic], "left_semi")
             )
             if diag is not None:
+                # measurement only — these counts are EXTRA Spark jobs
+                # (two per iteration): never benchmark with diag set
                 diag["scoring_rows"] += rows.count()
                 diag["candidate_docs"] += cdocs.count()
             scored = (
@@ -999,14 +1001,21 @@ class PostingsIndex:
         is NOT enough here: if both shards indexed versions of the
         same doc, the seq-equality rule serves the right version but
         both shards' +1 doc deltas survive the merge and N drifts
-        high, corrupting every idf. The overlap probe is a bucket-
-        pruned semi-join of the shard's live doclens against this
-        index's (the delete()-lookup cost class, O(shard)); the
-        remedy for a true overlap is delete-then-merge on one side.
-        ONE atomic O(shard) commit; ``epoch`` makes a replayed merge
-        idempotent (checked FIRST, so a replay skips the probe — a
-        post-first-merge replay would otherwise see its own rows as
-        an overlap)."""
+        high, corrupting every idf. The overlap probe covers ALL
+        doclens ids of both sides, TOMBSTONED INCLUDED (ADVICE r12):
+        a live/tombstone overlap is just as corrupt — the tombstone's
+        seq can outrank the other side's live seq, serving the doc
+        dead while the live side's +1 stats delta still counts it.
+        That is also why the remedy is delete-then-COMPACT-then-merge
+        on one side: delete alone leaves the tombstone row (still an
+        overlap, and still a seq hazard); compact physically drops it
+        and folds the shard's stats to net 0, making the merge clean.
+        The probe is a bucket-pruned semi-join of the shard's doclens
+        ids against this index's (the delete()-lookup cost class,
+        O(shard)). ONE atomic O(shard) commit; ``epoch`` makes a
+        replayed merge idempotent (checked FIRST, so a replay skips
+        the probe — a post-first-merge replay would otherwise see its
+        own rows as an overlap)."""
         if abs(other.k1 - self.k1) > 1e-12 or abs(other.b - self.b) > 1e-12:
             raise ValueError(
                 "refusing to merge postings shards with different BM25 "
@@ -1020,18 +1029,37 @@ class PostingsIndex:
                 other_doclens = other_doclens.withColumnRenamed(
                     other.id_col, self.id_col
                 )
-            shard_live = self._live_doclens(other_doclens)
-            overlap = self._current_live_for(
-                shard_live, broadcast_keys=False
+            # ALL ids, live or tombstoned, on BOTH sides (ADVICE r12):
+            # a tombstone whose seq outranks the other side's live seq
+            # serves the doc dead while the live +1 delta still counts
+            shard_ids = other_doclens.select(self.id_col).distinct()
+            mine = (
+                self._store.read_keys("doclens", shard_ids)
+                if self._prune_probes
+                else self._store.read("doclens")
             )
-            sample = [r[self.id_col] for r in overlap.limit(5).collect()]
+            sample = (
+                []
+                if mine is None
+                else [
+                    r[self.id_col]
+                    for r in mine.join(shard_ids, self.id_col, "left_semi")
+                    .select(self.id_col)
+                    .distinct()
+                    .limit(5)
+                    .collect()
+                ]
+            )
             if sample:
                 raise ValueError(
-                    "refusing to merge postings shards with OVERLAPPING "
-                    f"live doc ids (e.g. {sample}): both shards' +1 doc "
-                    "stats deltas would survive and N would drift high, "
-                    "corrupting every idf — delete the overlapping ids "
-                    "from one side first (delete-then-merge), then retry"
+                    "refusing to merge postings shards whose doclens id "
+                    f"spaces OVERLAP (e.g. {sample}, tombstones "
+                    "included): stats deltas would double-count (N "
+                    "drifts high, corrupting every idf) and a tombstone "
+                    "seq can outrank the other side's live seq — delete "
+                    "the overlapping ids from one side AND compact it "
+                    "(delete-then-COMPACT-then-merge; compact drops the "
+                    "tombstones and folds stats to net 0), then retry"
                 )
         rels = {}
         for rel in ("postings", "doclens", "stats"):

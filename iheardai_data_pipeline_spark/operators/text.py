@@ -481,9 +481,19 @@ def bm25_prf_topk(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # pin the shared corpus build: tf feeds BOTH passes (and df/dl are
+    # its rollups) as separate plan branches, and relying on Spark's
+    # ReuseExchange to dedupe them leaves pass 2 silently recomputing
+    # the (doc, term) shuffle if a future edit perturbs one branch's
+    # projection (VERDICT r12 #5) — the checkpoint makes "build once"
+    # structural instead of optimizer-dependent
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    doclen = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     n_docs, total_len = doclen.agg(
         F.count(F.lit(1)), F.sum("dl")
     ).collect()[0]

@@ -134,7 +134,7 @@ def test_merge_refuses_overlapping_doc_ids(spark, tmp_path):
     a.append(_docs(spark, [r for r in DOCS if r[0] <= 5]), seq=0)
     b = PostingsIndex(spark, str(tmp_path / "ob"))
     b.append(_docs(spark, [r for r in DOCS if r[0] >= 5]), seq=0)  # 5 overlaps
-    with pytest.raises(ValueError, match="OVERLAPPING"):
+    with pytest.raises(ValueError, match="OVERLAP"):
         a.merge(b)
     # no commit happened: A's stats are untouched
     n, _ = a.stats()
@@ -151,8 +151,35 @@ def test_merge_refuses_overlapping_doc_ids(spark, tmp_path):
     live_ids = {r[0] for r in DOCS if r[1] is not None}
     assert n2 == len([i for i in live_ids if i <= 5 or i >= 7])
     # an UN-epoched replayed merge now raises instead of corrupting
-    with pytest.raises(ValueError, match="OVERLAPPING"):
+    with pytest.raises(ValueError, match="OVERLAP"):
         a2.merge(c)
+
+
+def test_merge_refuses_tombstoned_overlap_until_compact(spark, tmp_path):
+    """ADVICE r12: the overlap probe must cover TOMBSTONED ids too —
+    a delete-then-merge leaves a tombstone whose seq outranks the
+    shard's live seq (doc serves dead, shard's +1 delta still counts
+    it). The sound remedy is delete-then-COMPACT-then-merge, and that
+    exact sequence must succeed and serve the shard's version."""
+    a = PostingsIndex(spark, str(tmp_path / "ta"))
+    a.append(_docs(spark, [r for r in DOCS if r[0] <= 5]), seq=0)
+    # retract doc 5 on A at a HIGH seq — the hazardous tombstone
+    a.delete(spark.createDataFrame([(5,)], "doc_id long"), seq=9)
+    b = PostingsIndex(spark, str(tmp_path / "tb"))
+    b.append(_docs(spark, [r for r in DOCS if r[0] >= 5]), seq=0)
+    # live-vs-TOMBSTONE overlap: must refuse (pre-fix this passed and
+    # then served doc 5 dead while counting it in N)
+    with pytest.raises(ValueError, match="tombstones included"):
+        a.merge(b)
+    # the prescribed remedy: compact A (drops the tombstone row and
+    # folds its stats delta), then the merge is clean
+    a.compact()
+    a.merge(b, epoch="tm")
+    live = [r for r in DOCS if r[1] is not None]  # doc 5 now from B
+    assert _rows(a.topk(_queries(spark), k=4)) == _brute(spark, live, k=4)
+    n, total = a.stats()
+    assert n == len(live)
+    assert total == sum(len(t.split()) for _, t in live)
 
 
 def test_compact_preserves_serve_and_reclaims(spark, tmp_path):
