@@ -5,7 +5,7 @@ ann_index.py).
 
 :func:`~iheardai_data_pipeline_spark.operators.text.bm25_topk`
 re-tokenizes and re-aggregates the WHOLE corpus every call. At 100 TB
-the postings are a maintained index: three relations of ONE
+the postings are a maintained index: five relations of ONE
 :class:`~iheardai_data_pipeline_spark.streaming.stores.MultiRelationTransactionalStore`
 commit log —
 
@@ -31,12 +31,37 @@ commit log —
   is the live (N, total_len) pair BM25's idf/avgdl need. Rows grow
   one per mutating commit and :meth:`compact` folds them to one; the
   serve-side read is commit-count-sized, never corpus-sized.
-  CAVEAT — replay tolerance EXCLUDES stats: duplicate postings/doclens
-  rows self-heal through the max_by collapse, but a replayed
-  un-epoched mutation appends its (d_docs, d_len) delta AGAIN and the
-  sum double-counts, drifting every idf/avgdl-dependent score.
-  At-least-once writers MUST pass ``epoch`` (the store then makes the
-  whole replayed commit a no-op); the shipped catalog entries all do.
+- ``forward`` (doc-keyed, round 13): (doc_id, terms=[(term, tf)...],
+  seq) — the doc's own term list, the inverse access path postings
+  can't give (term-keyed buckets make "which terms does doc d have"
+  a corpus-wide read). Written at append alongside doclens with the
+  SAME seq, so the seq-equality rule resolves its liveness too (a
+  delete's doclens tombstone kills the forward row with the
+  postings). Roughly doubles indexed bytes minus positions — the
+  standard forward-index trade. It serves two reads: (a) the pruned
+  serve SCORES candidate docs from it (a candidate-set-sized
+  bucket-pruned lookup), so a hot suffix term's postings bucket is
+  never scanned at all, and (b) :meth:`prf_topk`'s expansion reads
+  the feedback docs' terms from it, killing the caller-supplied
+  live-corpus argument (VERDICT r12 nit 1).
+- ``termstats`` (term-keyed, round 13): additive (d_df, max_tf)
+  deltas per term. SUM(d_df) is the term's EXACT live document
+  frequency — append computes the delta against the replaced
+  versions' forward rows (+1 gained doc, -1 lost doc), delete
+  subtracts the deleted docs' terms — so serve-time idf needs a
+  commit-count-sized read of the query terms' buckets instead of the
+  r12 serve's one remaining linear term (a COUNT over Σ df(t) probed
+  postings). MAX(max_tf) is a HIGH WATERMARK on live max tf (appends
+  raise it, deletes never lower it, :meth:`compact` re-tightens it
+  exactly) — a sound, possibly loose, upper-bound input, which is
+  all max-score pruning needs.
+  CAVEAT — replay tolerance EXCLUDES the delta relations: duplicate
+  postings/doclens/forward rows self-heal through the max_by
+  collapse, but a replayed un-epoched mutation appends its stats AND
+  termstats deltas AGAIN and the sums double-count, drifting every
+  idf/avgdl-dependent score. At-least-once writers MUST pass
+  ``epoch`` (the store then makes the whole replayed commit a
+  no-op); the shipped catalog entries all do.
 
 SEQ CONTRACT (the family's LWW rule, specialized): every mutation of a
 doc id must carry a seq STRICTLY GREATER than any previous mutation of
@@ -74,7 +99,10 @@ from iheardai_data_pipeline_spark.streaming.stores import (
     MultiRelationTransactionalStore,
 )
 
-FORMAT_VERSION = 1
+# 2 = the round-13 layout: + forward (doc -> term list) and termstats
+# (additive per-term df/max-tf deltas) relations. A format-1 index has
+# neither and cannot serve the maintained-stats pruned path — rebuild.
+FORMAT_VERSION = 2
 
 
 class PostingsIndex:
@@ -106,9 +134,25 @@ class PostingsIndex:
         text_col: str = "text",
         n_buckets: int | None = None,
         expected_docs: int | None = None,
+        field_weights: dict[str, float] | None = None,
     ) -> None:
+        """``field_weights``: pass e.g. ``{"title": 2.5, "body": 1.0}``
+        to build a FIELDED (BM25F) index — append then reads those
+        document columns instead of ``text_col``, folds each field's
+        tf by its weight into an exact BIGINT milli sum (the 'simple
+        weighted-field' BM25F — see text.bm25f_topk for the scoring
+        contract), and the serve divides tf/dl by 1000 once per
+        contribution with a fixed parenthesization. Weights are part
+        of the on-disk state like (k1, b) — fielded scores are not
+        comparable across weightings. A fielded index stores NO
+        positional payload (tf is a weighted fold of several token
+        streams, so there is no single position space): phrase_topk
+        raises."""
         from iheardai_data_pipeline_spark.operators.neardup_index import (
             buckets_for_corpus,
+        )
+        from iheardai_data_pipeline_spark.operators.text import (
+            _validate_milli_weights,
         )
 
         if n_buckets is None and expected_docs is not None:
@@ -117,8 +161,21 @@ class PostingsIndex:
         self.path = path
         self.id_col = id_col
         self.text_col = text_col
+        self._w_milli = (
+            _validate_milli_weights(field_weights)
+            if field_weights is not None
+            else None
+        )
+        # 1.0 keeps the unfielded serve bit-identical (x / 1.0 == x in
+        # IEEE); 1000.0 maps milli tf/dl back to weighted-token units
+        self._tf_scale = 1000.0 if self._w_milli else 1.0
         os.makedirs(path, exist_ok=True)
-        meta = {"format": FORMAT_VERSION, "k1": k1, "b": b}
+        meta = {
+            "format": FORMAT_VERSION,
+            "k1": k1,
+            "b": b,
+            "fields": self._w_milli,
+        }
         meta_path = os.path.join(path, "_bm25_meta.json")
         if os.path.exists(meta_path):
             with open(meta_path) as fh:
@@ -149,6 +206,8 @@ class PostingsIndex:
                 "postings": ["term"],
                 "doclens": [id_col],
                 "stats": ["stat"],
+                "forward": [id_col],
+                "termstats": ["term"],
             },
             n_buckets=n_buckets,
         )
@@ -171,29 +230,65 @@ class PostingsIndex:
         )
 
     def _batch_relations(self, docs: DataFrame, seq: int) -> tuple:
-        """tf + sorted positions + doclen rows for one batch, stamped
-        with the LWW seq. All derive from ONE (doc, term) shuffle (the
-        tf groupBy; dl is its per-doc rollup; positions ride the same
-        aggregate as a sort_array'd collect). Eagerly checkpointed: the
-        commit write and the stats-delta aggregate both consume them."""
+        """tf + sorted positions + doclen + forward rows for one batch,
+        stamped with the LWW seq. All derive from ONE (doc, term)
+        shuffle (the tf groupBy); dl and the forward term list are its
+        per-doc rollup (one more keyed agg, which also feeds the
+        stats/termstats deltas). Eagerly checkpointed: the commit write
+        and the delta aggregates both consume them."""
         ic = self.id_col
         s = F.lit(int(seq)).cast("long").alias("seq")
-        tf = (
-            self._tokens(docs)
-            .groupBy(ic, "term")
+        if self._w_milli is not None:
+            # fielded (BM25F): tf = exact BIGINT milli fold of the
+            # fields' token streams (each stream carries its weight as
+            # a literal); no positional payload — see __init__
+            from functools import reduce
+
+            streams = [
+                docs.where(F.col(fcol).isNotNull()).select(
+                    F.col(ic),
+                    F.explode(
+                        F.split(normalize_text(F.col(fcol)), " ")
+                    ).alias("term"),
+                    F.lit(wm).cast("long").alias("w"),
+                )
+                for fcol, wm in sorted(self._w_milli.items())
+            ]
+            tf = (
+                ensure_parallelism(
+                    reduce(lambda a, b: a.unionByName(b), streams)
+                )
+                .groupBy(ic, "term")
+                .agg(F.sum("w").alias("tf"))
+                .withColumn(
+                    "positions", F.lit(None).cast("array<int>")
+                )
+                .localCheckpoint(eager=True)
+            )
+        else:
+            tf = (
+                self._tokens(docs)
+                .groupBy(ic, "term")
+                .agg(
+                    F.count(F.lit(1)).alias("tf"),
+                    F.sort_array(F.collect_list("pos")).alias("positions"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        perdoc = (
+            tf.groupBy(ic)
             .agg(
-                F.count(F.lit(1)).alias("tf"),
-                F.sort_array(F.collect_list("pos")).alias("positions"),
+                F.sum("tf").alias("dl"),
+                F.sort_array(
+                    F.collect_list(F.struct("term", "tf"))
+                ).alias("terms"),
             )
             .localCheckpoint(eager=True)
         )
-        dl = (
-            tf.groupBy(ic)
-            .agg(F.sum("tf").alias("dl"))
-            .localCheckpoint(eager=True)
-        )
-        return tf.select("term", ic, "tf", "positions", s), dl.select(
-            ic, "dl", s, F.lit(True).alias("live")
+        return (
+            tf.select("term", ic, "tf", "positions", s),
+            perdoc.select(ic, "dl", s, F.lit(True).alias("live")),
+            perdoc.select(ic, "terms", s),
         )
 
     def _live_doclens(self, rows: DataFrame) -> DataFrame:
@@ -247,8 +342,88 @@ class PostingsIndex:
             "positions array<int>, seq long",
             "doclens": f"{self.id_col} long, dl long, seq long, live boolean",
             "stats": "stat string, d_docs long, d_len long",
+            "forward": f"{self.id_col} long, "
+            "terms array<struct<term:string,tf:bigint>>, seq long",
+            "termstats": "term string, d_df long, max_tf long",
         }
         return self.spark.createDataFrame([], schemas[rel])
+
+    def _live_forward_for(
+        self,
+        ids: DataFrame,
+        broadcast_keys: bool = True,
+        live: DataFrame | None = None,
+    ) -> DataFrame | None:
+        """Live exploded (doc_id, dl, term, tf) rows for the given ids
+        — THE doc-keyed read path (postings answer term -> docs; this
+        answers doc -> terms). One bucket-pruned forward read, the
+        usual max_by physical-duplicate collapse, and the seq-equality
+        liveness join (``live`` lets callers that already hold the
+        ids' live (doc_id, dl, seq) frame skip the doclens lookup).
+        Returns None when the index has no forward rows at all."""
+        ic = self.id_col
+        key_frame = ids.select(ic).distinct()
+        rows = (
+            self._store.read_keys("forward", key_frame)
+            if self._prune_probes
+            else self._store.read("forward")
+        )
+        if rows is None:
+            return None
+        if live is None:
+            live = self._current_live_for(
+                key_frame, broadcast_keys=broadcast_keys
+            )
+        collapsed = (
+            rows.groupBy(ic)
+            .agg(F.max_by(F.struct("terms", "seq"), F.col("seq")).alias("s"))
+            .select(
+                ic,
+                F.col("s.terms").alias("terms"),
+                F.col("s.seq").alias("seq"),
+            )
+        )
+        return (
+            collapsed.join(
+                live.select(
+                    ic, "dl", F.col("seq").alias("live_seq")
+                ),
+                ic,
+            )
+            .filter(F.col("seq") == F.col("live_seq"))
+            .select(ic, "dl", F.explode("terms").alias("t"))
+            .select(
+                ic,
+                "dl",
+                F.col("t.term").alias("term"),
+                F.col("t.tf").alias("tf"),
+            )
+        )
+
+    def _term_stats_frame(self, terms: DataFrame) -> DataFrame | None:
+        """Maintained per-term statistics for a bounded term frame:
+        (term, df, max_tf) with df the EXACT live document frequency
+        (the additive deltas' sum) and max_tf the high watermark. One
+        bucket-pruned, commit-count-sized termstats read — nothing
+        scales with the terms' postings volume. Terms whose df folded
+        to <= 0 (all their docs deleted) are dropped."""
+        td = terms.select("term").distinct()
+        rows = (
+            self._store.read_keys("termstats", td, broadcast_keys=True)
+            if self._prune_probes
+            else self._store.read("termstats")
+        )
+        if rows is None:
+            return None
+        return (
+            rows.join(F.broadcast(td), "term")
+            .groupBy("term")
+            .agg(
+                F.sum("d_df").alias("df"),
+                F.max("max_tf").alias("max_tf"),
+            )
+            .filter(F.col("df") > 0)
+        )
 
     def stats(self) -> tuple[int, int]:
         """Live (n_docs, total_len) — the SUM of the delta relation.
@@ -314,22 +489,25 @@ class PostingsIndex:
         of postings + doclens + the stats delta.
 
         Cost anatomy: one (doc, term) shuffle (tf), its per-doc rollup
-        (dl), a bucket-pruned doclens lookup of the batch ids (the
-        replaced docs' old lengths feed the stats delta), one bounded
-        one-row collect for the delta, one add-files commit. Nothing
-        scales with corpus size.
+        (dl + the forward term list), a bucket-pruned doclens lookup
+        of the batch ids, a bucket-pruned forward lookup of the same
+        ids (the replaced versions' term sets feed the termstats
+        deltas, their lengths the stats delta), one bounded one-row
+        collect, one add-files commit. Nothing scales with corpus
+        size.
 
         At-least-once delivery REQUIRES ``epoch``: a replayed
-        un-epoched append duplicates postings/doclens rows (harmless —
-        the serve's max_by collapse heals them) but ALSO re-appends
-        the stats delta, and the stats SUM has no dedup — N/total_len
-        double-count and every score drifts (module header's stats
-        caveat)."""
-        tf, dl = self._batch_relations(docs, seq)
-        old = self._current_live_for(dl)
+        un-epoched append duplicates postings/doclens/forward rows
+        (harmless — the serve's max_by collapse heals them) but ALSO
+        re-appends the stats AND termstats deltas, whose SUMs have no
+        dedup — N/total_len/df double-count and every score drifts
+        (module header's delta caveat)."""
+        ic = self.id_col
+        tf, dl, fwd = self._batch_relations(docs, seq)
+        old = self._current_live_for(dl).localCheckpoint(eager=True)
         joined = dl.join(
-            old.select(self.id_col, F.col("dl").alias("old_dl")),
-            self.id_col,
+            old.select(ic, F.col("dl").alias("old_dl")),
+            ic,
             "left",
         )
         r = joined.agg(
@@ -342,11 +520,35 @@ class PostingsIndex:
                 F.lit(0),
             ).alias("d_len"),
         ).collect()[0]
+        # per-term df delta: +1 for every (doc, term) the batch gains,
+        # -1 for every (doc, term) a REPLACED version loses — terms a
+        # doc keeps across the upsert net to 0, so SUM(d_df) stays the
+        # exact live df. Old term sets come from the forward relation
+        # (None on bootstrap). max_tf = the batch's own max per term
+        # (watermark semantics: only ever raised here).
+        parts = tf.select(ic, "term").withColumn("w", F.lit(1))
+        old_fwd = self._live_forward_for(old, live=old)
+        if old_fwd is not None:
+            parts = parts.unionByName(
+                old_fwd.select(ic, "term").withColumn("w", F.lit(-1))
+            )
+        ts = (
+            parts.groupBy("term")
+            .agg(F.sum("w").cast("long").alias("d_df"))
+            .join(
+                tf.groupBy("term").agg(F.max("tf").alias("max_tf")),
+                "term",
+                "left",
+            )
+            .select("term", "d_df", "max_tf")
+        )
         self._store.append_keyed(
             {
                 "postings": tf,
                 "doclens": dl,
                 "stats": self._stats_delta(r["new_docs"], r["d_len"]),
+                "forward": fwd,
+                "termstats": ts,
             },
             epoch=epoch,
         )
@@ -355,9 +557,14 @@ class PostingsIndex:
         """Retract documents by id (M1/M2 last-write-wins, the family
         contract): one doclens tombstone per currently-live id — it
         lands in the doc's own doclen bucket, and every posting of the
-        doc dies with it through the seq-equality rule, so NO term
-        bucket is touched. Deleting an unknown/dead id is a no-op.
-        Physical postings reclamation happens in :meth:`compact`."""
+        doc dies with it through the seq-equality rule (the forward
+        row with the postings), so NO term bucket is touched — except
+        the termstats deltas: the deleted docs' term sets (one
+        bucket-pruned forward lookup of the batch ids) each subtract 1
+        from their terms' df sums, keeping serve-time df exact without
+        ever counting postings. Deleting an unknown/dead id is a
+        no-op. Physical postings/forward reclamation happens in
+        :meth:`compact`."""
         ic = self.id_col
         old = self._current_live_for(ids).localCheckpoint(eager=True)
         n_docs, total = (
@@ -368,6 +575,16 @@ class PostingsIndex:
         )
         if not n_docs:
             return
+        old_fwd = self._live_forward_for(old, live=old)
+        ts = (
+            old_fwd.groupBy("term")
+            .agg((F.count(F.lit(1)) * F.lit(-1)).cast("long").alias("d_df"))
+            .select(
+                "term", "d_df", F.lit(None).cast("long").alias("max_tf")
+            )
+            if old_fwd is not None
+            else self._empty("termstats")
+        )
         s = F.lit(int(seq)).cast("long").alias("seq")
         self._store.append_keyed(
             {
@@ -376,6 +593,8 @@ class PostingsIndex:
                     ic, "dl", s, F.lit(False).alias("live")
                 ),
                 "stats": self._stats_delta(-n_docs, -int(total)),
+                "forward": self._empty("forward"),
+                "termstats": ts,
             },
             epoch=epoch,
         )
@@ -458,7 +677,11 @@ class PostingsIndex:
         if n_docs <= 0:
             return self.spark.createDataFrame([], out_schema)
         n_docs_f = float(n_docs)
-        avgdl = float(total_len) / n_docs_f
+        # scale 1.0 is a bit-exact identity (x / 1.0 == x), so the
+        # unfielded serve is unchanged; 1000.0 maps a FIELDED index's
+        # milli tf/dl back to weighted-token units with the same fixed
+        # parenthesization as text.bm25f_topk
+        avgdl = (float(total_len) / self._tf_scale) / n_docs_f
         cand = self._live_candidates(qterms.select("term"))
         if cand is None:
             return self.spark.createDataFrame([], out_schema)
@@ -471,11 +694,13 @@ class PostingsIndex:
             + ((F.lit(n_docs_f) - F.col("df")) + F.lit(0.5))
             / (F.col("df") + F.lit(0.5))
         )
-        denom = F.col("tf") + F.lit(self.k1) * (
+        tfd = F.col("tf") / F.lit(self._tf_scale)
+        dld = F.col("dl") / F.lit(self._tf_scale)
+        denom = tfd + F.lit(self.k1) * (
             F.lit(1.0 - self.b)
-            + F.lit(self.b) * (F.col("dl") / F.lit(avgdl))
+            + F.lit(self.b) * (dld / F.lit(avgdl))
         )
-        contrib = idf * ((F.col("tf") * F.lit(self.k1 + 1.0)) / denom)
+        contrib = idf * ((tfd * F.lit(self.k1 + 1.0)) / denom)
         matched = (
             cand.join(dfreq, "term")
             .join(F.broadcast(qterms), "term")
@@ -578,45 +803,57 @@ class PostingsIndex:
         diag: dict | None,
     ) -> DataFrame:
         """EXACT top-k BM25 under max-score pruning (Turtle & Flood's
-        max-score, the WAND family, re-expressed set-at-a-time): the
-        hot term's postings never enter the scoring exchange.
+        max-score, the WAND family, re-expressed set-at-a-time): a hot
+        term's postings bucket is NEVER READ AT ALL — not for stats
+        (maintained termstats), not for candidates (essential terms
+        only), not for scoring (doc-keyed forward fetch).
 
         Anatomy (every step named because SCALE.md measures it):
 
-        1. One column-pruned stats pass over the probed live postings:
-           exact df(t) and max live tf(t) per query term — a narrow
-           partial-agg count, the serve's one irreducible
-           Σ-postings-of-query-terms term (exact idf REQUIRES exact
-           live df; no impact ordering can remove a count).
+        1. Per-term stats from the MAINTAINED termstats deltas: exact
+           live df(t) (the additive sum) and the max-tf high watermark
+           — ONE bucket-pruned commit-count-sized read. This replaces
+           the r12 serve's one remaining linear term (a COUNT over the
+           probed postings, Σ df(t) rows — called irreducible then
+           because exact idf needs exact live df; maintenance at
+           append/delete makes it a lookup instead).
         2. Driver-side per-term upper bounds: UB(t) = idf(t) *
            sat(max_tf) with sat(tf) = tf(k1+1)/(tf + k1(1-b)) — valid
            for every posting since dl >= 1 makes the true denominator
-           strictly larger. Floored into micro-units with a +1 margin
-           and a 1e-9 relative inflation, so a ulp difference between
-           the driver's libm log and the engine's JVM log can never
-           make the bound unsound (pruning DECISIONS tolerate slack;
-           scoring itself stays in the engine, bit-identical to the
-           unpruned serve).
+           strictly larger, and valid under the WATERMARK max_tf since
+           sat is monotone in tf (a loose watermark loosens the bound,
+           never unsounds it; compact re-tightens). Floored into
+           micro-units with a +1 margin and a 1e-9 relative inflation,
+           so a ulp difference between the driver's libm log and the
+           engine's JVM log can never make the bound unsound (pruning
+           DECISIONS tolerate slack; scoring itself stays in the
+           engine, bit-identical to the unpruned serve).
         3. Per query, terms sort by UB descending; the leading
            'essential' prefix generates candidates, and the iteration
            extends the prefix until the k-th best EXACT candidate
            score theta beats the non-essential suffix's UB sum
            STRICTLY (strict < : a non-candidate can then neither beat
            NOR TIE theta, so the doc-id tiebreak cannot be stolen).
-           Scoring a candidate set reads all query terms' postings
-           SEMI-JOINED to the candidate docs — map-side filtered
-           before the exchange — with doclens fetched for candidates
-           only. Iterations batch across unfinished queries; each
-           strictly grows some prefix, so the loop is bounded by the
-           longest query's term count (driver loop over QUERY TERMS,
-           never over data).
+           Candidate generation reads ONLY the essential terms'
+           postings buckets, incrementally as prefixes grow (terms
+           already probed are cached across iterations). Scoring a
+           candidate reads its term list from the doc-keyed FORWARD
+           relation — a candidate-set-sized bucket-pruned lookup that
+           carries dl on the same liveness join — so the suffix
+           terms' (and in particular the stopword's) postings never
+           produce a single scanned row. Iterations batch across
+           unfinished queries; each strictly grows some prefix, so the
+           loop is bounded by the longest query's term count (driver
+           loop over QUERY TERMS, never over data).
 
         Exactness: every candidate's score is the engine's usual
-        floored-micro sum over ALL its matched query terms, and any
-        non-candidate matches only suffix terms, so its score <=
-        suffix UB sum < theta. Output == the unpruned serve's, row for
-        row — the x_text_bm25_wand entry gates that against the same
-        oracle as x_text_bm25_indexed."""
+        floored-micro sum over ALL its matched query terms (the live
+        forward term list ∩ query terms == the live postings matches,
+        written atomically together), and any non-candidate matches
+        only suffix terms, so its score <= suffix UB sum < theta.
+        Output == the unpruned serve's, row for row — the
+        x_text_bm25_wand entry gates that against the same oracle as
+        x_text_bm25_indexed."""
         import math
 
         from pyspark.sql import Window
@@ -631,7 +868,7 @@ class PostingsIndex:
         if n_docs <= 0:
             return self.spark.createDataFrame([], out_schema)
         n_docs_f = float(n_docs)
-        avgdl = float(total_len) / n_docs_f
+        avgdl = (float(total_len) / self._tf_scale) / n_docs_f
         qterms = (
             queries.select(
                 F.col(query_id_col),
@@ -642,31 +879,21 @@ class PostingsIndex:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        live = self._live_pruned(qterms)
-        if live is None:
+        # -- 1. maintained per-term stats (commit-count-sized read) ------
+        stats_frame = self._term_stats_frame(qterms)
+        if stats_frame is None:
             return self.spark.createDataFrame([], out_schema)
-        # materialize the probed live working set ONCE (stats pass +
-        # every iteration reuse it; re-running the scan+collapse per
-        # iteration would triple the probe cost). Narrow rows (term,
-        # id, tf) — the serve's working set, block-manager-spillable.
-        live = live.localCheckpoint(eager=True)
-
-        # -- 1. exact per-term stats (the one Σ-postings count) ----------
-        stats_rows = (
-            live.groupBy("term")
-            .agg(
-                F.count(F.lit(1)).alias("df"),
-                F.max("tf").alias("max_tf"),
-            )
-            .collect()
-        )  # bounded by the workload's distinct terms
-        term_stats = {r["term"]: (int(r["df"]), int(r["max_tf"])) for r in stats_rows}
+        term_stats = {
+            r["term"]: (int(r["df"]), int(r["max_tf"]))
+            for r in stats_frame.collect()
+        }  # bounded by the workload's distinct terms
         if not term_stats:
             return self.spark.createDataFrame([], out_schema)
         if diag is not None:
             diag["live_postings_rows"] = sum(
                 d for d, _ in term_stats.values()
             )
+            diag["probed_postings_rows"] = 0
             diag["scoring_rows"] = 0
             diag["candidate_docs"] = 0
             diag["iterations"] = 0
@@ -676,7 +903,8 @@ class PostingsIndex:
         ubm: dict[str, int] = {}
         for t, (dfv, mtf) in term_stats.items():
             idf = math.log(1.0 + ((n_docs_f - dfv) + 0.5) / (dfv + 0.5))
-            sat = (mtf * (k1 + 1.0)) / (mtf + k1 * (1.0 - b))
+            mtd = mtf / self._tf_scale
+            sat = (mtd * (k1 + 1.0)) / (mtd + k1 * (1.0 - b))
             ubm[t] = int(math.floor(idf * sat * 1e6 * (1.0 + 1e-9))) + 1
 
         q_terms: dict = {}
@@ -702,10 +930,12 @@ class PostingsIndex:
             + ((F.lit(n_docs_f) - F.col("df")) + F.lit(0.5))
             / (F.col("df") + F.lit(0.5))
         )
-        denom = F.col("tf") + F.lit(k1) * (
-            F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.lit(avgdl))
+        tfd = F.col("tf") / F.lit(self._tf_scale)
+        dld = F.col("dl") / F.lit(self._tf_scale)
+        denom = tfd + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * (dld / F.lit(avgdl))
         )
-        contrib = idf_col * ((F.col("tf") * F.lit(k1 + 1.0)) / denom)
+        contrib = idf_col * ((tfd * F.lit(k1 + 1.0)) / denom)
         allowed_ids = (
             allowed.select(ic).distinct().localCheckpoint(eager=True)
             if allowed is not None
@@ -716,9 +946,33 @@ class PostingsIndex:
         ess = {qid: 1 for qid in q_terms}
         unfinished = set(q_terms)
         finals: list[DataFrame] = []
+        # postings probed so far: essential terms only, incrementally
+        # as prefixes grow (a term's bucket is read at most once)
+        ess_live = self.spark.createDataFrame([], f"term string, {ic} long")
+        read_terms: set = set()
         while unfinished:
             if diag is not None:
                 diag["iterations"] += 1
+            need = {
+                t
+                for qid in unfinished
+                for t in q_terms[qid][: ess[qid]]
+            }
+            new_terms = sorted(need - read_terms)
+            if new_terms:
+                got = self._live_pruned(
+                    self.spark.createDataFrame(
+                        [(t,) for t in new_terms], "term string"
+                    )
+                )
+                if got is not None:
+                    got = got.select("term", ic).localCheckpoint(eager=True)
+                    if diag is not None:
+                        diag["probed_postings_rows"] += got.count()
+                    ess_live = ess_live.unionByName(got).localCheckpoint(
+                        eager=True
+                    )
+                read_terms |= set(new_terms)
             ess_pairs = [
                 (qid, t)
                 for qid in sorted(unfinished)
@@ -726,7 +980,7 @@ class PostingsIndex:
             ]
             ess_df = self.spark.createDataFrame(ess_pairs, pair_schema)
             cand = (
-                live.join(F.broadcast(ess_df), "term")
+                ess_live.join(F.broadcast(ess_df), "term")
                 .select(query_id_col, ic)
                 .distinct()
             )
@@ -734,16 +988,20 @@ class PostingsIndex:
                 cand = cand.join(allowed_ids, ic, "left_semi")
             cand = cand.localCheckpoint(eager=True)
             cdocs = cand.select(ic).distinct()
-            dl_c = self._current_live_for(
-                cdocs, broadcast_keys=False
-            ).select(ic, "dl")
             sub_pairs = [
                 (qid, t) for qid in sorted(unfinished) for t in q_terms[qid]
             ]
             sub_qterms = self.spark.createDataFrame(sub_pairs, pair_schema)
+            # scoring reads the CANDIDATES' term lists from the
+            # doc-keyed forward relation (dl rides the liveness join)
+            # — no suffix-term postings bucket is ever scanned
+            fwd = self._live_forward_for(cdocs, broadcast_keys=False)
+            if fwd is None:
+                fwd = self.spark.createDataFrame(
+                    [], f"{ic} long, dl long, term string, tf long"
+                )
             rows = (
-                live.join(cdocs, ic, "left_semi")
-                .join(F.broadcast(sub_qterms), "term")
+                fwd.join(F.broadcast(sub_qterms), "term")
                 .join(cand, [query_id_col, ic], "left_semi")
             )
             if diag is not None:
@@ -752,8 +1010,7 @@ class PostingsIndex:
                 diag["scoring_rows"] += rows.count()
                 diag["candidate_docs"] += cdocs.count()
             scored = (
-                rows.join(dl_c, ic)
-                .join(dfreq, "term")
+                rows.join(dfreq, "term")
                 .select(
                     query_id_col,
                     ic,
@@ -832,7 +1089,6 @@ class PostingsIndex:
     def prf_topk(
         self,
         queries: DataFrame,
-        docs: DataFrame,
         k: int = 5,
         fb_docs: int = 3,
         fb_terms: int = 2,
@@ -849,22 +1105,17 @@ class PostingsIndex:
         excluded, term-asc ties); pass 2 re-serves the expanded term
         sets through :meth:`_topk_terms`.
 
-        ``docs``: the LIVE corpus (doc_id, text) — the index stores no
-        raw text (postings are term-keyed; a doc's own term list is
-        not reachable without a corpus-wide read), so the caller
-        supplies it and the expansion tokenize touches ONLY the
-        feedback docs (a semi-join pushed into the scan;
-        fb_docs x |queries| documents). A ``docs`` frame inconsistent
-        with the index's live state yields expansion votes over stale
-        text — the caller owns that consistency, exactly as the
-        x_text_bm25_prf_indexed entry derives both from one scenario.
-
-        Everything else stays bucket-pruned: the expansion terms' df
-        comes from ONE column-pruned probe of their buckets
-        (:meth:`_live_pruned` + a count — exact live df under the
-        delta-liveness rule), and both passes read only their terms'
-        buckets. Output schema == bm25_topk's; the brute PRF oracle
-        replays the whole pipeline over the live corpus."""
+        SELF-CONTAINED since round 13: the feedback docs' term lists
+        come from the index's own doc-keyed FORWARD relation (one
+        bucket-pruned lookup of the fb_docs x |queries| ids), so the
+        expansion vote is always consistent with the index's live
+        state by construction — the r12 shape took a caller-supplied
+        live-corpus frame whose drift (stale text, missed delete)
+        would silently skew the vote (VERDICT r12 nit 1). The
+        expansion terms' exact live df comes from the maintained
+        termstats sums (commit-count-sized), and both passes read only
+        their terms' buckets. Output schema == bm25_topk's; the brute
+        PRF oracle replays the whole pipeline over the live corpus."""
         ic = self.id_col
         qterms = (
             queries.select(
@@ -887,17 +1138,15 @@ class PostingsIndex:
         if n_docs <= 0 or not fb.take(1):
             # no corpus or no pass-1 matches anywhere: pass 2 == pass 1
             return self._topk_terms(qterms, k, query_id_col, allowed)
-        fb_text = docs.join(fb.select(ic).distinct(), ic, "left_semi")
-        tf_fb = (
-            self._tokens(fb_text)
-            .groupBy(ic, "term")
-            .agg(F.count(F.lit(1)).alias("tf"))
-            .localCheckpoint(eager=True)  # fb_docs x |queries| docs
-        )
-        live = self._live_pruned(tf_fb.select("term"))
-        if live is None:
+        tf_fb = self._live_forward_for(fb.select(ic).distinct())
+        if tf_fb is None:
             return self._topk_terms(qterms, k, query_id_col, allowed)
-        dfreq = live.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        tf_fb = tf_fb.select(ic, "term", "tf").localCheckpoint(
+            eager=True
+        )  # fb_docs x |queries| docs' term lists
+        dfreq = self._term_stats_frame(tf_fb.select("term"))
+        if dfreq is None:
+            return self._topk_terms(qterms, k, query_id_col, allowed)
         idf_micro = F.floor(
             F.log(
                 F.lit(1.0)
@@ -944,6 +1193,14 @@ class PostingsIndex:
         discipline at all), so the brute operator's oracle replays
         this serve over the live corpus."""
         from pyspark.sql import Window
+
+        if self._w_milli is not None:
+            raise ValueError(
+                "phrase serving needs the positional payload, which a "
+                "FIELDED (BM25F) index does not store — weighted tf "
+                "folds several token streams, so there is no single "
+                "position space; build an unfielded index for phrases"
+            )
 
         ic = self.id_col
         qtoks = queries.select(
@@ -1016,10 +1273,15 @@ class PostingsIndex:
         replayed merge idempotent (checked FIRST, so a replay skips
         the probe — a post-first-merge replay would otherwise see its
         own rows as an overlap)."""
-        if abs(other.k1 - self.k1) > 1e-12 or abs(other.b - self.b) > 1e-12:
+        if (
+            abs(other.k1 - self.k1) > 1e-12
+            or abs(other.b - self.b) > 1e-12
+            or other._w_milli != self._w_milli
+        ):
             raise ValueError(
                 "refusing to merge postings shards with different BM25 "
-                "constants — scores are only comparable under one (k1, b)"
+                "constants or field weightings — scores are only "
+                "comparable under one (k1, b, fields) parameterization"
             )
         if self._store.epoch_committed(epoch):
             return  # replayed merge: the commit below would no-op
@@ -1062,23 +1324,27 @@ class PostingsIndex:
                     "tombstones and folds stats to net 0), then retry"
                 )
         rels = {}
-        for rel in ("postings", "doclens", "stats"):
+        for rel in ("postings", "doclens", "stats", "forward", "termstats"):
             rows = other._store.read(rel)
             rels[rel] = rows if rows is not None else self._empty(rel)
         if other.id_col != self.id_col:
-            rels["postings"] = rels["postings"].withColumnRenamed(
-                other.id_col, self.id_col
-            )
-            rels["doclens"] = rels["doclens"].withColumnRenamed(
-                other.id_col, self.id_col
-            )
+            for rel in ("postings", "doclens", "forward"):
+                rels[rel] = rels[rel].withColumnRenamed(
+                    other.id_col, self.id_col
+                )
         self._store.append_keyed(rels, epoch=epoch)
 
     def compact(self, epoch=None) -> None:
         """Maintenance fold: doclens collapse to the live latest row
-        per doc, postings physically drop every row that fails the
-        seq-equality rule (deleted docs and stale upsert versions), and
-        the stats deltas fold to ONE row. The live-doc frame is
+        per doc (tombstones physically dropped — what makes the merge
+        remedy delete-then-COMPACT-then-merge sound), postings AND
+        forward rows physically drop every row that fails the
+        seq-equality rule (deleted docs and stale upsert versions),
+        the stats deltas fold to ONE row, and the termstats deltas are
+        REPLACED by an exact per-term recompute over the live postings
+        — df re-bases to one row per term and the max_tf watermark
+        re-TIGHTENS to the true live max (the only place it can come
+        back down). The live-doc frame and the exact term stats are
         captured eagerly BEFORE the rewrite so the fold is
         deterministic; same stale-replay caveat as the band index's
         compact."""
@@ -1089,8 +1355,37 @@ class PostingsIndex:
             if doclens is not None
             else None
         )
+        exact_ts = None
         if live is not None:
             live = live.localCheckpoint(eager=True)
+            pl = self._store.read("postings")
+            if pl is not None:
+                live_pl = (
+                    pl.select("term", ic, "tf", "seq")
+                    .groupBy("term", ic)
+                    .agg(
+                        F.max_by(
+                            F.struct("tf", "seq"), F.col("seq")
+                        ).alias("s")
+                    )
+                    .select(
+                        "term",
+                        ic,
+                        F.col("s.tf").alias("tf"),
+                        F.col("s.seq").alias("seq"),
+                    )
+                    .join(live.withColumnRenamed("seq", "live_seq"), ic)
+                    .filter(F.col("seq") == F.col("live_seq"))
+                )
+                exact_ts = (
+                    live_pl.groupBy("term")
+                    .agg(
+                        F.count(F.lit(1)).alias("d_df"),
+                        F.max("tf").alias("max_tf"),
+                    )
+                    .localCheckpoint(eager=True)  # vocabulary-sized;
+                    # compact is the O(store) maintenance path anyway
+                )
 
         def fold(rel: str, current: DataFrame, upd) -> DataFrame:
             if rel == "doclens":
@@ -1117,6 +1412,30 @@ class PostingsIndex:
                 ).filter(F.col("seq") == F.col("live_seq")).select(
                     "term", ic, "tf", "positions", "seq"
                 )
+            if rel == "forward":
+                if live is None:
+                    return current.limit(0)
+                dedup = current.groupBy(ic).agg(
+                    F.max_by(
+                        F.struct("terms", "seq"), F.col("seq")
+                    ).alias("s")
+                ).select(
+                    ic,
+                    F.col("s.terms").alias("terms"),
+                    F.col("s.seq").alias("seq"),
+                )
+                return dedup.join(
+                    live.withColumnRenamed("seq", "live_seq"), ic
+                ).filter(F.col("seq") == F.col("live_seq")).select(
+                    ic, "terms", "seq"
+                )
+            if rel == "termstats":
+                if exact_ts is None:
+                    return current.limit(0)
+                # every live term already has termstats rows (its
+                # append wrote them), so the exact frame never lands
+                # in a bucket the base manifest lacks
+                return exact_ts.select("term", "d_df", "max_tf")
             return (
                 current.groupBy("stat")
                 .agg(

@@ -435,6 +435,145 @@ def bm25_topk(
     )
 
 
+def _validate_milli_weights(fields: dict) -> dict:
+    """Field-weight contract shared by bm25f_topk and the fielded
+    PostingsIndex: every weight must be a positive exact multiple of
+    0.001 — milli-unit exactness is what keeps the weighted tf an
+    exact BIGINT sum, which is what lets the SQL oracle replay it
+    bit-for-bit."""
+    if not fields:
+        raise ValueError("bm25f needs at least one field")
+    out = {}
+    for col, w in fields.items():
+        wm = round(float(w) * 1000)
+        if wm <= 0 or abs(float(w) * 1000 - wm) > 1e-9:
+            raise ValueError(
+                f"field weight {col}={w} must be a positive exact "
+                "multiple of 0.001 (exact milli-units keep the "
+                "weighted tf an order-independent BIGINT sum)"
+            )
+        out[col] = int(wm)
+    return out
+
+
+def bm25f_topk(
+    docs,
+    queries,
+    fields: dict[str, float],
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25F — multi-field ranked retrieval with per-field
+    weights folded into term frequency BEFORE saturation (the 'simple
+    weighted-field' BM25F of Robertson & Zaragoza: tf_w(d, t) =
+    sum over fields f of w_f * tf_f(d, t); dl_w = sum over t of tf_w;
+    avgdl over dl_w; then the standard BM25 formula on the weighted
+    quantities). The standard production search shape: a title hit
+    outweighs a body hit WITHOUT double-counting saturation the way
+    naive per-field-BM25 summing does.
+
+    Exactness discipline: weights must be exact milli-units
+    (:func:`_validate_milli_weights`), so tf_w and dl_w are EXACT
+    BIGINT milli sums — order-independent under any partial-agg
+    schedule. The double domain is entered once per contribution with
+    a FIXED parenthesization — (tfm / 1000.0), (dlm / 1000.0),
+    avgdl = (total_milli / 1000.0) / N — then bm25_topk's micro-unit
+    floor; the whole pipeline replays bit-for-bit in SQL. df(t) counts
+    docs with the term in ANY field. A doc whose every field is NULL
+    is excluded from N; a NULL field simply contributes nothing.
+
+    Shape: one token union across the fields (each stream carries its
+    weight as a literal), ONE (doc, term) shuffle for tf_w, rollups
+    for df/dl_w — bm25_topk's plan with a wider scan, nothing else
+    changes at 100 TB.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism
+
+    w_milli = _validate_milli_weights(fields)
+    streams = [
+        docs.where(F.col(fcol).isNotNull()).select(
+            F.col(id_col),
+            F.explode(
+                F.split(normalize_text(F.col(fcol)), " ")
+            ).alias("term"),
+            F.lit(wm).cast("long").alias("w"),
+        )
+        for fcol, wm in sorted(w_milli.items())
+    ]
+    toks = ensure_parallelism(reduce(lambda a, b: a.unionByName(b), streams))
+    tf = toks.groupBy(id_col, "term").agg(F.sum("w").alias("tfm"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    doclen = tf.groupBy(id_col).agg(F.sum("tfm").alias("dlm"))
+    n_docs, total_milli = doclen.agg(
+        F.count(F.lit(1)), F.sum("dlm")
+    ).collect()[0]
+    if not n_docs:
+        return docs.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} long, {id_col} long, n_terms long, "
+            "score_micro long, score double, rnk long",
+        )
+    n_docs_f = float(n_docs)
+    avgdl = (float(total_milli) / 1000.0) / n_docs_f
+    qterms = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(
+                F.split(normalize_text(F.col(query_text_col)), " ")
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.lit(n_docs_f) - F.col("df")) + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfd = F.col("tfm") / F.lit(1000.0)
+    dld = F.col("dlm") / F.lit(1000.0)
+    denom = tfd + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (dld / F.lit(avgdl))
+    )
+    contrib = idf * ((tfd * F.lit(k1 + 1.0)) / denom)
+    matched = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(qterms), "term")
+        .join(doclen, id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.floor(contrib * F.lit(1000000.0)).cast("long").alias("micro"),
+        )
+    )
+    scored = matched.groupBy(query_id_col, id_col).agg(
+        F.sum("micro").alias("score_micro"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score_micro"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            "n_terms",
+            "score_micro",
+            (F.col("score_micro") / F.lit(1000000.0)).alias("score"),
+            "rnk",
+        )
+    )
+
+
 def bm25_prf_topk(
     docs,
     queries,

@@ -2716,24 +2716,6 @@ def _bm25_scenario_frames(spark: SparkSession, sf_dir: str):
     return boot, upsert, dele
 
 
-def _bm25_scenario_live_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scenario's FINAL live corpus as a Spark frame — the engine
-    twin of _BM25_SCENARIO_SRC (upsert text wins, deleted ids gone);
-    prf_topk's expansion-docs input must be exactly this."""
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.col("text").isNotNull() & (F.col("doc_id") % 5 != 0)
-    )
-    return docs.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 7 == 3,
-            F.concat(F.col("text"), F.lit(" spark spark window")),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-
-
 def _bm25_serve(spark: SparkSession, idx) -> DataFrame:
     return idx.topk(_bm25_query_frame(spark), k=5).localCheckpoint(
         eager=True
@@ -2789,13 +2771,15 @@ def x_text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shape of x_text_bm25_prf, through the FULL mutation scenario): "
     "bootstrap + epoch-replayed append + upsert + delete, then "
     "PostingsIndex.prf_topk — pass 1 serves k=3 from probed term "
-    "buckets, expansion tokenizes ONLY the feedback docs (semi-join "
-    "into the scan) with the exact integer vote, the expansion "
-    "terms' exact live df comes from ONE column-pruned probe of "
-    "their buckets, and pass 2 re-serves the expanded term sets. "
-    "Oracle = the brute two-pass PRF SQL over the scenario's FINAL "
-    "live corpus, so a stale posting, a resurrected delete, or a "
-    "drifted expansion vote in EITHER pass fails the hash "
+    "buckets, the expansion reads the feedback docs' term lists from "
+    "the index's OWN doc-keyed forward relation (round 13 — no "
+    "caller-supplied live corpus to drift out of sync) with the "
+    "exact integer vote, the expansion terms' exact live df comes "
+    "from the maintained termstats sums, and pass 2 re-serves the "
+    "expanded term sets. Oracle = the brute two-pass PRF SQL over "
+    "the scenario's FINAL live corpus, so a stale posting, a "
+    "resurrected delete, or a drifted expansion vote in EITHER pass "
+    "fails the hash "
     "(operators/postings_index.py:PostingsIndex.prf_topk).",
 )
 def x_text_bm25_prf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2808,7 +2792,6 @@ def x_text_bm25_prf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     boot, upsert, dele = _bm25_scenario_frames(spark, sf_dir)
-    live_docs = _bm25_scenario_live_docs(spark, sf_dir)
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     root = tempfile.mkdtemp(prefix="bm25prf_", dir=shm)
     try:
@@ -2819,7 +2802,6 @@ def x_text_bm25_prf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.delete(dele, seq=2, epoch="delete")
         return idx.prf_topk(
             _bm25_query_frame(spark),
-            live_docs,
             k=5,
             fb_docs=3,
             fb_terms=2,
@@ -2912,6 +2894,173 @@ def x_text_bm25_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root_a, ignore_errors=True)
         shutil.rmtree(root_b, ignore_errors=True)
+
+
+# --- BM25F: multi-field weighted retrieval (round 13) ------------------------------
+
+# The documents table has one text column, so the fielded entries
+# derive a deterministic two-field shape both engines can reproduce:
+# title = the first 4 normalized tokens (weight 2.5), body = the full
+# text (weight 1.0).
+_BM25F_WEIGHTS = {"title": 2.5, "body": 1.0}
+
+
+def _bm25f_doc_fields(docs: DataFrame) -> DataFrame:
+    toks = F.split(text.normalize_text(F.col("text")), " ")
+    return docs.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 4), " ").alias("title"),
+        F.col("text").alias("body"),
+    )
+
+
+def _bm25f_oracle_sql(src_sql: str, k: int = 5) -> str:
+    """Full BM25F replay: the same field derivation, the exact BIGINT
+    milli fold of the weighted tf (2500/1000 per token), and the
+    fixed-parenthesization (x / 1000.0) re-entry into doubles — the
+    bm25 oracle's skeleton on the weighted quantities."""
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    ntitle = "trim(regexp_replace(lower(title), '\\s+', ' ', 'g'))"
+    nbody = "trim(regexp_replace(lower(body), '\\s+', ' ', 'g'))"
+    return f"""
+WITH q(query_id, qtext) AS (VALUES {_BM25_QUERY_VALUES}),
+base AS ({src_sql}),
+src AS (
+  SELECT doc_id,
+         array_to_string((string_split({norm}, ' '))[1:4], ' ') AS title,
+         text AS body
+  FROM base
+),
+toks AS (
+  SELECT doc_id, unnest(string_split({ntitle}, ' ')) AS term, 2500 AS w
+  FROM src WHERE title IS NOT NULL
+  UNION ALL
+  SELECT doc_id, unnest(string_split({nbody}, ' ')) AS term, 1000 AS w
+  FROM src WHERE body IS NOT NULL
+),
+tf AS (
+  SELECT doc_id, term, CAST(sum(w) AS BIGINT) AS tfm
+  FROM toks GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, CAST(sum(tfm) AS BIGINT) AS dlm FROM tf GROUP BY 1),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         (CAST(sum(dlm) AS DOUBLE) / 1000.0) / CAST(count(*) AS DOUBLE)
+           AS avgdl
+  FROM dl
+),
+qt AS (
+  SELECT DISTINCT query_id,
+         unnest(string_split(trim(regexp_replace(lower(qtext), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM q
+),
+m AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(FLOOR(
+           ln(1.0 + ((s.n - dfreq.df) + 0.5) / (dfreq.df + 0.5))
+           * (((tf.tfm / 1000.0) * {_BM25_K1 + 1.0!r}) /
+              ((tf.tfm / 1000.0) + {_BM25_K1!r} * ({1.0 - _BM25_B!r} + {_BM25_B!r} * ((dl.dlm / 1000.0) / s.avgdl))))
+           * 1000000.0
+         ) AS BIGINT) AS micro
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN qt USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id,
+         CAST(sum(micro) AS BIGINT) AS score_micro, count(*) AS n_terms
+  FROM m GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC
+  ) AS rnk
+  FROM scored
+)
+SELECT query_id, doc_id, n_terms, score_micro,
+       score_micro / 1000000.0 AS score, rnk
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+@register(
+    "x_text_bm25f",
+    oracle=_bm25f_oracle_sql(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL"
+    ),
+    tags=("extension", "text", "retrieval"),
+    doc="Okapi BM25F — multi-field weighted retrieval (round 13, the "
+    "standard production search shape): per-field weights (title "
+    "x2.5, body x1.0) fold into term frequency BEFORE saturation "
+    "(Robertson & Zaragoza's simple weighted-field BM25F), so a "
+    "title hit outranks a body hit without double-counting "
+    "saturation. tf_w/dl_w are EXACT BIGINT milli sums (weights "
+    "validated as exact milli-units); doubles are entered once per "
+    "contribution with a fixed parenthesization ((tfm/1000.0), "
+    "avgdl=(total/1000.0)/N) and floored into micro-units, so the "
+    "whole pipeline replays bit-for-bit in DuckDB "
+    "(operators/text.py:bm25f_topk).",
+)
+def x_text_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    return text.bm25f_topk(
+        _bm25f_doc_fields(docs),
+        _bm25_query_frame(spark),
+        fields=_BM25F_WEIGHTS,
+        k=5,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
+@register(
+    "x_text_bm25f_indexed",
+    oracle=_bm25f_oracle_sql(_BM25_SCENARIO_SRC),
+    tags=("extension", "text", "retrieval", "incremental"),
+    doc="FIELDED PostingsIndex serving BM25F (round 13 — the "
+    "persistent twin of x_text_bm25f, through the FULL mutation "
+    "scenario): the index is created with pinned field weights "
+    "(title x2.5, body x1.0 — part of the on-disk meta like k1/b), "
+    "append folds each field's tf into an exact BIGINT milli sum "
+    "riding the UNCHANGED postings/doclens/stats/forward/termstats "
+    "machinery (seq-equality liveness, additive deltas), and the "
+    "serve divides tf/dl by 1000 once per contribution — the "
+    "unfielded serve is the same code at scale 1.0 (a bit-exact "
+    "identity). Oracle = the brute BM25F SQL over the scenario's "
+    "FINAL live corpus (operators/postings_index.py:PostingsIndex).",
+)
+def x_text_bm25f_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.postings_index import (
+        PostingsIndex,
+    )
+
+    boot, upsert, dele = _bm25_scenario_frames(spark, sf_dir)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="bm25f_", dir=shm)
+    try:
+        idx = PostingsIndex(
+            spark,
+            root,
+            k1=_BM25_K1,
+            b=_BM25_B,
+            field_weights=_BM25F_WEIGHTS,
+        )
+        idx.append(_bm25f_doc_fields(boot), seq=0, epoch="boot")
+        idx.append(_bm25f_doc_fields(boot), seq=0, epoch="boot")  # replay
+        idx.append(_bm25f_doc_fields(upsert), seq=1, epoch="upsert")
+        idx.delete(dele, seq=2, epoch="delete")
+        return _bm25_serve(spark, idx)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 # --- hybrid retrieval: RRF fusion of BM25 + embedding cosine -----------------------
@@ -3221,6 +3370,136 @@ def x_hybrid_rrf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", F.col("vec_id").alias("doc_id"), "rnk")
         )
         return rrf_fuse([lex, sem], k=5).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root_p, ignore_errors=True)
+        shutil.rmtree(root_a, ignore_errors=True)
+
+
+def _hybrid_convex_oracle() -> str:
+    """Convex fusion over the two legs' value-proven replays: the BM25
+    oracle's score_micro and the ANN replay's l2_dist (hash-proven
+    bit-identical at 3 SFs by x_sim_index_batch_topk) — per-query
+    integer min-max normalization, 700/300 milli weights, all BIGINT
+    (// on non-negative operands == Spark's DIV)."""
+    lex_sql = _bm25_oracle_sql(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL", k=20
+    )
+    ann_sql = _index_serve_oracle(n_queries=4, k=20)
+    minmax = """
+  SELECT query_id, doc_id,
+         CASE WHEN max(s) OVER (PARTITION BY query_id)
+                   = min(s) OVER (PARTITION BY query_id)
+              THEN CAST(1000000 AS BIGINT)
+              ELSE ((s - min(s) OVER (PARTITION BY query_id))
+                    * CAST(1000000 AS BIGINT))
+                   // (max(s) OVER (PARTITION BY query_id)
+                       - min(s) OVER (PARTITION BY query_id))
+         END AS norm
+  FROM {src}
+"""
+    return f"""
+WITH lex0 AS (
+  SELECT query_id, doc_id, CAST(score_micro AS BIGINT) AS s
+  FROM ({lex_sql})
+),
+ann0 AS (
+  SELECT query_id, vec_id AS doc_id,
+         -CAST(FLOOR(l2_dist * 1000000.0) AS BIGINT) AS s
+  FROM ({ann_sql})
+),
+lexn AS ({minmax.format(src="lex0")}),
+semn AS ({minmax.format(src="ann0")}),
+contrib AS (
+  SELECT query_id, doc_id, norm * 700 AS c FROM lexn
+  UNION ALL
+  SELECT query_id, doc_id, norm * 300 AS c FROM semn
+),
+fused AS (
+  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS convex_nano,
+         count(*) AS n_systems
+  FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY convex_nano DESC, doc_id ASC
+  ) AS rnk
+  FROM fused
+)
+SELECT query_id, doc_id, convex_nano, n_systems, rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@register(
+    "x_hybrid_convex",
+    oracle=_hybrid_convex_oracle(),
+    tags=("extension", "text", "retrieval", "similarity", "incremental"),
+    doc="CONVEX (weighted score-interpolation) hybrid retrieval "
+    "(round 13 — the shape tenant search usually ships NEXT TO RRF: "
+    "alpha*bm25 + (1-alpha)*semantic keeps score GAPS that rank-only "
+    "fusion discards): the lexical leg is PostingsIndex BM25 top-20 "
+    "(exact integer score_micro), the semantic leg is "
+    "PersistentAnnIndex.topk_batch top-20 with score "
+    "-floor(l2_dist*1e6) (l2_dist hash-proven bit-identical at 3 SFs, "
+    "so the floor is too), each leg min-max-normalized PER QUERY in "
+    "exact BIGINT micro-units (integral DIV; all-tied legs pin to "
+    "1e6), fused as 700*norm_lex + 300*norm_sem nano-units. Oracle = "
+    "the same integer pipeline over the two legs' own value-proven "
+    "replays, so a drift in either serve, either normalization, or "
+    "the weighting fails the hash "
+    "(operators/retrieval.py:convex_fuse).",
+)
+def x_hybrid_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.ann_index import (
+        PersistentAnnIndex,
+    )
+    from iheardai_data_pipeline_spark.operators.postings_index import (
+        PostingsIndex,
+    )
+    from iheardai_data_pipeline_spark.operators.retrieval import convex_fuse
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    n = emb.count()
+    shortlist = max(100, n // 5)
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root_p = tempfile.mkdtemp(prefix="hybc_pi_", dir=shm)
+    root_a = tempfile.mkdtemp(prefix="hybc_ann_", dir=shm)
+    try:
+        pidx = PostingsIndex(spark, root_p, k1=_BM25_K1, b=_BM25_B)
+        pidx.append(docs, seq=0)
+        lex = pidx.topk(_bm25_query_frame(spark), k=20).select(
+            "query_id", "doc_id", F.col("score_micro").alias("score_int")
+        )
+        aidx = PersistentAnnIndex.bootstrap(
+            spark, root_a, emb, centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS
+        )
+        sem = aidx.topk_batch(
+            queries, k=20, nprobe=4, shortlist=shortlist, exclude_self=True
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            (
+                F.floor(F.col("l2_dist") * F.lit(1000000.0)).cast("long")
+                * F.lit(-1)
+            ).alias("score_int"),
+        )
+        return convex_fuse(
+            [(lex, 700), (sem, 300)], k=5
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root_p, ignore_errors=True)
         shutil.rmtree(root_a, ignore_errors=True)

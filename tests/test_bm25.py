@@ -219,6 +219,141 @@ def test_rrf_fuse_matches_pure_python(spark):
     assert (0, 2, RRF_SCALE // 62 + RRF_SCALE // 61, 2, 1) in got
 
 
+def _python_bm25f(docs_rows, queries, weights, k=3, k1=1.2, b=0.75):
+    """Independent pure-Python BM25F (third implementation): weighted
+    milli tf fold, (x / 1000.0) re-entry into doubles, micro floor."""
+    wm = {c: int(round(w * 1000)) for c, w in weights.items()}
+    tf: dict = {}
+    for did, title, body in docs_rows:
+        for fname, val in (("title", title), ("body", body)):
+            if val is None:
+                continue
+            for t in val.split():
+                tf[(did, t)] = tf.get((did, t), 0) + wm[fname]
+    dl: dict = {}
+    for (did, _), m in tf.items():
+        dl[did] = dl.get(did, 0) + m
+    if not dl:
+        return []
+    n = len(dl)
+    avgdl = (float(sum(dl.values())) / 1000.0) / float(n)
+    df: dict = {}
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    out = []
+    for qid, qtext in queries:
+        terms = set(qtext.split())
+        scored = []
+        for did in dl:
+            micro, n_terms = 0, 0
+            for t in terms:
+                m = tf.get((did, t))
+                if not m:
+                    continue
+                n_terms += 1
+                idf = math.log(
+                    1.0 + ((float(n) - df[t]) + 0.5) / (df[t] + 0.5)
+                )
+                tfd, dld = m / 1000.0, dl[did] / 1000.0
+                contrib = idf * (
+                    (tfd * (k1 + 1.0))
+                    / (tfd + k1 * ((1.0 - b) + b * (dld / avgdl)))
+                )
+                micro += math.floor(contrib * 1000000.0)
+            if n_terms:
+                scored.append((did, micro, n_terms))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for rnk, (did, micro, n_terms) in enumerate(scored[:k], 1):
+            out.append((qid, did, n_terms, micro, micro / 1000000.0, rnk))
+    return sorted(out)
+
+
+FIELD_DOCS = [
+    (1, "quick fox", "the quick brown fox jumps over the lazy dog"),
+    (2, "lazy dog report", "the lazy dog sleeps all day the dog"),
+    (3, None, "quick quick quick brown foxes everywhere"),
+    (4, "spark notes", None),
+    (5, None, None),  # all fields null: excluded from N
+]
+
+
+def test_bm25f_matches_pure_python(spark):
+    from iheardai_data_pipeline_spark.operators.text import bm25f_topk
+
+    weights = {"title": 2.5, "body": 1.0}
+    docs = spark.createDataFrame(
+        FIELD_DOCS, "doc_id long, title string, body string"
+    )
+    qs = [(10, "quick dog"), (11, "spark notes"), (12, "the lazy lazy")]
+    queries = spark.createDataFrame(qs, "query_id long, qtext string")
+    got = sorted(
+        tuple(r)
+        for r in bm25f_topk(docs, queries, fields=weights, k=3).collect()
+    )
+    assert got == _python_bm25f(FIELD_DOCS, qs, weights, k=3)
+    # title weighting really matters: doc 4 (title-only 'spark notes')
+    # is present and scored from its weighted title stream
+    assert any(q == 11 and d == 4 for q, d, *_ in got)
+    with pytest.raises(ValueError, match="milli"):
+        bm25f_topk(docs, queries, fields={"title": 1.00001}, k=3)
+
+
+def test_convex_fuse_matches_pure_python(spark):
+    """Weighted score-interpolation fusion (round 13) against an
+    independently-coded pure-Python minmax + weighted sum — covers the
+    degenerate all-tied leg (norm pinned to 1e6) and single-row legs."""
+    from iheardai_data_pipeline_spark.operators.retrieval import convex_fuse
+
+    lex = [(0, 1, 500), (0, 2, 900), (0, 3, 100), (1, 9, 7)]
+    sem = [(0, 2, -5), (0, 4, -1), (1, 9, -3), (1, 8, -3)]
+    schema = "query_id long, doc_id long, score_int long"
+    got = sorted(
+        tuple(r)
+        for r in convex_fuse(
+            [
+                (spark.createDataFrame(lex, schema), 700),
+                (spark.createDataFrame(sem, schema), 300),
+            ],
+            k=3,
+        ).collect()
+    )
+
+    def norms(rows):
+        by_q: dict = {}
+        for q, d, s in rows:
+            by_q.setdefault(q, []).append((d, s))
+        out = {}
+        for q, ds in by_q.items():
+            ss = [s for _, s in ds]
+            mn, mx = min(ss), max(ss)
+            for d, s in ds:
+                out[(q, d)] = (
+                    1_000_000
+                    if mx == mn
+                    else ((s - mn) * 1_000_000) // (mx - mn)
+                )
+        return out
+
+    fused: dict = {}
+    for leg, w in ((norms(lex), 700), (norms(sem), 300)):
+        for (q, d), nv in leg.items():
+            c, n = fused.get((q, d), (0, 0))
+            fused[(q, d)] = (c + w * nv, n + 1)
+    want = []
+    for q in {q for q, _, _ in lex + sem}:
+        rows = sorted(
+            ((d, c, n) for (qq, d), (c, n) in fused.items() if qq == q),
+            key=lambda x: (-x[1], x[0]),
+        )
+        for rnk, (d, c, n) in enumerate(rows[:3], 1):
+            want.append((q, d, c, n, rnk))
+    assert got == sorted(want)
+    # the all-tied sem leg at q=1 pinned both docs to the full 1e6
+    assert (1, 9, 700 * 1_000_000 + 300 * 1_000_000, 2, 1) in got
+    with pytest.raises(ValueError, match="milli"):
+        convex_fuse([(spark.createDataFrame(lex, schema), 999)])
+
+
 # --- PRF query expansion (round 12) -----------------------------------------
 
 

@@ -388,6 +388,11 @@ def test_pruned_serve_prunes_hot_term_from_scoring(spark, tmp_path):
     assert diag["scoring_rows"] < 44
     assert diag["candidate_docs"] <= 5
     assert diag["iterations"] >= 1
+    # round 13: the hot term's postings bucket is NEVER READ — probed
+    # postings = the essential (rare) term's 4 rows only; stats came
+    # from the maintained termstats deltas, scoring from the doc-keyed
+    # forward relation
+    assert diag["probed_postings_rows"] == 4
 
 
 def test_pruned_serve_with_allowed_mask(spark, tmp_path):
@@ -457,9 +462,11 @@ def test_pruned_serve_randomized_equality(spark, tmp_path):
 
 
 def test_prf_serve_equals_brute_after_mutations(spark, tmp_path):
-    """prf_topk over the index + the live corpus frame must equal the
-    brute bm25_prf_topk over the same live corpus, through upsert and
-    delete — and the expansion must matter (pass 2 != plain topk)."""
+    """prf_topk — SELF-CONTAINED since round 13 (the expansion reads
+    the index's own forward relation, no caller-supplied corpus) —
+    must equal the brute bm25_prf_topk over the live corpus, through
+    upsert and delete, and the expansion must matter (pass 2 != plain
+    topk)."""
     from iheardai_data_pipeline_spark.operators.text import bm25_prf_topk
 
     idx = PostingsIndex(spark, str(tmp_path / "prf"))
@@ -481,11 +488,7 @@ def test_prf_serve_equals_brute_after_mutations(spark, tmp_path):
             _docs(spark, live_rows), queries, k=4, fb_docs=2, fb_terms=2
         )
     )
-    got = _rows(
-        idx.prf_topk(
-            queries, _docs(spark, live_rows), k=4, fb_docs=2, fb_terms=2
-        )
-    )
+    got = _rows(idx.prf_topk(queries, k=4, fb_docs=2, fb_terms=2))
     assert got == want
     # expansion is not a no-op on this corpus
     assert got != _rows(idx.topk(queries, k=4))
@@ -497,7 +500,144 @@ def test_prf_serve_no_matches_falls_back(spark, tmp_path):
     qa = spark.createDataFrame(
         [(9, "zzz_absent")], "query_id long, qtext string"
     )
-    assert idx.prf_topk(qa, _docs(spark), k=3).count() == 0
+    assert idx.prf_topk(qa, k=3).count() == 0
+
+
+def test_termstats_track_exact_live_df_and_compact_tightens(spark, tmp_path):
+    """Round 13: SUM(d_df) per term must equal the brute live df
+    through bootstrap + epoch replay + upsert + delete; max_tf is a
+    high watermark that compact re-tightens to the exact live max;
+    compact also physically reclaims stale/dead forward rows."""
+    from collections import Counter
+
+    idx = PostingsIndex(spark, str(tmp_path / "ts"))
+    idx.append(_docs(spark), seq=0, epoch="boot")
+    idx.append(_docs(spark), seq=0, epoch="boot")  # replay: must no-op
+    v2 = [
+        (4, "nothing to see here anymore"),
+        (2, "the lazy dog sleeps all day the dog spark spark"),
+    ]
+    idx.append(_docs(spark, v2), seq=1, epoch="up")
+    idx.delete(
+        spark.createDataFrame([(1,), (7,)], "doc_id long"), seq=2,
+        epoch="del",
+    )
+    live = {i: t for i, t in DOCS if t is not None}
+    live.update(dict(v2))
+    del live[1], live[7]
+    df_want: Counter = Counter()
+    max_want: dict = {}
+    for _, t in live.items():
+        for term, n in Counter(t.split()).items():
+            df_want[term] += 1
+            max_want[term] = max(max_want.get(term, 0), n)
+    ts = idx._store.read("termstats")
+    got = {
+        r["term"]: (r["df"], r["max_tf"])
+        for r in ts.groupBy("term")
+        .agg(F.sum("d_df").alias("df"), F.max("max_tf").alias("max_tf"))
+        .collect()
+        if r["df"] > 0
+    }
+    assert {t: d for t, (d, _) in got.items()} == dict(df_want)
+    for t, (_, m) in got.items():
+        assert m >= max_want[t]  # watermark soundness
+    # terms whose only docs died fold to df<=0 and drop from the view
+    assert "fox" not in got and "jumps" not in got
+    # the deleted doc 7 had watermarked 'the' at tf 5; live max is 2
+    assert got["the"][1] == 5 and max_want["the"] == 2
+    idx.compact()
+    ts2 = {
+        r["term"]: (r["d_df"], r["max_tf"])
+        for r in idx._store.read("termstats").collect()
+    }
+    assert ts2 == {t: (df_want[t], max_want[t]) for t in df_want}
+    fwd = idx._store.read("forward")
+    assert fwd.filter(F.col("doc_id").isin([1, 7])).count() == 0
+    assert fwd.count() == len(live)
+    # and the serve still matches brute after the fold
+    assert _rows(idx.topk(_queries(spark), k=4)) == _brute(
+        spark, sorted(live.items()), k=4
+    )
+    assert _rows(idx.topk(_queries(spark), k=4, prune=True)) == _brute(
+        spark, sorted(live.items()), k=4
+    )
+
+
+# --- fielded (BM25F) index (round 13) ----------------------------------------
+
+
+FIELD_DOCS = [
+    (1, "quick fox", "the quick brown fox jumps over the lazy dog"),
+    (2, "lazy dog report", "the lazy dog sleeps all day the dog"),
+    (3, "brown foxes", "quick quick quick brown foxes everywhere"),
+    (4, "spark notes", "a completely unrelated document about spark shuffles"),
+    (5, "dog", "dog"),
+    (6, None, None),
+    (7, "misc", "spark window merge batch stream"),
+]
+
+
+def _fdocs(spark, rows=FIELD_DOCS):
+    return spark.createDataFrame(
+        rows, "doc_id long, title string, body string"
+    )
+
+
+def test_fielded_index_serves_bm25f_through_mutations(spark, tmp_path):
+    """A field_weights index must equal the brute bm25f_topk over the
+    live fielded corpus through upsert + delete, pruned and unpruned
+    (the fielded serve is the same code at tf scale 1000)."""
+    from iheardai_data_pipeline_spark.operators.text import bm25f_topk
+
+    weights = {"title": 2.5, "body": 1.0}
+    idx = PostingsIndex(
+        spark, str(tmp_path / "ff"), field_weights=weights
+    )
+    idx.append(_fdocs(spark), seq=0, epoch="boot")
+    v2 = [(4, "spark deep dive", "spark spark shuffles window merge")]
+    idx.append(_fdocs(spark, v2), seq=1, epoch="up")
+    idx.delete(spark.createDataFrame([(2,)], "doc_id long"), seq=2,
+               epoch="del")
+    live = {i: (t, b) for i, t, b in FIELD_DOCS if b is not None}
+    live.update({i: (t, b) for i, t, b in v2})
+    del live[2]
+    live_rows = [(i, t, b) for i, (t, b) in sorted(live.items())]
+    want = _rows(
+        bm25f_topk(_fdocs(spark, live_rows), _queries(spark),
+                   fields=weights, k=4)
+    )
+    assert want
+    assert _rows(idx.topk(_queries(spark), k=4)) == want
+    assert _rows(idx.topk(_queries(spark), k=4, prune=True)) == want
+    # compact preserves the fielded serve and the exact stats
+    stats_before = idx.stats()
+    idx.compact()
+    assert idx.stats() == stats_before
+    assert _rows(idx.topk(_queries(spark), k=4)) == want
+
+
+def test_fielded_index_guards(spark, tmp_path):
+    idx = PostingsIndex(
+        spark, str(tmp_path / "fg"), field_weights={"title": 2.5, "body": 1.0}
+    )
+    idx.append(_fdocs(spark), seq=0)
+    with pytest.raises(ValueError, match="positional payload"):
+        idx.phrase_topk(
+            spark.createDataFrame([(0, "lazy dog")],
+                                  "query_id long, qtext string")
+        )
+    # weight mismatch refuses merge (scores not comparable)
+    other = PostingsIndex(spark, str(tmp_path / "fg2"))
+    with pytest.raises(ValueError, match="field weightings"):
+        idx.merge(other)
+    # non-milli weight refused at creation
+    with pytest.raises(ValueError, match="milli"):
+        PostingsIndex(
+            spark, str(tmp_path / "fg3"),
+            field_weights={"title": 2.0005}
+
+        )
 
 
 def test_pruned_serve_nonzero_bootstrap_seq(spark, tmp_path):

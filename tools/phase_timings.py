@@ -349,12 +349,55 @@ def time_bm25_indexed(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def time_bm25_prf(spark, sf_dir: str) -> dict[str, float]:
+    """Mirrors x_text_bm25_prf_indexed (round 13 — VERDICT r12 #3):
+    bootstrap | mutate | serve-prf. The entry's bench wall is
+    scenario-dominated (~80% bootstrap+mutate), so without this split
+    a PRF-serving regression hides in bootstrap noise exactly as r10
+    established for the ANN family. serve-prf is the whole two-pass
+    pipeline: pass 1 at k=fb_docs, forward-relation expansion vote,
+    pass 2 over the expanded term sets."""
+    from iheardai_data_pipeline_spark.operators.postings_index import (
+        PostingsIndex,
+    )
+    from iheardai_data_pipeline_spark.plans.extension_queries import (
+        _BM25_B,
+        _BM25_K1,
+        _bm25_query_frame,
+        _bm25_scenario_frames,
+    )
+
+    boot, upsert, dele = _bm25_scenario_frames(spark, sf_dir)
+    queries = _bm25_query_frame(spark)
+    root = _shm_tmp("pt_bm25prf_")
+    out: dict[str, float] = {}
+    try:
+        t0 = time.time()
+        idx = PostingsIndex(spark, root, k1=_BM25_K1, b=_BM25_B)
+        idx.append(boot, seq=0, epoch="boot")
+        out["bootstrap"] = time.time() - t0
+        t0 = time.time()
+        idx.append(boot, seq=0, epoch="boot")  # replay: must no-op
+        idx.append(upsert, seq=1, epoch="upsert")
+        idx.delete(dele, seq=2, epoch="delete")
+        out["mutate"] = time.time() - t0
+        t0 = time.time()
+        idx.prf_topk(
+            queries, k=5, fb_docs=3, fb_terms=2
+        ).localCheckpoint(eager=True)
+        out["serve-prf"] = time.time() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 ENTRIES = {
     "x_sim_index_update": time_ann_update,
     "x_dedup_indexed_exact": time_fp_exact,
     "x_sim_index_batch_topk": time_batch_topk,
     "x_sim_index_compact": time_ann_compact,
     "x_text_bm25_indexed": time_bm25_indexed,
+    "x_text_bm25_prf_indexed": time_bm25_prf,
 }
 
 
@@ -416,7 +459,15 @@ def main() -> int:
         for ph, s in phases.items():
             bold = (
                 "**"
-                if ph in ("serve", "batch-serve", "ingest", "compact")
+                if ph
+                in (
+                    "serve",
+                    "batch-serve",
+                    "ingest",
+                    "compact",
+                    "serve-pruned",
+                    "serve-prf",
+                )
                 else ""
             )
             lines.append(f"| `{name}` | {bold}{ph}{bold} | {s:.2f} |")
