@@ -732,22 +732,64 @@ class PostingsIndex:
             )
         )
 
-    def _live_pruned(self, terms: DataFrame) -> DataFrame | None:
-        """The pruned-serve scan: live (term, doc_id, tf) for the given
-        bounded term frame, WITHOUT the positions payload (BM25 never
-        needs it — column pruning halves probed postings bytes) and
-        WITHOUT a corpus-sized doclens join. Liveness resolves against
-        M = the DELTA of doclens rows mutated after bootstrap
+    def _mutation_delta(self) -> DataFrame | None:
+        """M = the LWW verdict of every doc MUTATED after bootstrap
         (``seq > 0 OR NOT live`` — parquet min/max stats prune every
-        bootstrap-only file, so M is mutation-sized, not corpus-sized):
+        bootstrap-only doclens file, so M is mutation-sized, never
+        corpus-sized), eagerly checkpointed. The delta-liveness rule
+        it supports (shared by postings and forward rows, which append
+        stamps with the same seq as doclens):
 
         - doc in M: its global LWW verdict IS M's (every M row outranks
           any excluded row — excluded rows are live seq-0, which lose
-          to any seq > 0 and to a tied seq-0 tombstone) -> a posting is
+          to any seq > 0 and to a tied seq-0 tombstone) -> a row is
           live iff M says live and seq matches.
         - doc not in M: all its doclens rows are live seq-0 (append
-          always pairs postings with doclens in one commit) -> a
-          posting is live iff its seq == 0.
+          always pairs postings/forward with doclens in one commit) ->
+          a row is live iff its seq == 0.
+
+        Returns None when the store has no doclens at all. Computed
+        ONCE per pruned serve and reused by every iteration's probe
+        and forward fetch (hoisting it out of the loop is the round-13
+        driver-job diet)."""
+        ic = self.id_col
+        doclens = self._store.read("doclens")
+        if doclens is None:
+            return None
+        order = F.struct(
+            F.col("seq"), F.when(F.col("live"), F.lit(0)).otherwise(F.lit(1))
+        )
+        return (
+            doclens.filter((F.col("seq") > 0) | (~F.col("live")))
+            .groupBy(ic)
+            .agg(F.max_by(F.struct("seq", "live"), order).alias("s"))
+            .select(
+                ic,
+                F.col("s.seq").alias("m_seq"),
+                F.col("s.live").alias("m_live"),
+            )
+            .localCheckpoint(eager=True)  # delta-sized
+        )
+
+    @staticmethod
+    def _delta_alive() -> F.Column:
+        """The delta-liveness predicate over (seq, m_seq, m_live) —
+        see :meth:`_mutation_delta` for the proof."""
+        return F.when(
+            F.col("m_seq").isNull(), F.col("seq") == F.lit(0)
+        ).otherwise(F.col("m_live") & (F.col("seq") == F.col("m_seq")))
+
+    def _live_pruned(
+        self, terms: DataFrame, m: DataFrame | None = None
+    ) -> DataFrame | None:
+        """The pruned-serve scan: live (term, doc_id, tf) for the given
+        bounded term frame, WITHOUT the positions payload (BM25 never
+        needs it — column pruning halves probed postings bytes) and
+        WITHOUT a corpus-sized doclens join: liveness resolves against
+        the :meth:`_mutation_delta` frame (pass ``m`` to reuse one
+        already computed this serve; the sentinel-free contract is
+        m=None -> compute here, which still returns None only when the
+        store has no postings/doclens).
 
         Physical-duplicate/stale-version collapse is the serve's usual
         max_by. Returns None when the store has no postings."""
@@ -758,8 +800,11 @@ class PostingsIndex:
             if self._prune_probes
             else self._store.read("postings")
         )
-        doclens = self._store.read("doclens")
-        if pl is None or doclens is None:
+        if pl is None:
+            return None
+        if m is None:
+            m = self._mutation_delta()
+        if m is None:
             return None
         pl = (
             pl.select("term", ic, "tf", "seq")
@@ -772,25 +817,10 @@ class PostingsIndex:
                 F.col("s.seq").alias("seq"),
             )
         )
-        order = F.struct(
-            F.col("seq"), F.when(F.col("live"), F.lit(0)).otherwise(F.lit(1))
-        )
-        m = (
-            doclens.filter((F.col("seq") > 0) | (~F.col("live")))
-            .groupBy(ic)
-            .agg(F.max_by(F.struct("seq", "live"), order).alias("s"))
-            .select(
-                ic,
-                F.col("s.seq").alias("m_seq"),
-                F.col("s.live").alias("m_live"),
-            )
-            .localCheckpoint(eager=True)  # delta-sized
-        )
-        alive = F.when(
-            F.col("m_seq").isNull(), F.col("seq") == F.lit(0)
-        ).otherwise(F.col("m_live") & (F.col("seq") == F.col("m_seq")))
         return (
-            pl.join(m, ic, "left").filter(alive).select("term", ic, "tf")
+            pl.join(m, ic, "left")
+            .filter(self._delta_alive())
+            .select("term", ic, "tf")
         )
 
     def _topk_pruned(
@@ -942,6 +972,13 @@ class PostingsIndex:
             else None
         )
 
+        # M (the doclens mutation delta) is computed ONCE and reused by
+        # every iteration's essential probe AND the forward liveness —
+        # no per-iteration doclens read of any kind
+        m = self._mutation_delta()
+        if m is None:
+            return self.spark.createDataFrame([], out_schema)
+
         # -- 3. essential-prefix iteration, batched across queries -------
         ess = {qid: 1 for qid in q_terms}
         unfinished = set(q_terms)
@@ -963,7 +1000,8 @@ class PostingsIndex:
                 got = self._live_pruned(
                     self.spark.createDataFrame(
                         [(t,) for t in new_terms], "term string"
-                    )
+                    ),
+                    m=m,
                 )
                 if got is not None:
                     got = got.select("term", ic).localCheckpoint(eager=True)
@@ -993,12 +1031,52 @@ class PostingsIndex:
             ]
             sub_qterms = self.spark.createDataFrame(sub_pairs, pair_schema)
             # scoring reads the CANDIDATES' term lists from the
-            # doc-keyed forward relation (dl rides the liveness join)
-            # — no suffix-term postings bucket is ever scanned
-            fwd = self._live_forward_for(cdocs, broadcast_keys=False)
-            if fwd is None:
+            # doc-keyed forward relation — no suffix-term postings
+            # bucket is ever scanned. Liveness is the shared M rule
+            # (no doclens read), and dl is the in-row sum of the
+            # forward term list (== the doclens dl by construction:
+            # both are SUM(tf) over the same per-batch tf relation)
+            if self._prune_probes:
+                # read_keys semi-joins the candidate ids itself
+                fraw = self._store.read_keys("forward", cdocs)
+            else:
+                fraw = self._store.read("forward")
+                if fraw is not None:
+                    fraw = fraw.join(cdocs, ic, "left_semi")
+            if fraw is None:
                 fwd = self.spark.createDataFrame(
                     [], f"{ic} long, dl long, term string, tf long"
+                )
+            else:
+                fwd = (
+                    fraw.groupBy(ic)
+                    .agg(
+                        F.max_by(
+                            F.struct("terms", "seq"), F.col("seq")
+                        ).alias("s")
+                    )
+                    .select(
+                        ic,
+                        F.col("s.terms").alias("terms"),
+                        F.col("s.seq").alias("seq"),
+                    )
+                    .join(m, ic, "left")
+                    .filter(self._delta_alive())
+                    .select(
+                        ic,
+                        F.aggregate(
+                            "terms",
+                            F.lit(0).cast("long"),
+                            lambda acc, t: acc + t["tf"],
+                        ).alias("dl"),
+                        F.explode("terms").alias("t"),
+                    )
+                    .select(
+                        ic,
+                        "dl",
+                        F.col("t.term").alias("term"),
+                        F.col("t.tf").alias("tf"),
+                    )
                 )
             rows = (
                 fwd.join(F.broadcast(sub_qterms), "term")
