@@ -1525,5 +1525,112 @@ class PostingsIndex:
 
         self._store.apply_keyed_all_buckets(fold, epoch=epoch)
 
+    def verify_stats(self) -> dict:
+        """Audit the MAINTAINED aggregates against a full recompute
+        over the live postings/doclens — the fsck for the module
+        header's delta caveat: an un-epoched replayed mutation
+        double-counts the stats AND termstats deltas SILENTLY (the
+        row relations self-heal through max_by, the sums do not), and
+        every idf/avgdl-dependent score then drifts while the serve
+        still looks healthy. O(store) — run on the compact/maintenance
+        cadence, never the serve path.
+
+        Checks: (a) maintained (N, total_len) == the live doclens
+        recompute; (b) every term's maintained SUM(d_df) == its exact
+        live df (both directions of the full join — a phantom term is
+        as wrong as a missing one); (c) the max_tf WATERMARK is sound
+        (maintained >= exact live max — looseness is legal, an
+        underestimate would unsound the pruned serve's bounds).
+        Returns a dict with ``ok`` plus the per-check booleans and
+        drift counts; raises nothing. Repair: :meth:`compact`'s exact
+        termstats recompute heals per-term df drift, but the corpus
+        stats fold is SUM-preserving, so (N, total_len) corruption
+        survives compaction — that needs a rebuild (or an explicit
+        corrective stats delta computed from this audit's exact
+        numbers)."""
+        ic = self.id_col
+        n_docs, total_len = self.stats()
+        doclens = self._store.read("doclens")
+        if doclens is None:
+            exact_n, exact_total = 0, 0
+        else:
+            r = self._live_doclens(doclens).agg(
+                F.coalesce(F.count(F.lit(1)), F.lit(0)),
+                F.coalesce(F.sum("dl"), F.lit(0)),
+            ).collect()[0]
+            exact_n, exact_total = int(r[0]), int(r[1])
+        df_drift = unsound_watermarks = 0
+        ts = self._store.read("termstats")
+        pl = self._store.read("postings")
+        maintained = (
+            ts.groupBy("term")
+            .agg(
+                F.sum("d_df").alias("df"),
+                F.max("max_tf").alias("max_tf"),
+            )
+            .filter(F.col("df") != 0)
+            if ts is not None
+            else None
+        )
+        exact = None
+        if pl is not None and doclens is not None:
+            live_keys = self._live_doclens(doclens).select(ic, "seq")
+            live_pl = (
+                pl.select("term", ic, "tf", "seq")
+                .groupBy("term", ic)
+                .agg(F.max_by(F.struct("tf", "seq"), F.col("seq")).alias("s"))
+                .select(
+                    "term", ic,
+                    F.col("s.tf").alias("tf"),
+                    F.col("s.seq").alias("seq"),
+                )
+                .join(live_keys.withColumnRenamed("seq", "live_seq"), ic)
+                .filter(F.col("seq") == F.col("live_seq"))
+            )
+            exact = live_pl.groupBy("term").agg(
+                F.count(F.lit(1)).alias("df_exact"),
+                F.max("tf").alias("max_tf_exact"),
+            )
+        if maintained is not None or exact is not None:
+            m = (
+                maintained
+                if maintained is not None
+                else self.spark.createDataFrame(
+                    [], "term string, df long, max_tf long"
+                )
+            )
+            e = (
+                exact
+                if exact is not None
+                else self.spark.createDataFrame(
+                    [], "term string, df_exact long, max_tf_exact long"
+                )
+            )
+            joined = m.join(e, "term", "full").localCheckpoint(eager=True)
+            df_drift = joined.filter(
+                F.coalesce(F.col("df"), F.lit(0))
+                != F.coalesce(F.col("df_exact"), F.lit(0))
+            ).count()
+            unsound_watermarks = joined.filter(
+                F.col("max_tf_exact").isNotNull()
+                & (
+                    F.col("max_tf").isNull()
+                    | (F.col("max_tf") < F.col("max_tf_exact"))
+                )
+            ).count()
+        stats_ok = (n_docs, total_len) == (exact_n, exact_total)
+        termstats_ok = df_drift == 0 and unsound_watermarks == 0
+        return {
+            "ok": stats_ok and termstats_ok,
+            "stats_ok": stats_ok,
+            "termstats_ok": termstats_ok,
+            "n_docs": n_docs,
+            "n_docs_exact": exact_n,
+            "total_len": total_len,
+            "total_len_exact": exact_total,
+            "df_drifted_terms": int(df_drift),
+            "unsound_watermarks": int(unsound_watermarks),
+        }
+
     def vacuum(self, keep: int = 2, grace_seconds: float = 3600.0) -> None:
         self._store.vacuum(keep, grace_seconds)

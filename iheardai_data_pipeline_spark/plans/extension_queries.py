@@ -2914,7 +2914,9 @@ def _bm25f_doc_fields(docs: DataFrame) -> DataFrame:
     )
 
 
-def _bm25f_oracle_sql(src_sql: str, k: int = 5) -> str:
+def _bm25f_oracle_sql(
+    src_sql: str, k: int = 5, allowed_sql: str = "TRUE"
+) -> str:
     """Full BM25F replay: the same field derivation, the exact BIGINT
     milli fold of the weighted tf (2500/1000 per token), and the
     fixed-parenthesization (x / 1000.0) re-entry into doubles — the
@@ -2978,7 +2980,7 @@ ranked AS (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC
   ) AS rnk
-  FROM scored
+  FROM scored WHERE {allowed_sql}
 )
 SELECT query_id, doc_id, n_terms, score_micro,
        score_micro / 1000000.0 AS score, rnk
@@ -3059,6 +3061,57 @@ def x_text_bm25f_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.append(_bm25f_doc_fields(upsert), seq=1, epoch="upsert")
         idx.delete(dele, seq=2, epoch="delete")
         return _bm25_serve(spark, idx)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "x_text_bm25f_filtered_wand",
+    oracle=_bm25f_oracle_sql(
+        _BM25_SCENARIO_SRC, allowed_sql="doc_id % 3 <> 1"
+    ),
+    tags=("extension", "text", "retrieval", "incremental"),
+    doc="The COMPOSED production serve (round 13): one fielded "
+    "(BM25F) index through the full mutation scenario, served with "
+    "BOTH the tenant/ACL candidate mask (doc_id%3<>1 — filters "
+    "candidates only; df/N/avgdl stay corpus-global) AND max-score "
+    "pruning (prune=True — maintained termstats bounds, essential-"
+    "bucket candidates, forward-fetch scoring) in a single call. "
+    "Every serving axis the index ships — field weighting, metadata "
+    "filtering, WAND-family pruning, maintained stats, seq-equality "
+    "liveness — must compose EXACTLY: the oracle is the brute BM25F "
+    "replay over the final live corpus with the predicate applied "
+    "only before the rank cut, so a drift in any one axis (or any "
+    "interaction between them) fails the hash "
+    "(operators/postings_index.py:_topk_pruned).",
+)
+def x_text_bm25f_filtered_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.postings_index import (
+        PostingsIndex,
+    )
+
+    boot, upsert, dele = _bm25_scenario_frames(spark, sf_dir)
+    allowed = boot.filter(F.col("doc_id") % 3 != 1).select("doc_id")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="bm25fw_", dir=shm)
+    try:
+        idx = PostingsIndex(
+            spark,
+            root,
+            k1=_BM25_K1,
+            b=_BM25_B,
+            field_weights=_BM25F_WEIGHTS,
+        )
+        idx.append(_bm25f_doc_fields(boot), seq=0, epoch="boot")
+        idx.append(_bm25f_doc_fields(upsert), seq=1, epoch="upsert")
+        idx.delete(dele, seq=2, epoch="delete")
+        return idx.topk(
+            _bm25_query_frame(spark), k=5, allowed=allowed, prune=True
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

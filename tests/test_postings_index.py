@@ -564,6 +564,45 @@ def test_termstats_track_exact_live_df_and_compact_tightens(spark, tmp_path):
     )
 
 
+def test_verify_stats_detects_unepoched_replay_drift(spark, tmp_path):
+    """The fsck for the delta caveat: a healthy mutated index audits
+    clean; an UN-EPOCHED replayed append (the documented silent
+    corruption — row relations self-heal, the delta sums do not)
+    must flag both the corpus stats and the per-term df sums."""
+    idx = PostingsIndex(spark, str(tmp_path / "vs"))
+    idx.append(_docs(spark), seq=0, epoch="boot")
+    idx.append(
+        _docs(spark, [(2, "the lazy dog sleeps spark spark")]),
+        seq=1, epoch="up",
+    )
+    idx.delete(spark.createDataFrame([(1,)], "doc_id long"), seq=2,
+               epoch="del")
+    rep = idx.verify_stats()
+    assert rep["ok"] and rep["stats_ok"] and rep["termstats_ok"]
+    assert rep["n_docs"] == rep["n_docs_exact"]
+    # now the corruption: replay the bootstrap batch WITHOUT an epoch —
+    # postings/doclens/forward rows dedup through max_by, but the
+    # stats AND termstats deltas double-count (the deleted doc 1 is
+    # re-counted in N while the seq-2 tombstone keeps it dead, and the
+    # upserted doc 2's delta is diffed against a version that LOSES
+    # the LWW)
+    idx.append(_docs(spark), seq=0)
+    rep2 = idx.verify_stats()
+    assert not rep2["ok"]
+    assert not rep2["stats_ok"]
+    assert rep2["n_docs"] != rep2["n_docs_exact"]
+    assert not rep2["termstats_ok"] and rep2["df_drifted_terms"] > 0
+    # watermarks stay SOUND through the drift (they only ever grow)
+    assert rep2["unsound_watermarks"] == 0
+    # compact's EXACT termstats recompute repairs the per-term drift;
+    # the corpus stats fold is sum-preserving, so that corruption
+    # SURVIVES compaction — detector still red, for the right reason
+    idx.compact()
+    rep3 = idx.verify_stats()
+    assert rep3["termstats_ok"] and rep3["df_drifted_terms"] == 0
+    assert not rep3["stats_ok"] and not rep3["ok"]
+
+
 # --- fielded (BM25F) index (round 13) ----------------------------------------
 
 
