@@ -180,6 +180,21 @@ class PostingsIndex:
         if os.path.exists(meta_path):
             with open(meta_path) as fh:
                 persisted = json.load(fh)
+            if persisted.get("format") != FORMAT_VERSION:
+                # a format mismatch is NOT a parameterization clash —
+                # say what it actually is (ADVICE r13): an older layout
+                # lacks the forward/termstats relations the maintained-
+                # stats serve needs, and no open-time shim can backfill
+                # them (their deltas are computed against pre-commit
+                # state at each mutation)
+                raise ValueError(
+                    f"postings index at {path} has on-disk format "
+                    f"{persisted.get('format')}; this build reads format "
+                    f"{FORMAT_VERSION} — a format-1 index lacks the "
+                    "forward/termstats relations (maintained df, pruned "
+                    "serve, self-contained PRF) and must be REBUILT from "
+                    "the source corpus"
+                )
             if persisted != meta:
                 raise ValueError(
                     f"postings index at {path} was created with "
@@ -306,7 +321,10 @@ class PostingsIndex:
         )
 
     def _current_live_for(
-        self, ids: DataFrame, broadcast_keys: bool = True
+        self,
+        ids: DataFrame,
+        broadcast_keys: bool = True,
+        version: int | None = None,
     ) -> DataFrame:
         """Live (doc_id, dl) for the given ids — one bucket-pruned
         doclens lookup. ``broadcast_keys`` hints the semi-join to
@@ -316,12 +334,14 @@ class PostingsIndex:
         query term — unbounded when a query carries a hot term, and
         forcing a broadcast of an unbounded frame can OOM the driver
         (read_keys' own rule). Without the hint the optimizer picks
-        the strategy from the frame's actual size (AQE)."""
+        the strategy from the frame's actual size (AQE). ``version``:
+        read doclens AS OF that committed store version (the serve
+        paths pin one version for every read — see :meth:`topk`)."""
         key_frame = ids.select(self.id_col)
         rows = (
-            self._store.read_keys("doclens", key_frame)
+            self._store.read_keys("doclens", key_frame, version=version)
             if self._prune_probes
-            else self._store.read("doclens")
+            else self._store.read("doclens", version=version)
         )
         if rows is None:
             return self.spark.createDataFrame(
@@ -353,6 +373,7 @@ class PostingsIndex:
         ids: DataFrame,
         broadcast_keys: bool = True,
         live: DataFrame | None = None,
+        version: int | None = None,
     ) -> DataFrame | None:
         """Live exploded (doc_id, dl, term, tf) rows for the given ids
         — THE doc-keyed read path (postings answer term -> docs; this
@@ -364,15 +385,15 @@ class PostingsIndex:
         ic = self.id_col
         key_frame = ids.select(ic).distinct()
         rows = (
-            self._store.read_keys("forward", key_frame)
+            self._store.read_keys("forward", key_frame, version=version)
             if self._prune_probes
-            else self._store.read("forward")
+            else self._store.read("forward", version=version)
         )
         if rows is None:
             return None
         if live is None:
             live = self._current_live_for(
-                key_frame, broadcast_keys=broadcast_keys
+                key_frame, broadcast_keys=broadcast_keys, version=version
             )
         collapsed = (
             rows.groupBy(ic)
@@ -400,7 +421,9 @@ class PostingsIndex:
             )
         )
 
-    def _term_stats_frame(self, terms: DataFrame) -> DataFrame | None:
+    def _term_stats_frame(
+        self, terms: DataFrame, version: int | None = None
+    ) -> DataFrame | None:
         """Maintained per-term statistics for a bounded term frame:
         (term, df, max_tf) with df the EXACT live document frequency
         (the additive deltas' sum) and max_tf the high watermark. One
@@ -409,9 +432,11 @@ class PostingsIndex:
         to <= 0 (all their docs deleted) are dropped."""
         td = terms.select("term").distinct()
         rows = (
-            self._store.read_keys("termstats", td, broadcast_keys=True)
+            self._store.read_keys(
+                "termstats", td, broadcast_keys=True, version=version
+            )
             if self._prune_probes
-            else self._store.read("termstats")
+            else self._store.read("termstats", version=version)
         )
         if rows is None:
             return None
@@ -425,10 +450,10 @@ class PostingsIndex:
             .filter(F.col("df") > 0)
         )
 
-    def stats(self) -> tuple[int, int]:
+    def stats(self, version: int | None = None) -> tuple[int, int]:
         """Live (n_docs, total_len) — the SUM of the delta relation.
         Commit-count-sized read (compact folds it to one row)."""
-        rows = self._store.read("stats")
+        rows = self._store.read("stats", version=version)
         if rows is None:
             return 0, 0
         r = rows.agg(
@@ -437,7 +462,9 @@ class PostingsIndex:
         ).collect()[0]
         return int(r["n"]), int(r["t"])
 
-    def _live_candidates(self, terms: DataFrame) -> DataFrame | None:
+    def _live_candidates(
+        self, terms: DataFrame, version: int | None = None
+    ) -> DataFrame | None:
         """The shared serve front half: bucket-pruned postings read for
         the given (bounded, broadcastable) term frame, physical-
         duplicate/stale-version collapse, and the seq-equality liveness
@@ -446,9 +473,11 @@ class PostingsIndex:
         ic = self.id_col
         td = terms.select("term").distinct()
         pl = (
-            self._store.read_keys("postings", td, broadcast_keys=True)
+            self._store.read_keys(
+                "postings", td, broadcast_keys=True, version=version
+            )
             if self._prune_probes
-            else self._store.read("postings")
+            else self._store.read("postings", version=version)
         )
         if pl is None:
             return None
@@ -470,7 +499,7 @@ class PostingsIndex:
         # serve-path candidate set = every live doc containing a query
         # term — unbounded for hot terms, so no broadcast hint here
         live = self._current_live_for(
-            pl.select(ic), broadcast_keys=False
+            pl.select(ic), broadcast_keys=False, version=version
         ).localCheckpoint(eager=True)
         # seq equality = liveness: the posting belongs to the doc's
         # current version (kills deleted docs AND stale upsert rows)
@@ -490,18 +519,26 @@ class PostingsIndex:
 
         Cost anatomy: one (doc, term) shuffle (tf), its per-doc rollup
         (dl + the forward term list), a bucket-pruned doclens lookup
-        of the batch ids, a bucket-pruned forward lookup of the same
-        ids (the replaced versions' term sets feed the termstats
-        deltas, their lengths the stats delta), one bounded one-row
-        collect, one add-files commit. Nothing scales with corpus
-        size.
+        of the batch ids, one bounded one-row collect, one add-files
+        commit — and, ONLY when that lookup finds replaced versions, a
+        bucket-pruned forward lookup of the replaced ids (their term
+        sets feed the termstats -1 legs). A FRESH-id batch — the
+        dominant bulk-build shape — skips the forward lookup entirely
+        (round 14, VERDICT r13 #2: the unconditional diff probe is
+        what doubled the per-batch fixed cost in r13; the doclens
+        lookup already answers 'was anything replaced?' for free).
+        Nothing scales with corpus size.
 
         At-least-once delivery REQUIRES ``epoch``: a replayed
         un-epoched append duplicates postings/doclens/forward rows
         (harmless — the serve's max_by collapse heals them) but ALSO
         re-appends the stats AND termstats deltas, whose SUMs have no
         dedup — N/total_len/df double-count and every score drifts
-        (module header's delta caveat)."""
+        (module header's delta caveat). A replayed EPOCHED append
+        short-circuits before any delta work (the commit itself would
+        no-op anyway, but only after paying for the probes)."""
+        if self._store.epoch_committed(epoch):
+            return  # replay: skip the delta probes, not just the commit
         ic = self.id_col
         tf, dl, fwd = self._batch_relations(docs, seq)
         old = self._current_live_for(dl).localCheckpoint(eager=True)
@@ -519,19 +556,26 @@ class PostingsIndex:
                 F.sum(F.col("dl") - F.coalesce(F.col("old_dl"), F.lit(0))),
                 F.lit(0),
             ).alias("d_len"),
+            F.coalesce(
+                F.sum(F.when(F.col("old_dl").isNotNull(), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("replaced_docs"),
         ).collect()[0]
         # per-term df delta: +1 for every (doc, term) the batch gains,
         # -1 for every (doc, term) a REPLACED version loses — terms a
         # doc keeps across the upsert net to 0, so SUM(d_df) stays the
-        # exact live df. Old term sets come from the forward relation
-        # (None on bootstrap). max_tf = the batch's own max per term
-        # (watermark semantics: only ever raised here).
+        # exact live df. Old term sets come from the forward relation,
+        # fetched ONLY when the doclens probe found replaced versions
+        # (fresh batches and bootstrap have no -1 legs by definition).
+        # max_tf = the batch's own max per term (watermark semantics:
+        # only ever raised here).
         parts = tf.select(ic, "term").withColumn("w", F.lit(1))
-        old_fwd = self._live_forward_for(old, live=old)
-        if old_fwd is not None:
-            parts = parts.unionByName(
-                old_fwd.select(ic, "term").withColumn("w", F.lit(-1))
-            )
+        if int(r["replaced_docs"]) > 0:
+            old_fwd = self._live_forward_for(old, live=old)
+            if old_fwd is not None:
+                parts = parts.unionByName(
+                    old_fwd.select(ic, "term").withColumn("w", F.lit(-1))
+                )
         ts = (
             parts.groupBy("term")
             .agg(F.sum("w").cast("long").alias("d_df"))
@@ -565,6 +609,8 @@ class PostingsIndex:
         ever counting postings. Deleting an unknown/dead id is a
         no-op. Physical postings/forward reclamation happens in
         :meth:`compact`."""
+        if self._store.epoch_committed(epoch):
+            return  # replay: skip the probes, not just the commit
         ic = self.id_col
         old = self._current_live_for(ids).localCheckpoint(eager=True)
         n_docs, total = (
@@ -638,11 +684,17 @@ class PostingsIndex:
         output, bit for bit; the only difference is which postings
         flow through the scoring exchange). ``diag``: an optional dict
         the pruned path fills with measured row counts (extra count
-        jobs — measurement only)."""
-        if prune:
-            return self._topk_pruned(
-                queries, k, query_id_col, query_text_col, allowed, diag
-            )
+        jobs — measurement only).
+
+        Every read of the serve — stats, termstats, postings, doclens,
+        forward — is pinned to ONE store version captured here (round
+        14, ADVICE r13): a serve is a multi-read sequence, and a
+        concurrent commit landing mid-sequence would otherwise make a
+        later read see a newer state than an earlier one (e.g. a
+        candidate's fresh forward seq failing the already-snapshotted
+        mutation delta's seq equality and silently dropping the doc
+        from scoring)."""
+        version = self._store.current_version()
         qterms = (
             queries.select(
                 F.col(query_id_col),
@@ -653,7 +705,13 @@ class PostingsIndex:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        return self._topk_terms(qterms, k, query_id_col, allowed)
+        if prune:
+            return self._topk_pruned(
+                qterms, k, query_id_col, allowed, diag, version=version
+            )
+        return self._topk_terms(
+            qterms, k, query_id_col, allowed, version=version
+        )
 
     def _topk_terms(
         self,
@@ -661,15 +719,18 @@ class PostingsIndex:
         k: int,
         query_id_col: str,
         allowed: DataFrame | None = None,
+        version: int | None = None,
     ) -> DataFrame:
         """The serve body behind :meth:`topk`, taking an already-
         tokenized (query_id, term) frame — also the pass-2 entry point
         for :meth:`prf_topk`, whose expanded term sets exist only as a
-        frame, never as query text."""
+        frame, never as query text. ``version`` pins every store read
+        (callers capture it once per serve — :meth:`topk`'s contract);
+        None falls back to per-read latest."""
         from pyspark.sql import Window
 
         ic = self.id_col
-        n_docs, total_len = self.stats()
+        n_docs, total_len = self.stats(version=version)
         out_schema = (
             f"{query_id_col} long, {ic} long, n_terms long, "
             "score_micro long, score double, rnk long"
@@ -682,7 +743,7 @@ class PostingsIndex:
         # milli tf/dl back to weighted-token units with the same fixed
         # parenthesization as text.bm25f_topk
         avgdl = (float(total_len) / self._tf_scale) / n_docs_f
-        cand = self._live_candidates(qterms.select("term"))
+        cand = self._live_candidates(qterms.select("term"), version=version)
         if cand is None:
             return self.spark.createDataFrame([], out_schema)
         # df BEFORE the mask: collection statistics are corpus-global
@@ -732,7 +793,7 @@ class PostingsIndex:
             )
         )
 
-    def _mutation_delta(self) -> DataFrame | None:
+    def _mutation_delta(self, version: int | None = None) -> DataFrame | None:
         """M = the LWW verdict of every doc MUTATED after bootstrap
         (``seq > 0 OR NOT live`` — parquet min/max stats prune every
         bootstrap-only doclens file, so M is mutation-sized, never
@@ -753,7 +814,7 @@ class PostingsIndex:
         and forward fetch (hoisting it out of the loop is the round-13
         driver-job diet)."""
         ic = self.id_col
-        doclens = self._store.read("doclens")
+        doclens = self._store.read("doclens", version=version)
         if doclens is None:
             return None
         order = F.struct(
@@ -780,7 +841,10 @@ class PostingsIndex:
         ).otherwise(F.col("m_live") & (F.col("seq") == F.col("m_seq")))
 
     def _live_pruned(
-        self, terms: DataFrame, m: DataFrame | None = None
+        self,
+        terms: DataFrame,
+        m: DataFrame | None = None,
+        version: int | None = None,
     ) -> DataFrame | None:
         """The pruned-serve scan: live (term, doc_id, tf) for the given
         bounded term frame, WITHOUT the positions payload (BM25 never
@@ -796,14 +860,16 @@ class PostingsIndex:
         ic = self.id_col
         td = terms.select("term").distinct()
         pl = (
-            self._store.read_keys("postings", td, broadcast_keys=True)
+            self._store.read_keys(
+                "postings", td, broadcast_keys=True, version=version
+            )
             if self._prune_probes
-            else self._store.read("postings")
+            else self._store.read("postings", version=version)
         )
         if pl is None:
             return None
         if m is None:
-            m = self._mutation_delta()
+            m = self._mutation_delta(version=version)
         if m is None:
             return None
         pl = (
@@ -825,12 +891,12 @@ class PostingsIndex:
 
     def _topk_pruned(
         self,
-        queries: DataFrame,
+        qterms: DataFrame,
         k: int,
         query_id_col: str,
-        query_text_col: str,
-        allowed: DataFrame | None,
-        diag: dict | None,
+        allowed: DataFrame | None = None,
+        diag: dict | None = None,
+        version: int | None = None,
     ) -> DataFrame:
         """EXACT top-k BM25 under max-score pruning (Turtle & Flood's
         max-score, the WAND family, re-expressed set-at-a-time): a hot
@@ -883,34 +949,37 @@ class PostingsIndex:
         only suffix terms, so its score <= suffix UB sum < theta.
         Output == the unpruned serve's, row for row — the
         x_text_bm25_wand entry gates that against the same oracle as
-        x_text_bm25_indexed."""
+        x_text_bm25_indexed.
+
+        Takes an already-tokenized (query_id, term) frame (round 14 —
+        the :meth:`_topk_terms` calling convention), so
+        :meth:`prf_topk` can route BOTH its passes through this serve:
+        the pass-2 expanded term sets exist only as a frame. ``diag``
+        counters ACCUMULATE across calls (a two-pass PRF serve sums
+        its passes into one dict); ``maintained_df_sum`` is the sum of
+        the workload terms' maintained df — a bookkeeping total from
+        the termstats lookup, NOT a count of scanned rows (the r12
+        serve's probed-postings count it replaced; renamed from
+        live_postings_rows, ADVICE r13)."""
         import math
 
         from pyspark.sql import Window
         from pyspark.sql.types import StructType
 
+        if version is None:
+            version = self._store.current_version()
         ic = self.id_col
         out_schema = (
             f"{query_id_col} long, {ic} long, n_terms long, "
             "score_micro long, score double, rnk long"
         )
-        n_docs, total_len = self.stats()
+        n_docs, total_len = self.stats(version=version)
         if n_docs <= 0:
             return self.spark.createDataFrame([], out_schema)
         n_docs_f = float(n_docs)
         avgdl = (float(total_len) / self._tf_scale) / n_docs_f
-        qterms = (
-            queries.select(
-                F.col(query_id_col),
-                F.explode(
-                    F.split(normalize_text(F.col(query_text_col)), " ")
-                ).alias("term"),
-            )
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
         # -- 1. maintained per-term stats (commit-count-sized read) ------
-        stats_frame = self._term_stats_frame(qterms)
+        stats_frame = self._term_stats_frame(qterms, version=version)
         if stats_frame is None:
             return self.spark.createDataFrame([], out_schema)
         term_stats = {
@@ -920,13 +989,16 @@ class PostingsIndex:
         if not term_stats:
             return self.spark.createDataFrame([], out_schema)
         if diag is not None:
-            diag["live_postings_rows"] = sum(
-                d for d, _ in term_stats.values()
-            )
-            diag["probed_postings_rows"] = 0
-            diag["scoring_rows"] = 0
-            diag["candidate_docs"] = 0
-            diag["iterations"] = 0
+            diag["maintained_df_sum"] = diag.get(
+                "maintained_df_sum", 0
+            ) + sum(d for d, _ in term_stats.values())
+            for key in (
+                "probed_postings_rows",
+                "scoring_rows",
+                "candidate_docs",
+                "iterations",
+            ):
+                diag.setdefault(key, 0)
 
         # -- 2. driver-side sound upper bounds (micro units) -------------
         k1, b = self.k1, self.b
@@ -975,7 +1047,7 @@ class PostingsIndex:
         # M (the doclens mutation delta) is computed ONCE and reused by
         # every iteration's essential probe AND the forward liveness —
         # no per-iteration doclens read of any kind
-        m = self._mutation_delta()
+        m = self._mutation_delta(version=version)
         if m is None:
             return self.spark.createDataFrame([], out_schema)
 
@@ -1002,6 +1074,7 @@ class PostingsIndex:
                         [(t,) for t in new_terms], "term string"
                     ),
                     m=m,
+                    version=version,
                 )
                 if got is not None:
                     got = got.select("term", ic).localCheckpoint(eager=True)
@@ -1038,9 +1111,11 @@ class PostingsIndex:
             # both are SUM(tf) over the same per-batch tf relation)
             if self._prune_probes:
                 # read_keys semi-joins the candidate ids itself
-                fraw = self._store.read_keys("forward", cdocs)
+                fraw = self._store.read_keys(
+                    "forward", cdocs, version=version
+                )
             else:
-                fraw = self._store.read("forward")
+                fraw = self._store.read("forward", version=version)
                 if fraw is not None:
                     fraw = fraw.join(cdocs, ic, "left_semi")
             if fraw is None:
@@ -1173,6 +1248,8 @@ class PostingsIndex:
         query_id_col: str = "query_id",
         query_text_col: str = "qtext",
         allowed: DataFrame | None = None,
+        prune: bool = False,
+        diag: dict | None = None,
     ) -> DataFrame:
         """Pseudo-relevance-feedback BM25 SERVED FROM THE INDEX (the
         persistent twin of
@@ -1193,8 +1270,21 @@ class PostingsIndex:
         expansion terms' exact live df comes from the maintained
         termstats sums (commit-count-sized), and both passes read only
         their terms' buckets. Output schema == bm25_topk's; the brute
-        PRF oracle replays the whole pipeline over the live corpus."""
+        PRF oracle replays the whole pipeline over the live corpus.
+
+        ``prune=True`` (round 14 — VERDICT r13 #1): BOTH passes serve
+        through :meth:`_topk_pruned` instead of the unpruned body, so
+        a hot query term (or a common idf-vote-surviving expansion
+        term) never re-grows the scoring exchange max-score pruning
+        killed on :meth:`topk` — the pruned serve is row-identical to
+        the unpruned one, so pass-1 feedback docs, the expansion vote,
+        and the final ranking are all unchanged (the wand entry gates
+        that on the UNCHANGED brute PRF oracle). ``diag``: as in
+        :meth:`topk`; counters accumulate across the two passes. The
+        whole two-pass serve (feedback read and expansion df included)
+        is pinned to ONE store version captured here."""
         ic = self.id_col
+        version = self._store.current_version()
         qterms = (
             queries.select(
                 F.col(query_id_col),
@@ -1205,26 +1295,37 @@ class PostingsIndex:
             .distinct()
             .localCheckpoint(eager=True)
         )
+        def serve(qt: DataFrame, kk: int) -> DataFrame:
+            if prune:
+                return self._topk_pruned(
+                    qt, kk, query_id_col, allowed, diag, version=version
+                )
+            return self._topk_terms(
+                qt, kk, query_id_col, allowed, version=version
+            )
+
         # ``allowed`` applies to BOTH passes: restricted serving should
         # also take feedback only from eligible documents
         fb = (
-            self._topk_terms(qterms, fb_docs, query_id_col, allowed)
+            serve(qterms, fb_docs)
             .select(query_id_col, ic)
             .localCheckpoint(eager=True)
         )
-        n_docs, _total = self.stats()
+        n_docs, _total = self.stats(version=version)
         if n_docs <= 0 or not fb.take(1):
             # no corpus or no pass-1 matches anywhere: pass 2 == pass 1
-            return self._topk_terms(qterms, k, query_id_col, allowed)
-        tf_fb = self._live_forward_for(fb.select(ic).distinct())
+            return serve(qterms, k)
+        tf_fb = self._live_forward_for(
+            fb.select(ic).distinct(), version=version
+        )
         if tf_fb is None:
-            return self._topk_terms(qterms, k, query_id_col, allowed)
+            return serve(qterms, k)
         tf_fb = tf_fb.select(ic, "term", "tf").localCheckpoint(
             eager=True
         )  # fb_docs x |queries| docs' term lists
-        dfreq = self._term_stats_frame(tf_fb.select("term"))
+        dfreq = self._term_stats_frame(tf_fb.select("term"), version=version)
         if dfreq is None:
-            return self._topk_terms(qterms, k, query_id_col, allowed)
+            return serve(qterms, k)
         idf_micro = F.floor(
             F.log(
                 F.lit(1.0)
@@ -1252,7 +1353,7 @@ class PostingsIndex:
         qt2 = (
             qterms.unionByName(exp).distinct().localCheckpoint(eager=True)
         )
-        return self._topk_terms(qt2, k, query_id_col, allowed)
+        return serve(qt2, k)
 
     def phrase_topk(
         self,
@@ -1293,7 +1394,10 @@ class PostingsIndex:
         out_schema = (
             f"{query_id_col} long, {ic} long, n_matches long, rnk long"
         )
-        cand = self._live_candidates(qtoks.select("term"))
+        # one pinned version for the serve's postings+doclens reads
+        cand = self._live_candidates(
+            qtoks.select("term"), version=self._store.current_version()
+        )
         if cand is None:
             return self.spark.createDataFrame([], out_schema)
         hits = (
@@ -1423,47 +1527,73 @@ class PostingsIndex:
         — df re-bases to one row per term and the max_tf watermark
         re-TIGHTENS to the true live max (the only place it can come
         back down). The live-doc frame and the exact term stats are
-        captured eagerly BEFORE the rewrite so the fold is
-        deterministic; same stale-replay caveat as the band index's
-        compact."""
-        ic = self.id_col
-        doclens = self._store.read("doclens")
-        live = (
-            self._live_doclens(doclens).select(ic, "seq")
-            if doclens is not None
-            else None
+        captured eagerly at a PINNED store version, and the fold
+        commits only onto exactly that version (round 14, ADVICE r13):
+        a lost commit race no longer re-folds the newest rows against
+        the stale captures — the whole snapshot recomputes at the new
+        version and the fold retries clean. Same stale-replay caveat
+        as the band index's compact."""
+        from iheardai_data_pipeline_spark.streaming.stores import (
+            StoreVersionConflict,
         )
-        exact_ts = None
-        if live is not None:
-            live = live.localCheckpoint(eager=True)
-            pl = self._store.read("postings")
-            if pl is not None:
-                live_pl = (
-                    pl.select("term", ic, "tf", "seq")
-                    .groupBy("term", ic)
-                    .agg(
-                        F.max_by(
-                            F.struct("tf", "seq"), F.col("seq")
-                        ).alias("s")
+
+        ic = self.id_col
+        for _ in range(self._store.max_retries):
+            v = self._store.current_version()
+            doclens = self._store.read("doclens", version=v)
+            live = (
+                self._live_doclens(doclens).select(ic, "seq")
+                if doclens is not None
+                else None
+            )
+            exact_ts = None
+            if live is not None:
+                live = live.localCheckpoint(eager=True)
+                pl = self._store.read("postings", version=v)
+                if pl is not None:
+                    live_pl = (
+                        pl.select("term", ic, "tf", "seq")
+                        .groupBy("term", ic)
+                        .agg(
+                            F.max_by(
+                                F.struct("tf", "seq"), F.col("seq")
+                            ).alias("s")
+                        )
+                        .select(
+                            "term",
+                            ic,
+                            F.col("s.tf").alias("tf"),
+                            F.col("s.seq").alias("seq"),
+                        )
+                        .join(live.withColumnRenamed("seq", "live_seq"), ic)
+                        .filter(F.col("seq") == F.col("live_seq"))
                     )
-                    .select(
-                        "term",
-                        ic,
-                        F.col("s.tf").alias("tf"),
-                        F.col("s.seq").alias("seq"),
+                    exact_ts = (
+                        live_pl.groupBy("term")
+                        .agg(
+                            F.count(F.lit(1)).alias("d_df"),
+                            F.max("tf").alias("max_tf"),
+                        )
+                        .localCheckpoint(eager=True)  # vocabulary-sized;
+                        # compact is the O(store) maintenance path anyway
                     )
-                    .join(live.withColumnRenamed("seq", "live_seq"), ic)
-                    .filter(F.col("seq") == F.col("live_seq"))
+            fold = self._compact_fold(live, exact_ts)
+            try:
+                self._store.apply_keyed_all_buckets(
+                    fold, epoch=epoch, require_version=v
                 )
-                exact_ts = (
-                    live_pl.groupBy("term")
-                    .agg(
-                        F.count(F.lit(1)).alias("d_df"),
-                        F.max("tf").alias("max_tf"),
-                    )
-                    .localCheckpoint(eager=True)  # vocabulary-sized;
-                    # compact is the O(store) maintenance path anyway
-                )
+                return
+            except StoreVersionConflict:
+                continue  # recompute the snapshot at the new version
+        raise RuntimeError(
+            f"compact on {self.path} lost {self._store.max_retries} "
+            "consecutive commit races"
+        )
+
+    def _compact_fold(self, live, exact_ts):
+        """The per-relation fold :meth:`compact` commits, closed over
+        ONE pinned version's liveness + exact-termstats captures."""
+        ic = self.id_col
 
         def fold(rel: str, current: DataFrame, upd) -> DataFrame:
             if rel == "doclens":
@@ -1523,34 +1653,20 @@ class PostingsIndex:
                 .select("stat", "d_docs", "d_len")
             )
 
-        self._store.apply_keyed_all_buckets(fold, epoch=epoch)
+        return fold
 
-    def verify_stats(self) -> dict:
-        """Audit the MAINTAINED aggregates against a full recompute
-        over the live postings/doclens — the fsck for the module
-        header's delta caveat: an un-epoched replayed mutation
-        double-counts the stats AND termstats deltas SILENTLY (the
-        row relations self-heal through max_by, the sums do not), and
-        every idf/avgdl-dependent score then drifts while the serve
-        still looks healthy. O(store) — run on the compact/maintenance
-        cadence, never the serve path.
-
-        Checks: (a) maintained (N, total_len) == the live doclens
-        recompute; (b) every term's maintained SUM(d_df) == its exact
-        live df (both directions of the full join — a phantom term is
-        as wrong as a missing one); (c) the max_tf WATERMARK is sound
-        (maintained >= exact live max — looseness is legal, an
-        underestimate would unsound the pruned serve's bounds).
-        Returns a dict with ``ok`` plus the per-check booleans and
-        drift counts; raises nothing. Repair: :meth:`compact`'s exact
-        termstats recompute heals per-term df drift, but the corpus
-        stats fold is SUM-preserving, so (N, total_len) corruption
-        survives compaction — that needs a rebuild (or an explicit
-        corrective stats delta computed from this audit's exact
-        numbers)."""
+    def _stats_audit(self):
+        """Shared audit core behind :meth:`verify_stats` and
+        :meth:`repair_stats`: maintained vs exact corpus stats plus
+        the FULL-joined per-term frame (term, df, max_tf, df_exact,
+        max_tf_exact — either side's columns null where the term is
+        missing from it), localCheckpointed, or None when neither side
+        has term rows. Every read pinned to one store version.
+        Returns (n_docs, total_len, exact_n, exact_total, joined)."""
         ic = self.id_col
-        n_docs, total_len = self.stats()
-        doclens = self._store.read("doclens")
+        v = self._store.current_version()
+        n_docs, total_len = self.stats(version=v)
+        doclens = self._store.read("doclens", version=v)
         if doclens is None:
             exact_n, exact_total = 0, 0
         else:
@@ -1559,9 +1675,8 @@ class PostingsIndex:
                 F.coalesce(F.sum("dl"), F.lit(0)),
             ).collect()[0]
             exact_n, exact_total = int(r[0]), int(r[1])
-        df_drift = unsound_watermarks = 0
-        ts = self._store.read("termstats")
-        pl = self._store.read("postings")
+        ts = self._store.read("termstats", version=v)
+        pl = self._store.read("postings", version=v)
         maintained = (
             ts.groupBy("term")
             .agg(
@@ -1591,6 +1706,7 @@ class PostingsIndex:
                 F.count(F.lit(1)).alias("df_exact"),
                 F.max("tf").alias("max_tf_exact"),
             )
+        joined = None
         if maintained is not None or exact is not None:
             m = (
                 maintained
@@ -1607,6 +1723,35 @@ class PostingsIndex:
                 )
             )
             joined = m.join(e, "term", "full").localCheckpoint(eager=True)
+        return n_docs, total_len, exact_n, exact_total, joined
+
+    def verify_stats(self) -> dict:
+        """Audit the MAINTAINED aggregates against a full recompute
+        over the live postings/doclens — the fsck for the module
+        header's delta caveat: an un-epoched replayed mutation
+        double-counts the stats AND termstats deltas SILENTLY (the
+        row relations self-heal through max_by, the sums do not), and
+        every idf/avgdl-dependent score then drifts while the serve
+        still looks healthy. O(store) — run on the compact/maintenance
+        cadence, never the serve path.
+
+        Checks: (a) maintained (N, total_len) == the live doclens
+        recompute; (b) every term's maintained SUM(d_df) == its exact
+        live df (both directions of the full join — a phantom term is
+        as wrong as a missing one); (c) the max_tf WATERMARK is sound
+        (maintained >= exact live max — looseness is legal, an
+        underestimate would unsound the pruned serve's bounds).
+        Returns a dict with ``ok`` plus the per-check booleans and
+        drift counts; raises nothing. Repair: :meth:`repair_stats`
+        (round 14) heals BOTH drift classes with corrective deltas —
+        no rebuild needed (:meth:`compact` alone re-bases per-term df
+        but its corpus-stats fold is SUM-preserving, so (N, total_len)
+        corruption would survive it)."""
+        n_docs, total_len, exact_n, exact_total, joined = (
+            self._stats_audit()
+        )
+        df_drift = unsound_watermarks = 0
+        if joined is not None:
             df_drift = joined.filter(
                 F.coalesce(F.col("df"), F.lit(0))
                 != F.coalesce(F.col("df_exact"), F.lit(0))
@@ -1631,6 +1776,81 @@ class PostingsIndex:
             "df_drifted_terms": int(df_drift),
             "unsound_watermarks": int(unsound_watermarks),
         }
+
+    def repair_stats(self, epoch=None) -> dict:
+        """Corrective-delta repair for the maintained-aggregate drift
+        :meth:`verify_stats` detects (round 14 — VERDICT r13 #3): ONE
+        append-only commit of (a) a corpus stats delta
+        ``(exact_n - N, exact_total - total_len)`` and (b) per-term
+        termstats deltas ``d_df = exact_df - maintained_df`` for every
+        drifted term, carrying the exact live max tf wherever the
+        maintained WATERMARK is unsound (the watermark MAX-fold then
+        lifts it to soundness; sound-but-loose watermarks are left
+        alone — looseness is legal and compact re-tightens). After the
+        commit the sums equal the exact recompute by construction, so
+        an un-epoched replay's double-counted stats heal WITHOUT a
+        rebuild. Phantom terms (maintained df, zero live postings) get
+        a negative delta folding their df to 0, which every serve read
+        filters out; their stale watermark rows are unreachable behind
+        that filter. The repair itself is one more additive commit and
+        thus subject to the module's delta caveat — pass ``epoch`` if
+        the repair can replay. Audit-clean stores commit NOTHING.
+        O(store), maintenance cadence. Returns the post-repair
+        :meth:`verify_stats` dict (``ok`` True is the healed signal);
+        single-writer during repair is assumed (the family contract)."""
+        n_docs, total_len, exact_n, exact_total, joined = (
+            self._stats_audit()
+        )
+        d_docs = exact_n - n_docs
+        d_len = exact_total - total_len
+        ts_fix = self._empty("termstats")
+        n_fix = 0
+        if joined is not None:
+            fixes = (
+                joined.select(
+                    "term",
+                    (
+                        F.coalesce(F.col("df_exact"), F.lit(0))
+                        - F.coalesce(F.col("df"), F.lit(0))
+                    )
+                    .cast("long")
+                    .alias("d_df"),
+                    F.when(
+                        F.col("max_tf_exact").isNotNull()
+                        & (
+                            F.col("max_tf").isNull()
+                            | (F.col("max_tf") < F.col("max_tf_exact"))
+                        ),
+                        F.col("max_tf_exact"),
+                    )
+                    .cast("long")
+                    .alias("max_tf"),
+                )
+                .filter(
+                    (F.col("d_df") != 0) | F.col("max_tf").isNotNull()
+                )
+                .localCheckpoint(eager=True)
+            )
+            n_fix = fixes.count()
+            if n_fix:
+                ts_fix = fixes.select("term", "d_df", "max_tf")
+        if d_docs == 0 and d_len == 0 and n_fix == 0:
+            return self.verify_stats()  # clean — nothing to commit
+        self._store.append_keyed(
+            {
+                "postings": self._empty("postings"),
+                "doclens": self._empty("doclens"),
+                "stats": (
+                    self._stats_delta(d_docs, d_len)
+                    if (d_docs or d_len)
+                    else self._empty("stats")
+                ),
+                "forward": self._empty("forward"),
+                "termstats": ts_fix,
+            },
+            epoch=epoch,
+        )
+        return self.verify_stats()
 
     def vacuum(self, keep: int = 2, grace_seconds: float = 3600.0) -> None:
         self._store.vacuum(keep, grace_seconds)

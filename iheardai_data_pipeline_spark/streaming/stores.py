@@ -268,6 +268,15 @@ def _occ_try_claim(commits_dir: str, version: int, payload: dict) -> bool:
         os.unlink(tmp)
 
 
+class StoreVersionConflict(RuntimeError):
+    """A writer that pinned ``require_version`` found the store moved
+    past it before its attempt could commit. The caller owns the
+    recomputation: its staged fold closed over frames derived from the
+    pinned version, so retrying with the SAME closure would fold fresh
+    rows against a stale snapshot (the compact-race hazard) — rebuild
+    the snapshot-derived state at the new version, then try again."""
+
+
 class TransactionalParquetStore:
     """Keyed upsert store with optimistic-concurrency commits on parquet.
 
@@ -984,8 +993,17 @@ class MultiRelationTransactionalStore:
 
     # -- store interface --------------------------------------------------------
 
-    def read(self, rel: str) -> DataFrame | None:
-        manifest = self._manifest(self.current_version())
+    def read(self, rel: str, version: int | None = None) -> DataFrame | None:
+        """Latest committed rows of one relation, or — with ``version``
+        — the rows AS OF that still-retained committed version.
+        Multi-read consumers (the postings pruned serve's stats +
+        postings + forward sequence) pin ``current_version()`` once and
+        pass it to every read so a concurrent commit mid-sequence
+        cannot split the serve across two states (snapshot isolation
+        is per-read by default, not per-serve)."""
+        manifest = self._manifest(
+            self.current_version() if version is None else version
+        )
         if not manifest or not manifest.get(rel):
             return None
         paths = [
@@ -1001,6 +1019,7 @@ class MultiRelationTransactionalStore:
         keys: DataFrame,
         prune: bool = True,
         broadcast_keys: bool = False,
+        version: int | None = None,
     ) -> DataFrame | None:
         """Bucket-pruned keyed lookup on one relation — identical
         contract to BucketedTransactionalStore.read_keys.
@@ -1023,8 +1042,13 @@ class MultiRelationTransactionalStore:
         the broadcast the store side keeps its scan partitioning and a
         hot bucket's files still split by maxPartitionBytes). Leave it
         False for batch-sized key frames (delete lookups, suspect
-        probes) where forcing a broadcast could OOM the driver."""
-        manifest = self._manifest(self.current_version())
+        probes) where forcing a broadcast could OOM the driver.
+
+        ``version``: read AS OF that committed version (see
+        :meth:`read`) instead of the call-time latest."""
+        manifest = self._manifest(
+            self.current_version() if version is None else version
+        )
         if not manifest or not manifest.get(rel):
             return None
         kd = keys.select(*self.relations[rel]).distinct()
@@ -1244,10 +1268,22 @@ class MultiRelationTransactionalStore:
             lambda rel, current, upd: current, epoch=epoch
         )
 
-    def apply_keyed_all_buckets(self, fn, epoch=None) -> None:
+    def apply_keyed_all_buckets(
+        self, fn, epoch=None, require_version: int | None = None
+    ) -> None:
         """Run a key-local fold over EVERY populated bucket of every
         relation (compaction, retention sweeps). Same commit protocol as
-        apply_keyed, but 'touched' = all buckets in the base manifest."""
+        apply_keyed, but 'touched' = all buckets in the base manifest.
+
+        ``require_version``: abort with :class:`StoreVersionConflict`
+        (no commit, no retry) if the store's current version is not
+        exactly this one. A fold whose ``fn`` closes over frames
+        DERIVED from a pinned snapshot (PostingsIndex.compact's
+        liveness + exact-termstats captures) must pass it: the built-in
+        retry re-reads the newest bucket rows but cannot re-derive the
+        closure, so a lost race would fold fresh rows against a stale
+        snapshot — the caller instead recomputes the closure at the
+        new version and calls again."""
         from functools import reduce
 
         from pyspark.sql import functions as F
@@ -1258,6 +1294,12 @@ class MultiRelationTransactionalStore:
             ):
                 return
             base_version = self.current_version()
+            if require_version is not None and base_version != require_version:
+                raise StoreVersionConflict(
+                    f"store at {self.path} moved to version {base_version} "
+                    f"(caller pinned {require_version}) — recompute the "
+                    "snapshot-derived fold state and retry"
+                )
             base = self._manifest(base_version) or {}
             if not any(base.get(rel) for rel in self.relations):
                 return

@@ -105,6 +105,21 @@ def test_meta_pin_rejects_different_constants(spark, tmp_path):
         PostingsIndex(spark, root, k1=2.0, b=0.75)
 
 
+def test_open_old_format_index_says_rebuild(spark, tmp_path):
+    """Round 14 (ADVICE r13): opening a pre-forward/termstats layout
+    must name the FORMAT mismatch and the rebuild remedy, not the
+    misleading k1/b-parameterization message."""
+    import json
+    import os
+
+    root = str(tmp_path / "pi_v1")
+    os.makedirs(root)
+    with open(os.path.join(root, "_bm25_meta.json"), "w") as fh:
+        json.dump({"format": 1, "k1": 1.2, "b": 0.75}, fh)
+    with pytest.raises(ValueError, match="REBUILT"):
+        PostingsIndex(spark, root, k1=1.2, b=0.75)
+
+
 def test_merge_disjoint_shards_serve_like_union_build(spark, tmp_path):
     half_a = [r for r in DOCS if r[0] % 2 == 0]
     half_b = [r for r in DOCS if r[0] % 2 == 1]
@@ -202,6 +217,9 @@ def test_compact_preserves_serve_and_reclaims(spark, tmp_path):
         (F.col("doc_id") == 4) & (F.col("term") == "spark")
     ).count() == 0
     assert idx._store.read("stats").count() == 1
+    # round 14: the fsck runs on the maintenance cadence — post-compact
+    # the maintained aggregates must audit clean
+    assert idx.verify_stats()["ok"]
 
 
 def test_serve_reads_only_probed_term_buckets(spark, tmp_path):
@@ -384,7 +402,9 @@ def test_pruned_serve_prunes_hot_term_from_scoring(spark, tmp_path):
     # naive volume = df(zebra) + df(the) = 4 + 40 (i%13==0 hits 0, 13,
     # 26, 39); pruned scoring must touch only the rare term's
     # candidates (x their matched terms)
-    assert diag["live_postings_rows"] == 44
+    # maintained_df_sum (renamed from live_postings_rows, round 14 —
+    # it is the termstats bookkeeping total, not scanned rows)
+    assert diag["maintained_df_sum"] == 44
     assert diag["scoring_rows"] < 44
     assert diag["candidate_docs"] <= 5
     assert diag["iterations"] >= 1
@@ -562,6 +582,8 @@ def test_termstats_track_exact_live_df_and_compact_tightens(spark, tmp_path):
     assert _rows(idx.topk(_queries(spark), k=4, prune=True)) == _brute(
         spark, sorted(live.items()), k=4
     )
+    # round 14: post-compact maintenance fsck (the production cadence)
+    assert idx.verify_stats()["ok"]
 
 
 def test_verify_stats_detects_unepoched_replay_drift(spark, tmp_path):
@@ -654,6 +676,8 @@ def test_fielded_index_serves_bm25f_through_mutations(spark, tmp_path):
     idx.compact()
     assert idx.stats() == stats_before
     assert _rows(idx.topk(_queries(spark), k=4)) == want
+    # round 14: post-compact maintenance fsck, fielded (milli) units
+    assert idx.verify_stats()["ok"]
 
 
 def test_fielded_index_guards(spark, tmp_path):
@@ -695,3 +719,199 @@ def test_pruned_serve_nonzero_bootstrap_seq(spark, tmp_path):
         want = _rows(idx.topk(_queries(spark), k=k))
         assert want
         assert _rows(idx.topk(_queries(spark), k=k, prune=True)) == want
+
+
+# --- round 14: pruned PRF, append diet, repair_stats --------------------------
+
+
+def test_prf_pruned_equals_unpruned_and_brute(spark, tmp_path):
+    """prf_topk(prune=True) routes BOTH passes through the max-score
+    serve; it must equal the unpruned PRF (and therefore the brute
+    bm25_prf_topk) row for row through the full mutation scenario —
+    including a hot-term query so pass 1 actually prunes. diag
+    accumulates across the two passes."""
+    from iheardai_data_pipeline_spark.operators.text import bm25_prf_topk
+
+    idx = PostingsIndex(spark, str(tmp_path / "prfw"))
+    idx.append(_docs(spark), seq=0, epoch="boot")
+    v2 = [
+        (4, "nothing to see here anymore"),
+        (2, "the lazy dog sleeps all day the dog spark spark"),
+    ]
+    idx.append(_docs(spark, v2), seq=1, epoch="up")
+    idx.delete(spark.createDataFrame([(1,)], "doc_id long"), seq=2,
+               epoch="del")
+    live = {i: t for i, t in DOCS if t is not None}
+    live.update(dict(v2))
+    del live[1]
+    queries = _queries(
+        spark, QUERIES + [(13, "the dog")]  # hot-term workload
+    )
+    want = _rows(
+        bm25_prf_topk(
+            _docs(spark, sorted(live.items())), queries,
+            k=4, fb_docs=2, fb_terms=2,
+        )
+    )
+    assert want
+    unpruned = _rows(idx.prf_topk(queries, k=4, fb_docs=2, fb_terms=2))
+    diag: dict = {}
+    pruned = _rows(
+        idx.prf_topk(
+            queries, k=4, fb_docs=2, fb_terms=2, prune=True, diag=diag
+        )
+    )
+    assert unpruned == want
+    assert pruned == want
+    # two passes accumulated into one dict (each pass iterates >= 1)
+    assert diag["iterations"] >= 2
+    assert diag["maintained_df_sum"] > 0
+    # edge: no-match queries fall back identically under prune
+    qa = spark.createDataFrame(
+        [(9, "zzz_absent")], "query_id long, qtext string"
+    )
+    assert idx.prf_topk(qa, k=3, prune=True).count() == 0
+
+
+def test_prf_pruned_with_allowed_mask(spark, tmp_path):
+    """allowed= must flow through BOTH pruned PRF passes exactly as it
+    does unpruned (feedback only from eligible docs)."""
+    idx = PostingsIndex(spark, str(tmp_path / "prfa"))
+    idx.append(_docs(spark), seq=0)
+    allowed = spark.createDataFrame(
+        [(i,) for i, t in DOCS if t is not None and i % 2 == 1],
+        "doc_id long",
+    )
+    want = _rows(
+        idx.prf_topk(_queries(spark), k=4, fb_docs=2, fb_terms=2,
+                     allowed=allowed)
+    )
+    assert want
+    got = _rows(
+        idx.prf_topk(_queries(spark), k=4, fb_docs=2, fb_terms=2,
+                     allowed=allowed, prune=True)
+    )
+    assert got == want
+
+
+def test_fresh_batch_append_skips_forward_diff(spark, tmp_path):
+    """Round 14 (VERDICT r13 #2): a batch with NO replaced ids — the
+    dominant bulk-build shape — must not run the forward-diff lookup
+    at all (the doclens probe already proves nothing was replaced),
+    while a replace-carrying batch still takes the exact diff."""
+    idx = PostingsIndex(spark, str(tmp_path / "fd"))
+    idx.append(_docs(spark), seq=0)
+
+    def boom(*a, **k):
+        raise AssertionError("forward-diff probe ran for a fresh-id batch")
+
+    idx._live_forward_for = boom
+    fresh = [(100, "totally new content appended"), (101, "more new words")]
+    idx.append(_docs(spark, fresh), seq=1)  # must skip the probe
+    del idx._live_forward_for  # restore the class method
+    # the diet must not cost exactness: serve == brute on the union,
+    # and an upsert (replace-carrying) batch still diffs correctly
+    idx.append(
+        _docs(spark, [(2, "the lazy dog sleeps spark spark")]), seq=2
+    )
+    live = {i: t for i, t in DOCS if t is not None}
+    live.update(dict(fresh))
+    live[2] = "the lazy dog sleeps spark spark"
+    want = _brute(spark, sorted(live.items()), k=4)
+    assert _rows(idx.topk(_queries(spark), k=4)) == want
+    assert _rows(idx.topk(_queries(spark), k=4, prune=True)) == want
+    assert idx.verify_stats()["ok"]
+
+
+def test_epoched_replay_short_circuits_probes(spark, tmp_path):
+    """A replayed EPOCHED append/delete must return before paying for
+    any delta probe (r13 ran the probes and only no-opped at commit)."""
+    idx = PostingsIndex(spark, str(tmp_path / "sc"))
+    idx.append(_docs(spark), seq=0, epoch="boot")
+    before = _rows(idx.topk(_queries(spark), k=4))
+    idx.delete(spark.createDataFrame([(1,)], "doc_id long"), seq=1,
+               epoch="del")
+    after_del = _rows(idx.topk(_queries(spark), k=4))
+
+    def boom(*a, **k):
+        raise AssertionError("replayed epoched mutation ran its probes")
+
+    idx._current_live_for = boom
+    idx.append(_docs(spark), seq=0, epoch="boot")  # replay: short-circuit
+    idx.delete(spark.createDataFrame([(1,)], "doc_id long"), seq=1,
+               epoch="del")  # replay: short-circuit
+    del idx._current_live_for
+    assert _rows(idx.topk(_queries(spark), k=4)) == after_del
+    assert before != after_del  # the first delete really landed
+
+
+def test_repair_stats_heals_unepoched_replay_drift(spark, tmp_path):
+    """Round 14 (VERDICT r13 #3): corrupt -> repair_stats -> audit
+    clean -> serve value-green against brute, WITHOUT a rebuild or
+    compact. Clean stores commit nothing; an epoched repair replay
+    no-ops."""
+    idx = PostingsIndex(spark, str(tmp_path / "rs"))
+    idx.append(_docs(spark), seq=0, epoch="boot")
+    idx.append(
+        _docs(spark, [(2, "the lazy dog sleeps spark spark")]),
+        seq=1, epoch="up",
+    )
+    idx.delete(spark.createDataFrame([(1,)], "doc_id long"), seq=2,
+               epoch="del")
+    # clean audit: repair is a no-op (no commit)
+    v = idx._store.current_version()
+    rep = idx.repair_stats()
+    assert rep["ok"] and idx._store.current_version() == v
+    # the documented silent corruption: un-epoched replayed bootstrap
+    idx.append(_docs(spark), seq=0)
+    assert not idx.verify_stats()["ok"]
+    rep2 = idx.repair_stats(epoch="repair-1")
+    assert rep2["ok"] and rep2["stats_ok"] and rep2["termstats_ok"]
+    # a replayed epoched repair no-ops (the corrective deltas are
+    # themselves subject to the delta caveat)
+    v2 = idx._store.current_version()
+    idx.repair_stats(epoch="repair-1")
+    assert idx._store.current_version() == v2
+    assert idx.verify_stats()["ok"]
+    # and the serve is value-green on the healed stats
+    live = {i: t for i, t in DOCS if t is not None}
+    live[2] = "the lazy dog sleeps spark spark"
+    del live[1]
+    want = _brute(spark, sorted(live.items()), k=4)
+    assert _rows(idx.topk(_queries(spark), k=4)) == want
+    assert _rows(idx.topk(_queries(spark), k=4, prune=True)) == want
+
+
+def test_fielded_index_verify_and_repair_milli_units(spark, tmp_path):
+    """Round 14 (VERDICT r13 #6): a FIELDED index stores milli-scaled
+    tf/dl — verify_stats' exact recompute and the maintained sums must
+    agree in the SAME units through mutations (a unit mismatch would
+    flag a healthy index), and repair_stats must heal a fielded drift
+    in those units."""
+    from iheardai_data_pipeline_spark.operators.text import bm25f_topk
+
+    weights = {"title": 2.5, "body": 1.0}
+    idx = PostingsIndex(
+        spark, str(tmp_path / "fvs"), field_weights=weights
+    )
+    idx.append(_fdocs(spark), seq=0, epoch="boot")
+    v2 = [(4, "spark deep dive", "spark spark shuffles window merge")]
+    idx.append(_fdocs(spark, v2), seq=1, epoch="up")
+    idx.delete(spark.createDataFrame([(2,)], "doc_id long"), seq=2,
+               epoch="del")
+    rep = idx.verify_stats()
+    assert rep["ok"], rep  # unit-consistent: no false drift flags
+    # corrupt with an un-epoched replay, then heal
+    idx.append(_fdocs(spark), seq=0)
+    assert not idx.verify_stats()["ok"]
+    assert idx.repair_stats()["ok"]
+    live = {i: (t, b) for i, t, b in FIELD_DOCS if b is not None}
+    live.update({i: (t, b) for i, t, b in v2})
+    del live[2]
+    live_rows = [(i, t, b) for i, (t, b) in sorted(live.items())]
+    want = _rows(
+        bm25f_topk(_fdocs(spark, live_rows), _queries(spark),
+                   fields=weights, k=4)
+    )
+    assert want
+    assert _rows(idx.topk(_queries(spark), k=4)) == want

@@ -574,6 +574,90 @@ def test_multi_relation_meta_pins_layout(spark, tmp_path):
         )
 
 
+def test_multi_relation_version_pinned_reads(spark, tmp_path):
+    """Round 14: read/read_keys accept an AS-OF committed version so a
+    multi-read consumer (the postings serve) sees ONE snapshot even
+    when commits land mid-sequence."""
+    st = _multi(spark, tmp_path)
+    st.apply_keyed(
+        {
+            "bands": spark.createDataFrame(
+                [(11, 1)], "bkey long, doc_id long"
+            ),
+            "profiles": spark.createDataFrame(
+                [(1, [1])], "doc_id long, sh_set array<long>"
+            ),
+        },
+        _mr_append,
+    )
+    v1 = st.current_version()
+    st.apply_keyed(
+        {
+            "bands": spark.createDataFrame(
+                [(22, 2)], "bkey long, doc_id long"
+            ),
+            "profiles": spark.createDataFrame(
+                [(2, [2])], "doc_id long, sh_set array<long>"
+            ),
+        },
+        _mr_append,
+    )
+    assert st.read("bands").count() == 2
+    assert {r["bkey"] for r in st.read("bands", version=v1).collect()} == {11}
+    # a key that did not exist at the pinned version is invisible there
+    late = st.read_keys(
+        "bands", spark.createDataFrame([(22,)], "bkey long"), version=v1
+    )
+    assert late is None or late.count() == 0
+    assert (
+        st.read_keys(
+            "bands", spark.createDataFrame([(11,)], "bkey long"), version=v1
+        ).count()
+        == 1
+    )
+
+
+def test_multi_relation_all_buckets_require_version(spark, tmp_path):
+    """Round 14 (ADVICE r13): a fold pinned to require_version must
+    ABORT with StoreVersionConflict when the store moved past the pin
+    (its closure derives from that version's snapshot — the built-in
+    retry cannot re-derive it), and commit normally on the right pin."""
+    from iheardai_data_pipeline_spark.streaming.stores import (
+        StoreVersionConflict,
+    )
+
+    st = _multi(spark, tmp_path)
+    batch = {
+        "bands": spark.createDataFrame([(11, 1)], "bkey long, doc_id long"),
+        "profiles": spark.createDataFrame(
+            [(1, [1])], "doc_id long, sh_set array<long>"
+        ),
+    }
+    st.apply_keyed(batch, _mr_append)
+    pinned = st.current_version()
+    st.apply_keyed(
+        {
+            "bands": spark.createDataFrame(
+                [(22, 2)], "bkey long, doc_id long"
+            ),
+            "profiles": spark.createDataFrame(
+                [(2, [2])], "doc_id long, sh_set array<long>"
+            ),
+        },
+        _mr_append,
+    )
+    with pytest.raises(StoreVersionConflict, match="pinned"):
+        st.apply_keyed_all_buckets(
+            lambda rel, cur, upd: cur, require_version=pinned
+        )
+    # no phantom commit from the aborted attempt
+    assert st.current_version() == pinned + 1
+    st.apply_keyed_all_buckets(
+        lambda rel, cur, upd: cur, require_version=st.current_version()
+    )
+    assert st.read("bands").count() == 2
+
+
 def test_multi_relation_concurrent_appends_no_lost_update(spark, tmp_path):
     """Two writers append_keyed to the SAME store concurrently: the OCC
     retry must merge both manifests — every appended row survives and
