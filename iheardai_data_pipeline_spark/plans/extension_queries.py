@@ -2811,6 +2811,53 @@ def x_text_bm25_prf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_text_bm25_prf_wand",
+    oracle=_bm25_prf_oracle_sql(_BM25_SCENARIO_SRC),
+    tags=("extension", "text", "retrieval", "incremental"),
+    doc="PRUNED index-served PRF (round 14 — VERDICT r13 #1: the last "
+    "retrieval path still on the unpruned serve): the SAME mutation "
+    "scenario and UNCHANGED two-pass PRF oracle as "
+    "x_text_bm25_prf_indexed, served with prf_topk(prune=True) — BOTH "
+    "passes route through the max-score serve (maintained termstats "
+    "for stats, essential-term candidate generation, doc-keyed "
+    "forward-relation scoring), so a hot query term or a common "
+    "idf-vote-surviving expansion term never re-grows the scoring "
+    "exchange pruning killed on topk. Pruning is an evaluation-"
+    "strategy change only: pass-1 feedback docs, the exact integer "
+    "expansion vote, and the final ranking are bit-identical, which "
+    "the unchanged brute oracle hashes "
+    "(operators/postings_index.py:prf_topk).",
+)
+def x_text_bm25_prf_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.postings_index import (
+        PostingsIndex,
+    )
+
+    boot, upsert, dele = _bm25_scenario_frames(spark, sf_dir)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="bm25prfw_", dir=shm)
+    try:
+        idx = PostingsIndex(spark, root, k1=_BM25_K1, b=_BM25_B)
+        idx.append(boot, seq=0, epoch="boot")
+        idx.append(boot, seq=0, epoch="boot")  # replay: must no-op
+        idx.append(upsert, seq=1, epoch="upsert")
+        idx.delete(dele, seq=2, epoch="delete")
+        return idx.prf_topk(
+            _bm25_query_frame(spark),
+            k=5,
+            fb_docs=3,
+            fb_terms=2,
+            prune=True,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "x_text_bm25_wand",
     oracle=_BM25_INDEXED_ORACLE,
     tags=("extension", "text", "retrieval", "incremental"),
@@ -3428,16 +3475,30 @@ def x_hybrid_rrf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root_a, ignore_errors=True)
 
 
-def _hybrid_convex_oracle() -> str:
+def _hybrid_convex_oracle(allowed_mod: int | None = None) -> str:
     """Convex fusion over the two legs' value-proven replays: the BM25
     oracle's score_micro and the ANN replay's l2_dist (hash-proven
     bit-identical at 3 SFs by x_sim_index_batch_topk) — per-query
     integer min-max normalization, 700/300 milli weights, all BIGINT
-    (// on non-negative operands == Spark's DIV)."""
+    (// on non-negative operands == Spark's DIV). ``allowed_mod``:
+    when set, BOTH legs carry the same id % allowed_mod <> 1 candidate
+    predicate BEFORE their top-20 cut AND before the per-leg min-max
+    (the filtered-hybrid contract: normalization ranges over the
+    filtered lists, exactly as each engine leg computes them)."""
     lex_sql = _bm25_oracle_sql(
-        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL", k=20
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL",
+        k=20,
+        allowed_sql=(
+            f"doc_id % {allowed_mod} <> 1" if allowed_mod else "TRUE"
+        ),
     )
-    ann_sql = _index_serve_oracle(n_queries=4, k=20)
+    ann_sql = _index_serve_oracle(
+        n_queries=4,
+        k=20,
+        extra_pred=(
+            f" AND a.vec_id % {allowed_mod} <> 1" if allowed_mod else ""
+        ),
+    )
     minmax = """
   SELECT query_id, doc_id,
          CASE WHEN max(s) OVER (PARTITION BY query_id)
@@ -3542,6 +3603,90 @@ def x_hybrid_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sem = aidx.topk_batch(
             queries, k=20, nprobe=4, shortlist=shortlist, exclude_self=True
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            (
+                F.floor(F.col("l2_dist") * F.lit(1000000.0)).cast("long")
+                * F.lit(-1)
+            ).alias("score_int"),
+        )
+        return convex_fuse(
+            [(lex, 700), (sem, 300)], k=5
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root_p, ignore_errors=True)
+        shutil.rmtree(root_a, ignore_errors=True)
+
+
+@register(
+    "x_hybrid_convex_filtered",
+    oracle=_hybrid_convex_oracle(allowed_mod=3),
+    tags=("extension", "text", "retrieval", "similarity", "incremental"),
+    doc="FILTERED convex hybrid retrieval (round 14 — VERDICT r13 #5: "
+    "x_hybrid_rrf_filtered proved filter-through-fusion for rank "
+    "fusion; this is the score-interpolation twin): ONE tenant/ACL "
+    "candidate predicate (id % 3 <> 1) flows through BOTH index-served "
+    "legs — PostingsIndex.topk(allowed=) masks lexical candidates "
+    "post-liveness/pre-scoring with corpus-global df/N/avgdl, "
+    "PersistentAnnIndex.topk_batch(allowed=) masks the probed "
+    "clusters' candidates before ADC ranking — then the exact-BIGINT "
+    "per-query min-max normalization runs over the FILTERED top-20 "
+    "lists and fuses 700/300 nano-units. Oracle = the same integer "
+    "pipeline over the two legs' filtered replays, so a drift in "
+    "either filtered serve, either normalization range, or the "
+    "weighting fails the hash — any filter/normalization axis "
+    "interaction is hash-gated (operators/retrieval.py:convex_fuse).",
+)
+def x_hybrid_convex_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.ann_index import (
+        PersistentAnnIndex,
+    )
+    from iheardai_data_pipeline_spark.operators.postings_index import (
+        PostingsIndex,
+    )
+    from iheardai_data_pipeline_spark.operators.retrieval import convex_fuse
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    n = emb.count()
+    shortlist = max(100, n // 5)
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    lex_allowed = docs.where(F.col("doc_id") % 3 != 1).select("doc_id")
+    sem_allowed = emb.where(F.col("vec_id") % 3 != 1).select("vec_id")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root_p = tempfile.mkdtemp(prefix="hybcf_pi_", dir=shm)
+    root_a = tempfile.mkdtemp(prefix="hybcf_ann_", dir=shm)
+    try:
+        pidx = PostingsIndex(spark, root_p, k1=_BM25_K1, b=_BM25_B)
+        pidx.append(docs, seq=0)
+        lex = pidx.topk(
+            _bm25_query_frame(spark), k=20, allowed=lex_allowed
+        ).select(
+            "query_id", "doc_id", F.col("score_micro").alias("score_int")
+        )
+        aidx = PersistentAnnIndex.bootstrap(
+            spark, root_a, emb, centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS
+        )
+        sem = aidx.topk_batch(
+            queries,
+            k=20,
+            nprobe=4,
+            shortlist=shortlist,
+            exclude_self=True,
+            allowed=sem_allowed,
         ).select(
             "query_id",
             F.col("vec_id").alias("doc_id"),

@@ -311,6 +311,13 @@ def time_bm25_indexed(spark, sf_dir: str) -> dict[str, float]:
     root = _shm_tmp("pt_bm25_")
     out: dict[str, float] = {}
     try:
+        # round 14: bootstrap/mutate are BOLD write-path rows for the
+        # postings family (VERDICT r13 #7) — the r13 maintenance trade
+        # doubled the append fixed cost with no drift-proof comparison
+        # surface of its own; these rows are the before/after for the
+        # fresh-batch append diet (bootstrap = the fresh-id bulk shape
+        # that now skips the forward-diff probe; mutate = the
+        # replay+upsert+delete scenario that still pays the exact diff)
         t0 = time.time()
         idx = PostingsIndex(spark, root, k1=_BM25_K1, b=_BM25_B)
         idx.append(boot, seq=0, epoch="boot")
@@ -382,10 +389,23 @@ def time_bm25_prf(spark, sf_dir: str) -> dict[str, float]:
         idx.delete(dele, seq=2, epoch="delete")
         out["mutate"] = time.time() - t0
         t0 = time.time()
-        idx.prf_topk(
+        got = idx.prf_topk(
             queries, k=5, fb_docs=3, fb_terms=2
         ).localCheckpoint(eager=True)
         out["serve-prf"] = time.time() - t0
+        # round 14: both PRF passes through the max-score serve — the
+        # x_text_bm25_prf_wand path; pruning is evaluation-strategy
+        # only, so the rows must match the unpruned serve exactly
+        t0 = time.time()
+        pruned = idx.prf_topk(
+            queries, k=5, fb_docs=3, fb_terms=2, prune=True
+        ).localCheckpoint(eager=True)
+        out["serve-prf-pruned"] = time.time() - t0
+        assert (
+            got.exceptAll(pruned).count()
+            + pruned.exceptAll(got).count()
+            == 0
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -450,11 +470,19 @@ def main() -> int:
         "an action, so the split is a real execution barrier, not a lazy-"
         "plan artifact. The SERVE row is the number to watch round-over-"
         "round: bootstrap/gate are verification scaffolding whose cost "
-        "does not exist on a production serving path.",
+        "does not exist on a production serving path — EXCEPT the "
+        "postings (bm25) entries, whose bootstrap/mutate rows are bold "
+        "WRITE-PATH surfaces (round 14): bootstrap is the fresh-id bulk "
+        "append shape, mutate the replace-carrying scenario, the "
+        "before/after pair for the append-side maintenance cost.",
         "",
         "| entry | phase | seconds |",
         "|---|---|---|",
     ]
+    write_path_bold = {
+        "x_text_bm25_indexed": ("bootstrap", "mutate"),
+        "x_text_bm25_prf_indexed": ("bootstrap", "mutate"),
+    }
     for name, phases in results.items():
         for ph, s in phases.items():
             bold = (
@@ -467,7 +495,9 @@ def main() -> int:
                     "compact",
                     "serve-pruned",
                     "serve-prf",
+                    "serve-prf-pruned",
                 )
+                or ph in write_path_bold.get(name, ())
                 else ""
             )
             lines.append(f"| `{name}` | {bold}{ph}{bold} | {s:.2f} |")

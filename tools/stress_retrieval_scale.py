@@ -10,7 +10,12 @@ additionally carries a literal 'the' (df = 100%, idf ~ 1e-6 — the true
 stopword profile), queries mix it with zipf-tail rare terms, and the
 probe prints pruned vs unpruned walls + the pruning diag counts and
 ASSERTS row equality. `phrase` reproduces the phrase-at-100x rows.
-`ingest` reproduces the round-11 fixed-2k-batch flatness rows.
+`ingest` reproduces the round-11 fixed-2k-batch flatness rows (round
+14: the batch is FRESH-id, so it also measures the append diet — the
+forward-diff probe skipped). `prf` (round 14) is the hot probe's
+two-pass PRF twin: prf_topk pruned vs unpruned on the same stopword
+corpus/queries, diag accumulated across both passes, rows asserted
+equal — the measurement behind the x_text_bm25_prf_wand SCALE row.
 """
 import os
 import shutil
@@ -94,6 +99,36 @@ def probe_hot(n):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_prf(n):
+    root = tempfile.mkdtemp(prefix=f"srs_prf_{n}_", dir="/dev/shm")
+    try:
+        idx = PostingsIndex(spark, root, n_buckets=256)
+        t0 = time.time()
+        idx.append(corpus(n, stopword=True), seq=0)
+        build = time.time() - t0
+        kw = dict(k=10, fb_docs=3, fb_terms=2)
+        assert rows_of(idx.prf_topk(qf(HOT_Q), **kw)) == rows_of(
+            idx.prf_topk(qf(HOT_Q), prune=True, **kw)
+        ), "pruned PRF != unpruned PRF at scale!"
+        un, pr = [], []
+        for _ in range(2):
+            t0 = time.time()
+            idx.prf_topk(qf(HOT_Q), **kw).collect()
+            un.append(time.time() - t0)
+            t0 = time.time()
+            idx.prf_topk(qf(HOT_Q), prune=True, **kw).collect()
+            pr.append(time.time() - t0)
+        diag: dict = {}
+        idx.prf_topk(qf(HOT_Q), prune=True, diag=diag, **kw).collect()
+        print(
+            f"N={n}: build={build:.1f}s prf_unpruned={min(un):.2f}s "
+            f"prf_pruned={min(pr):.2f}s diag={diag} rows_equal=True",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def probe_phrase(n):
     root = tempfile.mkdtemp(prefix=f"srs_ph_{n}_", dir="/dev/shm")
     try:
@@ -154,9 +189,12 @@ def probe_ingest(n):
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "hot"
-    probe = {"hot": probe_hot, "phrase": probe_phrase, "ingest": probe_ingest}[
-        mode
-    ]
+    probe = {
+        "hot": probe_hot,
+        "phrase": probe_phrase,
+        "ingest": probe_ingest,
+        "prf": probe_prf,
+    }[mode]
     for n in (5_000, 500_000):
         probe(n)
     print("DONE", flush=True)
