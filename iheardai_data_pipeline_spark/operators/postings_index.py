@@ -1796,7 +1796,10 @@ class PostingsIndex:
         thus subject to the module's delta caveat — pass ``epoch`` if
         the repair can replay. Audit-clean stores commit NOTHING.
         O(store), maintenance cadence. Returns the post-repair
-        :meth:`verify_stats` dict (``ok`` True is the healed signal);
+        :meth:`verify_stats` dict (``ok`` True is the healed signal)
+        plus ``repaired``: True iff corrective deltas were committed —
+        i.e. the pre-repair audit found real drift (callers wanting
+        both facts need one audit fewer than verify-then-repair);
         single-writer during repair is assumed (the family contract)."""
         n_docs, total_len, exact_n, exact_total, joined = (
             self._stats_audit()
@@ -1835,7 +1838,9 @@ class PostingsIndex:
             if n_fix:
                 ts_fix = fixes.select("term", "d_df", "max_tf")
         if d_docs == 0 and d_len == 0 and n_fix == 0:
-            return self.verify_stats()  # clean — nothing to commit
+            out = self.verify_stats()  # clean — nothing to commit
+            out["repaired"] = False
+            return out
         self._store.append_keyed(
             {
                 "postings": self._empty("postings"),
@@ -1850,7 +1855,9 @@ class PostingsIndex:
             },
             epoch=epoch,
         )
-        return self.verify_stats()
+        out = self.verify_stats()
+        out["repaired"] = True
+        return out
 
     def vacuum(self, keep: int = 2, grace_seconds: float = 3600.0) -> None:
         self._store.vacuum(keep, grace_seconds)

@@ -2528,6 +2528,19 @@ _BM25_COMPACT_ORACLE = (
     + ") s"
 )
 
+# Repair entry (round 14): same serve, plus two pinned TRUE gates —
+# drift_detected (the un-epoched replay REALLY corrupted the
+# maintained sums before the repair; a no-op corruption would prove
+# nothing) and repaired_clean (repair_stats' post-audit is ok). The
+# serve scores themselves are the third gate: they only match the
+# brute replay if the healed (N, total_len, df) equal the exact live
+# values.
+_BM25_REPAIR_ORACLE = (
+    "SELECT s.*, TRUE AS drift_detected, TRUE AS repaired_clean FROM ("
+    + _bm25_oracle_sql(_BM25_SCENARIO_SRC)
+    + ") s"
+)
+
 
 def _bm25_query_frame(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
@@ -3954,6 +3967,56 @@ def x_text_bm25_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             and n_live == live_docs
         )
         return served.withColumn("reclaimed_exact", F.lit(gate))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "x_text_bm25_repair",
+    oracle=_BM25_REPAIR_ORACLE,
+    tags=("extension", "text", "retrieval", "incremental"),
+    doc="STATS-DRIFT REPAIR end-to-end (round 14 — repair_stats, the "
+    "healer VERDICT r13 #3 asked for, driven through the value "
+    "harness): the full mutation scenario, then the module-documented "
+    "SILENT corruption — an UN-EPOCHED replay of the bootstrap batch "
+    "(row relations self-heal through max_by; the stats AND termstats "
+    "delta SUMS double-count, drifting every idf/avgdl score) — then "
+    "verify_stats detects it (drift_detected gate) and repair_stats "
+    "commits ONE corrective delta re-basing (N, total_len) and every "
+    "drifted term's df (repaired_clean gate). The serve is the third "
+    "gate: its scores hash-match the brute replay over the live corpus "
+    "ONLY if the healed sums equal the exact live values — an "
+    "unrepaired index scores every query wrong "
+    "(operators/postings_index.py:repair_stats).",
+)
+def x_text_bm25_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.postings_index import (
+        PostingsIndex,
+    )
+
+    boot, upsert, dele = _bm25_scenario_frames(spark, sf_dir)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="bm25rep_", dir=shm)
+    try:
+        idx = PostingsIndex(spark, root, k1=_BM25_K1, b=_BM25_B)
+        idx.append(boot, seq=0, epoch="boot")
+        idx.append(upsert, seq=1, epoch="upsert")
+        idx.delete(dele, seq=2, epoch="delete")
+        idx.append(boot, seq=0)  # UN-EPOCHED replay: silent drift
+        rep = idx.repair_stats(epoch="repair")
+        # "repaired" == the PRE-repair audit found real drift (one
+        # audit fewer than a verify-then-repair sequence)
+        drifted = bool(rep.get("repaired"))
+        healed = bool(rep["ok"])
+        return (
+            _bm25_serve(spark, idx)
+            .withColumn("drift_detected", F.lit(drifted))
+            .withColumn("repaired_clean", F.lit(healed))
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -862,11 +862,13 @@ def test_repair_stats_heals_unepoched_replay_drift(spark, tmp_path):
     v = idx._store.current_version()
     rep = idx.repair_stats()
     assert rep["ok"] and idx._store.current_version() == v
+    assert rep["repaired"] is False  # clean audit committed nothing
     # the documented silent corruption: un-epoched replayed bootstrap
     idx.append(_docs(spark), seq=0)
     assert not idx.verify_stats()["ok"]
     rep2 = idx.repair_stats(epoch="repair-1")
     assert rep2["ok"] and rep2["stats_ok"] and rep2["termstats_ok"]
+    assert rep2["repaired"] is True  # the pre-repair audit saw drift
     # a replayed epoched repair no-ops (the corrective deltas are
     # themselves subject to the delta caveat)
     v2 = idx._store.current_version()
