@@ -3512,6 +3512,16 @@ def _hybrid_convex_oracle(allowed_mod: int | None = None) -> str:
             f" AND a.vec_id % {allowed_mod} <> 1" if allowed_mod else ""
         ),
     )
+    return _convex_fuse_sql(lex_sql, ann_sql)
+
+
+def _convex_fuse_sql(lex_sql: str, ann_sql: str) -> str:
+    """The shared convex-fusion CTE skeleton over an arbitrary lexical
+    replay (any SQL yielding (query_id, doc_id, score_micro) rows —
+    plain BM25, PRF, filtered) and the ANN replay: per-query exact
+    BIGINT min-max over each leg's OWN rows, 700/300 milli weights,
+    integral DIV throughout (DuckDB // on non-negative operands ==
+    Spark's DIV)."""
     minmax = """
   SELECT query_id, doc_id,
          CASE WHEN max(s) OVER (PARTITION BY query_id)
@@ -3700,6 +3710,102 @@ def x_hybrid_convex_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             shortlist=shortlist,
             exclude_self=True,
             allowed=sem_allowed,
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            (
+                F.floor(F.col("l2_dist") * F.lit(1000000.0)).cast("long")
+                * F.lit(-1)
+            ).alias("score_int"),
+        )
+        return convex_fuse(
+            [(lex, 700), (sem, 300)], k=5
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root_p, ignore_errors=True)
+        shutil.rmtree(root_a, ignore_errors=True)
+
+
+def _hybrid_convex_prf_oracle() -> str:
+    """Convex fusion with the LEXICAL leg replaced by the full
+    two-pass PRF replay at k=20 — the expansion terms change which
+    docs the lexical leg surfaces AND their score_micro values, so
+    the per-query min-max range (and with it every fused score)
+    depends on the whole PRF pipeline being exact."""
+    lex_sql = _bm25_prf_oracle_sql(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL",
+        k=20,
+        fb_docs=3,
+        fb_terms=2,
+    )
+    ann_sql = _index_serve_oracle(n_queries=4, k=20)
+    return _convex_fuse_sql(lex_sql, ann_sql)
+
+
+@register(
+    "x_hybrid_convex_prf",
+    oracle=_hybrid_convex_prf_oracle(),
+    tags=("extension", "text", "retrieval", "similarity", "incremental"),
+    doc="QUERY-EXPANDED convex hybrid retrieval (round 14 — the "
+    "production composition PRF exists for: expand the lexical query "
+    "from its own feedback docs, THEN fuse with the semantic leg): "
+    "the lexical leg is PostingsIndex.prf_topk(prune=True) at k=20 — "
+    "pass 1 at k=3 through the max-score serve, the exact integer "
+    "expansion vote from the index's own forward relation, pass 2 "
+    "re-served pruned — and the semantic leg is the ANN batch serve; "
+    "both min-max-normalized per query in exact BIGINT and fused "
+    "700/300. Oracle = the convex skeleton over the brute two-pass "
+    "PRF replay at k=20 + the ANN replay, so a drift anywhere in the "
+    "PRF pipeline (feedback ranking, vote, expanded rescoring), in "
+    "the pruning, or in the fusion changes the normalization range "
+    "and fails the hash (operators/retrieval.py:convex_fuse).",
+)
+def x_hybrid_convex_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from iheardai_data_pipeline_spark.operators.ann_index import (
+        PersistentAnnIndex,
+    )
+    from iheardai_data_pipeline_spark.operators.postings_index import (
+        PostingsIndex,
+    )
+    from iheardai_data_pipeline_spark.operators.retrieval import convex_fuse
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    n = emb.count()
+    shortlist = max(100, n // 5)
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root_p = tempfile.mkdtemp(prefix="hybp_pi_", dir=shm)
+    root_a = tempfile.mkdtemp(prefix="hybp_ann_", dir=shm)
+    try:
+        pidx = PostingsIndex(spark, root_p, k1=_BM25_K1, b=_BM25_B)
+        pidx.append(docs, seq=0)
+        lex = pidx.prf_topk(
+            _bm25_query_frame(spark),
+            k=20,
+            fb_docs=3,
+            fb_terms=2,
+            prune=True,
+        ).select(
+            "query_id", "doc_id", F.col("score_micro").alias("score_int")
+        )
+        aidx = PersistentAnnIndex.bootstrap(
+            spark, root_a, emb, centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS
+        )
+        sem = aidx.topk_batch(
+            queries, k=20, nprobe=4, shortlist=shortlist, exclude_self=True
         ).select(
             "query_id",
             F.col("vec_id").alias("doc_id"),

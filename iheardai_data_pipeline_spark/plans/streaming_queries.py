@@ -1485,3 +1485,101 @@ def t22_stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(root, ignore_errors=True)
     return res
+
+
+# --- T23 (extension): streaming ingest into the FIELDED (BM25F) postings index ----
+
+
+def _t23_oracle() -> str:
+    from iheardai_data_pipeline_spark.plans.extension_queries import (
+        _bm25f_oracle_sql,
+    )
+
+    return _bm25f_oracle_sql(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL"
+    )
+
+
+_T23_ORACLE = _t23_oracle()
+
+
+@register(
+    "t23_stream_bm25f_ingest",
+    oracle=_T23_ORACLE,
+    tags=("streaming", "text", "retrieval"),
+    doc="Streaming ingest into the FIELDED (BM25F) postings index "
+    "(round 14 — t22's multi-field twin): every micro-batch derives "
+    "the document fields (title = leading tokens, body = full text) "
+    "and appends EPOCH-GUARDED into a field_weights index — the exact "
+    "BIGINT milli tf fold rides the UNCHANGED five-relation append "
+    "(one weighted-token shuffle, doclen rollup, additive "
+    "stats/termstats deltas, O(batch) commit); nothing rescans the "
+    "corpus, and the fresh-id batches take the round-14 append diet "
+    "(no forward-diff probe). The stream-built index's BM25F serve "
+    "must hash-match the brute one-shot BM25F replay: the milli sums "
+    "are additive across disjoint batches, so batch boundaries must "
+    "be invisible to fielded ranking exactly as t22 proves for the "
+    "unfielded index.",
+)
+def t23_stream_bm25f_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from iheardai_data_pipeline_spark.operators.postings_index import (
+        PostingsIndex,
+    )
+    from iheardai_data_pipeline_spark.plans.extension_queries import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25F_WEIGHTS,
+        _bm25_query_frame,
+        _bm25f_doc_fields,
+    )
+    from iheardai_data_pipeline_spark.sources.batch import load_table
+    from iheardai_data_pipeline_spark.streaming.sinks import (
+        harness_checkpoint_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="t23_", dir=shm)
+    idx = PostingsIndex(
+        spark,
+        os.path.join(root, "idx"),
+        k1=_BM25_K1,
+        b=_BM25_B,
+        field_weights=_BM25F_WEIGHTS,
+    )
+
+    def ingest_batch(batch: DataFrame, batch_id: int) -> None:
+        idx.append(
+            _bm25f_doc_fields(
+                batch.where(F.col("text").isNotNull()).select(
+                    "doc_id", "text"
+                )
+            ),
+            seq=0,
+            epoch=f"t23-{batch_id}",
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    ckpt = harness_checkpoint_dir("t23_ckpt_")
+    try:
+        (
+            stream.writeStream.foreachBatch(ingest_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+            .awaitTermination()
+        )
+        res = idx.topk(_bm25_query_frame(spark), k=5).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+    return res
