@@ -953,6 +953,15 @@ class MultiRelationTransactionalStore:
             self._commits_dir()
         )
 
+    def relation_populated(self, rel: str) -> bool:
+        """True iff the CURRENT committed manifest lists any snapshot
+        for ``rel`` — a pure manifest check, no Spark job. Write-path
+        callers gate their replaced-version probes on it so a bootstrap
+        append into an empty store skips the probe subplan (and its
+        checkpoint barrier) outright; see PostingsIndex.append."""
+        manifest = self._manifest(self.current_version())
+        return bool(manifest and manifest.get(rel))
+
     def _manifest(self, version: int) -> dict[str, dict[str, list[str]]] | None:
         """{rel: {bucket: [snapshot, ...]}} — a bucket's rows are the
         concatenation of its snapshot-dir list (appends add pointers;
