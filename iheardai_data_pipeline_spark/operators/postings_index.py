@@ -740,17 +740,25 @@ class PostingsIndex:
         query_id_col: str,
         allowed: DataFrame | None = None,
         version: int | None = None,
+        stats_pair: tuple[int, int] | None = None,
     ) -> DataFrame:
         """The serve body behind :meth:`topk`, taking an already-
         tokenized (query_id, term) frame — also the pass-2 entry point
         for :meth:`prf_topk`, whose expanded term sets exist only as a
         frame, never as query text. ``version`` pins every store read
         (callers capture it once per serve — :meth:`topk`'s contract);
-        None falls back to per-read latest."""
+        None falls back to per-read latest. ``stats_pair`` lets a
+        multi-pass caller (PRF) hand in the (n_docs, total_len) it
+        already collected at the pinned version instead of re-running
+        the stats job per pass."""
         from pyspark.sql import Window
 
         ic = self.id_col
-        n_docs, total_len = self.stats(version=version)
+        n_docs, total_len = (
+            stats_pair
+            if stats_pair is not None
+            else self.stats(version=version)
+        )
         out_schema = (
             f"{query_id_col} long, {ic} long, n_terms long, "
             "score_micro long, score double, rnk long"
@@ -917,6 +925,10 @@ class PostingsIndex:
         allowed: DataFrame | None = None,
         diag: dict | None = None,
         version: int | None = None,
+        stats_pair: tuple[int, int] | None = None,
+        m: DataFrame | None = None,
+        ts_cache: dict | None = None,
+        probe_cache: dict | None = None,
     ) -> DataFrame:
         """EXACT top-k BM25 under max-score pruning (Turtle & Flood's
         max-score, the WAND family, re-expressed set-at-a-time): a hot
@@ -980,7 +992,18 @@ class PostingsIndex:
         the workload terms' maintained df — a bookkeeping total from
         the termstats lookup, NOT a count of scanned rows (the r12
         serve's probed-postings count it replaced; renamed from
-        live_postings_rows, ADVICE r13)."""
+        live_postings_rows, ADVICE r13).
+
+        Multi-pass reuse params (round-14 job diet — every one an
+        evaluation-strategy change only, all version-pinned so the
+        reused state is bit-identical to a refetch): ``stats_pair`` =
+        an already-collected (n_docs, total_len); ``m`` = an already-
+        checkpointed mutation delta; ``ts_cache`` = {term: (df,
+        max_tf) | None} maintained-termstats cache (None = term absent
+        at this version; only MISSING terms are fetched and the cache
+        is updated in place); ``probe_cache`` = {"read_terms": set,
+        "ess_live": frame} so a second pass never re-probes a term
+        bucket the first pass already read."""
         import math
 
         from pyspark.sql import Window
@@ -993,19 +1016,49 @@ class PostingsIndex:
             f"{query_id_col} long, {ic} long, n_terms long, "
             "score_micro long, score double, rnk long"
         )
-        n_docs, total_len = self.stats(version=version)
+        n_docs, total_len = (
+            stats_pair
+            if stats_pair is not None
+            else self.stats(version=version)
+        )
         if n_docs <= 0:
             return self.spark.createDataFrame([], out_schema)
         n_docs_f = float(n_docs)
         avgdl = (float(total_len) / self._tf_scale) / n_docs_f
         # -- 1. maintained per-term stats (commit-count-sized read) ------
-        stats_frame = self._term_stats_frame(qterms, version=version)
-        if stats_frame is None:
-            return self.spark.createDataFrame([], out_schema)
-        term_stats = {
-            r["term"]: (int(r["df"]), int(r["max_tf"]))
-            for r in stats_frame.collect()
-        }  # bounded by the workload's distinct terms
+        # ONE collect of the (query_id, term) workload feeds both the
+        # termstats fetch and the per-query term lists below
+        qpairs = qterms.collect()  # bounded by the serving workload
+        workload_terms = {r["term"] for r in qpairs}
+        term_stats: dict = {}
+        if ts_cache is not None:
+            for t in workload_terms & set(ts_cache):
+                if ts_cache[t] is not None:
+                    term_stats[t] = ts_cache[t]
+        missing = sorted(
+            workload_terms - (set(ts_cache) if ts_cache is not None else set())
+        )
+        if missing:
+            stats_frame = self._term_stats_frame(
+                self.spark.createDataFrame(
+                    [(t,) for t in missing], "term string"
+                ),
+                version=version,
+            )
+            fetched = (
+                {}
+                if stats_frame is None
+                else {
+                    r["term"]: (int(r["df"]), int(r["max_tf"]))
+                    for r in stats_frame.collect()
+                }
+            )
+            for t in missing:
+                got_ts = fetched.get(t)
+                if ts_cache is not None:
+                    ts_cache[t] = got_ts
+                if got_ts is not None:
+                    term_stats[t] = got_ts
         if not term_stats:
             return self.spark.createDataFrame([], out_schema)
         if diag is not None:
@@ -1030,7 +1083,7 @@ class PostingsIndex:
             ubm[t] = int(math.floor(idf * sat * 1e6 * (1.0 + 1e-9))) + 1
 
         q_terms: dict = {}
-        for r in qterms.collect():  # bounded by the serving workload
+        for r in qpairs:
             if r["term"] in term_stats:
                 q_terms.setdefault(r[query_id_col], []).append(r["term"])
         for qid in q_terms:
@@ -1066,8 +1119,10 @@ class PostingsIndex:
 
         # M (the doclens mutation delta) is computed ONCE and reused by
         # every iteration's essential probe AND the forward liveness —
-        # no per-iteration doclens read of any kind
-        m = self._mutation_delta(version=version)
+        # no per-iteration doclens read of any kind (and a multi-pass
+        # caller hands in the one it already checkpointed)
+        if m is None:
+            m = self._mutation_delta(version=version)
         if m is None:
             return self.spark.createDataFrame([], out_schema)
 
@@ -1076,9 +1131,16 @@ class PostingsIndex:
         unfinished = set(q_terms)
         finals: list[DataFrame] = []
         # postings probed so far: essential terms only, incrementally
-        # as prefixes grow (a term's bucket is read at most once)
-        ess_live = self.spark.createDataFrame([], f"term string, {ic} long")
-        read_terms: set = set()
+        # as prefixes grow (a term's bucket is read at most once — and
+        # with ``probe_cache``, at most once across a MULTI-PASS serve)
+        if probe_cache is not None and "ess_live" in probe_cache:
+            ess_live = probe_cache["ess_live"]
+            read_terms = set(probe_cache["read_terms"])
+        else:
+            ess_live = self.spark.createDataFrame(
+                [], f"term string, {ic} long"
+            )
+            read_terms = set()
         while unfinished:
             if diag is not None:
                 diag["iterations"] += 1
@@ -1097,13 +1159,21 @@ class PostingsIndex:
                     version=version,
                 )
                 if got is not None:
-                    got = got.select("term", ic).localCheckpoint(eager=True)
+                    got = got.select("term", ic)
                     if diag is not None:
+                        # measurement only: the probe count needs its
+                        # own materialization (an extra job per probe —
+                        # never benchmark with diag set)
+                        got = got.localCheckpoint(eager=True)
                         diag["probed_postings_rows"] += got.count()
+                    # ONE checkpoint materializes probe + union together
                     ess_live = ess_live.unionByName(got).localCheckpoint(
                         eager=True
                     )
                 read_terms |= set(new_terms)
+                if probe_cache is not None:
+                    probe_cache["ess_live"] = ess_live
+                    probe_cache["read_terms"] = set(read_terms)
             ess_pairs = [
                 (qid, t)
                 for qid in sorted(unfinished)
@@ -1315,13 +1385,37 @@ class PostingsIndex:
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # per-serve shared state (round-14 job diet): stats collected
+        # ONCE, the mutation delta checkpointed ONCE, and the pruned
+        # passes share a termstats cache + probe cache — all pinned to
+        # the one serve version, so pass 2 reuses pass 1's state
+        # bit-identically instead of re-running its driver jobs
+        stats_pair = self.stats(version=version)
+        shared_m = self._mutation_delta(version=version) if prune else None
+        ts_cache: dict = {}
+        probe_cache: dict = {}
+
         def serve(qt: DataFrame, kk: int) -> DataFrame:
             if prune:
                 return self._topk_pruned(
-                    qt, kk, query_id_col, allowed, diag, version=version
+                    qt,
+                    kk,
+                    query_id_col,
+                    allowed,
+                    diag,
+                    version=version,
+                    stats_pair=stats_pair,
+                    m=shared_m,
+                    ts_cache=ts_cache,
+                    probe_cache=probe_cache,
                 )
             return self._topk_terms(
-                qt, kk, query_id_col, allowed, version=version
+                qt,
+                kk,
+                query_id_col,
+                allowed,
+                version=version,
+                stats_pair=stats_pair,
             )
 
         # ``allowed`` applies to BOTH passes: restricted serving should
@@ -1331,7 +1425,7 @@ class PostingsIndex:
             .select(query_id_col, ic)
             .localCheckpoint(eager=True)
         )
-        n_docs, _total = self.stats(version=version)
+        n_docs, _total = stats_pair
         if n_docs <= 0 or not fb.take(1):
             # no corpus or no pass-1 matches anywhere: pass 2 == pass 1
             return serve(qterms, k)

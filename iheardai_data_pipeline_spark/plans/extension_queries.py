@@ -1777,33 +1777,60 @@ def x_sim_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="annupd_", dir=shm)
     root2 = tempfile.mkdtemp(prefix="annupd_fresh_", dir=shm)
     try:
-        idx = PersistentAnnIndex.bootstrap(
-            spark, root, corpus, centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS
-        )
-        idx.append(b1, seq=2, epoch="b1")
-        idx.append(b1, seq=2, epoch="b1")  # replay: must no-op
-        idx.delete(deleted, seq=3)
-        idx.append(b2, seq=4)
-        got = idx.topk(
-            qvec, k=10, nprobe=4, shortlist=shortlist, exclude_id=qid
-        )
-        fresh = PersistentAnnIndex.bootstrap(
-            spark,
-            root2,
-            final_state,
-            centroids=_SERVE_CENTROIDS,
-            books=_SERVE_BOOKS,
-        )
-        want = fresh.topk(
-            qvec, k=10, nprobe=4, shortlist=shortlist, exclude_id=qid
-        )
-        diff = got.exceptAll(want).count() + want.exceptAll(got).count()
-        n_deleted_served = got.filter(F.col("vec_id") % 10 == 0).count()
+        from iheardai_data_pipeline_spark.session import parallel_legs
+
+        # the churned index and the fresh-build gate index are fully
+        # independent builds on disjoint stores: overlap them (§2.6);
+        # each leg pins its serve once so the gate compares checkpointed
+        # frames instead of re-running the serve per gate job
+        def churn_leg():
+            idx = PersistentAnnIndex.bootstrap(
+                spark, root, corpus,
+                centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS,
+            )
+            idx.append(b1, seq=2, epoch="b1")
+            idx.append(b1, seq=2, epoch="b1")  # replay: must no-op
+            idx.delete(deleted, seq=3)
+            idx.append(b2, seq=4)
+            return idx.topk(
+                qvec, k=10, nprobe=4, shortlist=shortlist, exclude_id=qid
+            ).localCheckpoint(eager=True)
+
+        def fresh_leg():
+            fresh = PersistentAnnIndex.bootstrap(
+                spark,
+                root2,
+                final_state,
+                centroids=_SERVE_CENTROIDS,
+                books=_SERVE_BOOKS,
+            )
+            return fresh.topk(
+                qvec, k=10, nprobe=4, shortlist=shortlist, exclude_id=qid
+            ).localCheckpoint(eager=True)
+
+        got, want = parallel_legs(churn_leg, fresh_leg)
+        # ONE gate job: the symmetric-difference rows and the
+        # deleted-id rows counted together (was 3 jobs over an
+        # UNCHECKPOINTED serve — 4 serve executions in total)
+        gate = {
+            r["k"]: r["n"]
+            for r in got.exceptAll(want)
+            .unionAll(want.exceptAll(got))
+            .select(F.lit("diff").alias("k"))
+            .unionAll(
+                got.filter(F.col("vec_id") % 10 == 0).select(
+                    F.lit("deleted").alias("k")
+                )
+            )
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
         return got.select(
             "vec_id",
             "l2_dist",
-            F.lit(diff == 0).alias("serve_equals_fresh_build"),
-            F.lit(n_deleted_served == 0).alias("deleted_ids_absent"),
+            F.lit(gate.get("diff", 0) == 0).alias("serve_equals_fresh_build"),
+            F.lit(gate.get("deleted", 0) == 0).alias("deleted_ids_absent"),
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1886,18 +1913,31 @@ def x_sim_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.compact()
         after = idx.topk(
             qvec, k=10, nprobe=4, shortlist=shortlist, exclude_id=qid
-        )
-        diff = (
-            before.exceptAll(after).count() + after.exceptAll(before).count()
-        )
-        phys_after = idx._store.read("codes").count()
-        # exactly one physical row per live indexed id (NULL/zero-norm
-        # rows were never indexed — normalize_rows' rule)
-        live_expected = normalize_rows(final_state).count()
+        ).localCheckpoint(eager=True)  # pinned once; gates below reuse it
+        # ONE gate job: symmetric-difference rows, post-compact physical
+        # rows, and the expected live count tallied together (was 4
+        # jobs, two of them re-running the post-compact serve)
+        gate = {
+            r["k"]: r["n"]
+            for r in before.exceptAll(after)
+            .unionAll(after.exceptAll(before))
+            .select(F.lit("diff").alias("k"))
+            .unionAll(idx._store.read("codes").select(F.lit("phys").alias("k")))
+            .unionAll(
+                # exactly one physical row per live indexed id (NULL/
+                # zero-norm rows were never indexed — normalize_rows)
+                normalize_rows(final_state).select(F.lit("live").alias("k"))
+            )
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        phys_after = gate.get("phys", 0)
+        live_expected = gate.get("live", 0)
         return after.select(
             "vec_id",
             "l2_dist",
-            F.lit(diff == 0).alias("compact_serve_identical"),
+            F.lit(gate.get("diff", 0) == 0).alias("compact_serve_identical"),
             F.lit(
                 phys_before > phys_after and phys_after == live_expected
             ).alias("compact_reclaims_rows"),
@@ -1946,21 +1986,31 @@ def x_sim_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     root_a = tempfile.mkdtemp(prefix="annmrg_a_", dir=shm)
     root_b = tempfile.mkdtemp(prefix="annmrg_b_", dir=shm)
     try:
-        shard_a = PersistentAnnIndex.bootstrap(
-            spark,
-            root_a,
-            half_a,
-            centroids=_SERVE_CENTROIDS,
-            books=_SERVE_BOOKS,
-        )
-        shard_a.delete(deleted, seq=3)
-        shard_b = PersistentAnnIndex.bootstrap(
-            spark,
-            root_b,
-            half_b,
-            centroids=_SERVE_CENTROIDS,
-            books=_SERVE_BOOKS,
-        )
+        from iheardai_data_pipeline_spark.session import parallel_legs
+
+        # the two shard builds are independent (disjoint stores):
+        # overlap their bootstrap/delete job sequences (guide §2.6)
+        def build_a():
+            s = PersistentAnnIndex.bootstrap(
+                spark,
+                root_a,
+                half_a,
+                centroids=_SERVE_CENTROIDS,
+                books=_SERVE_BOOKS,
+            )
+            s.delete(deleted, seq=3)
+            return s
+
+        def build_b():
+            return PersistentAnnIndex.bootstrap(
+                spark,
+                root_b,
+                half_b,
+                centroids=_SERVE_CENTROIDS,
+                books=_SERVE_BOOKS,
+            )
+
+        shard_a, shard_b = parallel_legs(build_a, build_b)
         shard_a.merge(shard_b, epoch="merge-b")
         shard_a.merge(shard_b, epoch="merge-b")  # replay: must no-op
         return shard_a.topk(
@@ -2937,15 +2987,23 @@ def x_text_bm25_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         PostingsIndex,
     )
 
+    from iheardai_data_pipeline_spark.session import parallel_legs
+
     boot, upsert, dele = _bm25_scenario_frames(spark, sf_dir)
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     root_a = tempfile.mkdtemp(prefix="bm25mrg_a_", dir=shm)
     root_b = tempfile.mkdtemp(prefix="bm25mrg_b_", dir=shm)
     try:
-        a = PostingsIndex(spark, root_a, k1=_BM25_K1, b=_BM25_B)
-        a.append(boot.filter(F.col("doc_id") % 2 == 0), seq=0)
-        b = PostingsIndex(spark, root_b, k1=_BM25_K1, b=_BM25_B)
-        b.append(boot.filter(F.col("doc_id") % 2 == 1), seq=0)
+        # the two shard builds are independent (disjoint stores, disjoint
+        # id spaces): overlap their driver-sequenced append jobs
+        def build(root, parity):
+            idx = PostingsIndex(spark, root, k1=_BM25_K1, b=_BM25_B)
+            idx.append(boot.filter(F.col("doc_id") % 2 == parity), seq=0)
+            return idx
+
+        a, b = parallel_legs(
+            lambda: build(root_a, 0), lambda: build(root_b, 1)
+        )
         a.merge(b, epoch="merge-b")
         a.merge(b, epoch="merge-b")  # replay: must no-op
         a.append(upsert, seq=1)
@@ -3383,24 +3441,35 @@ def x_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     root_p = tempfile.mkdtemp(prefix="hyb_pi_", dir=shm)
     root_a = tempfile.mkdtemp(prefix="hyb_ann_", dir=shm)
     try:
-        pidx = PostingsIndex(spark, root_p, k1=_BM25_K1, b=_BM25_B)
-        pidx.append(docs, seq=0)
-        lex = pidx.topk(_bm25_query_frame(spark), k=20).select(
-            "query_id", "doc_id", "rnk"
-        )
-        aidx = PersistentAnnIndex.bootstrap(
-            spark, root_a, emb, centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS
-        )
-        served = aidx.topk_batch(
-            queries, k=20, nprobe=4, shortlist=shortlist, exclude_self=True
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.asc("l2_dist"), F.asc("vec_id")
-        )
-        sem = (
-            served.withColumn("rnk", F.row_number().over(w).cast("long"))
-            .select("query_id", F.col("vec_id").alias("doc_id"), "rnk")
-        )
+        from iheardai_data_pipeline_spark.session import parallel_legs
+
+        # independent legs, overlapped (guide §2.6) — see x_hybrid_convex
+        def lex_leg():
+            pidx = PostingsIndex(spark, root_p, k1=_BM25_K1, b=_BM25_B)
+            pidx.append(docs, seq=0)
+            return pidx.topk(_bm25_query_frame(spark), k=20).select(
+                "query_id", "doc_id", "rnk"
+            ).localCheckpoint(eager=True)
+
+        def sem_leg():
+            aidx = PersistentAnnIndex.bootstrap(
+                spark, root_a, emb,
+                centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS,
+            )
+            served = aidx.topk_batch(
+                queries, k=20, nprobe=4, shortlist=shortlist,
+                exclude_self=True,
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.asc("l2_dist"), F.asc("vec_id")
+            )
+            return (
+                served.withColumn("rnk", F.row_number().over(w).cast("long"))
+                .select("query_id", F.col("vec_id").alias("doc_id"), "rnk")
+                .localCheckpoint(eager=True)
+            )
+
+        lex, sem = parallel_legs(lex_leg, sem_leg)
         return rrf_fuse([lex, sem], k=5).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root_p, ignore_errors=True)
@@ -3459,29 +3528,39 @@ def x_hybrid_rrf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     root_p = tempfile.mkdtemp(prefix="hybf_pi_", dir=shm)
     root_a = tempfile.mkdtemp(prefix="hybf_ann_", dir=shm)
     try:
-        pidx = PostingsIndex(spark, root_p, k1=_BM25_K1, b=_BM25_B)
-        pidx.append(docs, seq=0)
-        lex = pidx.topk(
-            _bm25_query_frame(spark), k=20, allowed=lex_allowed
-        ).select("query_id", "doc_id", "rnk")
-        aidx = PersistentAnnIndex.bootstrap(
-            spark, root_a, emb, centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS
-        )
-        served = aidx.topk_batch(
-            queries,
-            k=20,
-            nprobe=4,
-            shortlist=shortlist,
-            exclude_self=True,
-            allowed=sem_allowed,
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.asc("l2_dist"), F.asc("vec_id")
-        )
-        sem = (
-            served.withColumn("rnk", F.row_number().over(w).cast("long"))
-            .select("query_id", F.col("vec_id").alias("doc_id"), "rnk")
-        )
+        from iheardai_data_pipeline_spark.session import parallel_legs
+
+        # independent legs, overlapped (guide §2.6) — see x_hybrid_convex
+        def lex_leg():
+            pidx = PostingsIndex(spark, root_p, k1=_BM25_K1, b=_BM25_B)
+            pidx.append(docs, seq=0)
+            return pidx.topk(
+                _bm25_query_frame(spark), k=20, allowed=lex_allowed
+            ).select("query_id", "doc_id", "rnk").localCheckpoint(eager=True)
+
+        def sem_leg():
+            aidx = PersistentAnnIndex.bootstrap(
+                spark, root_a, emb,
+                centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS,
+            )
+            served = aidx.topk_batch(
+                queries,
+                k=20,
+                nprobe=4,
+                shortlist=shortlist,
+                exclude_self=True,
+                allowed=sem_allowed,
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.asc("l2_dist"), F.asc("vec_id")
+            )
+            return (
+                served.withColumn("rnk", F.row_number().over(w).cast("long"))
+                .select("query_id", F.col("vec_id").alias("doc_id"), "rnk")
+                .localCheckpoint(eager=True)
+            )
+
+        lex, sem = parallel_legs(lex_leg, sem_leg)
         return rrf_fuse([lex, sem], k=5).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root_p, ignore_errors=True)
@@ -3616,24 +3695,35 @@ def x_hybrid_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
     root_p = tempfile.mkdtemp(prefix="hybc_pi_", dir=shm)
     root_a = tempfile.mkdtemp(prefix="hybc_ann_", dir=shm)
     try:
-        pidx = PostingsIndex(spark, root_p, k1=_BM25_K1, b=_BM25_B)
-        pidx.append(docs, seq=0)
-        lex = pidx.topk(_bm25_query_frame(spark), k=20).select(
-            "query_id", "doc_id", F.col("score_micro").alias("score_int")
-        )
-        aidx = PersistentAnnIndex.bootstrap(
-            spark, root_a, emb, centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS
-        )
-        sem = aidx.topk_batch(
-            queries, k=20, nprobe=4, shortlist=shortlist, exclude_self=True
-        ).select(
-            "query_id",
-            F.col("vec_id").alias("doc_id"),
-            (
-                F.floor(F.col("l2_dist") * F.lit(1000000.0)).cast("long")
-                * F.lit(-1)
-            ).alias("score_int"),
-        )
+        from iheardai_data_pipeline_spark.session import parallel_legs
+
+        # the two legs are independent until the fusion (disjoint
+        # stores): overlap their build+serve job sequences (guide §2.6)
+        def lex_leg():
+            pidx = PostingsIndex(spark, root_p, k1=_BM25_K1, b=_BM25_B)
+            pidx.append(docs, seq=0)
+            return pidx.topk(_bm25_query_frame(spark), k=20).select(
+                "query_id", "doc_id", F.col("score_micro").alias("score_int")
+            ).localCheckpoint(eager=True)
+
+        def sem_leg():
+            aidx = PersistentAnnIndex.bootstrap(
+                spark, root_a, emb,
+                centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS,
+            )
+            return aidx.topk_batch(
+                queries, k=20, nprobe=4, shortlist=shortlist,
+                exclude_self=True,
+            ).select(
+                "query_id",
+                F.col("vec_id").alias("doc_id"),
+                (
+                    F.floor(F.col("l2_dist") * F.lit(1000000.0)).cast("long")
+                    * F.lit(-1)
+                ).alias("score_int"),
+            ).localCheckpoint(eager=True)
+
+        lex, sem = parallel_legs(lex_leg, sem_leg)
         return convex_fuse(
             [(lex, 700), (sem, 300)], k=5
         ).localCheckpoint(eager=True)
@@ -3693,31 +3783,40 @@ def x_hybrid_convex_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     root_p = tempfile.mkdtemp(prefix="hybcf_pi_", dir=shm)
     root_a = tempfile.mkdtemp(prefix="hybcf_ann_", dir=shm)
     try:
-        pidx = PostingsIndex(spark, root_p, k1=_BM25_K1, b=_BM25_B)
-        pidx.append(docs, seq=0)
-        lex = pidx.topk(
-            _bm25_query_frame(spark), k=20, allowed=lex_allowed
-        ).select(
-            "query_id", "doc_id", F.col("score_micro").alias("score_int")
-        )
-        aidx = PersistentAnnIndex.bootstrap(
-            spark, root_a, emb, centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS
-        )
-        sem = aidx.topk_batch(
-            queries,
-            k=20,
-            nprobe=4,
-            shortlist=shortlist,
-            exclude_self=True,
-            allowed=sem_allowed,
-        ).select(
-            "query_id",
-            F.col("vec_id").alias("doc_id"),
-            (
-                F.floor(F.col("l2_dist") * F.lit(1000000.0)).cast("long")
-                * F.lit(-1)
-            ).alias("score_int"),
-        )
+        from iheardai_data_pipeline_spark.session import parallel_legs
+
+        # independent legs, overlapped (guide §2.6) — see x_hybrid_convex
+        def lex_leg():
+            pidx = PostingsIndex(spark, root_p, k1=_BM25_K1, b=_BM25_B)
+            pidx.append(docs, seq=0)
+            return pidx.topk(
+                _bm25_query_frame(spark), k=20, allowed=lex_allowed
+            ).select(
+                "query_id", "doc_id", F.col("score_micro").alias("score_int")
+            ).localCheckpoint(eager=True)
+
+        def sem_leg():
+            aidx = PersistentAnnIndex.bootstrap(
+                spark, root_a, emb,
+                centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS,
+            )
+            return aidx.topk_batch(
+                queries,
+                k=20,
+                nprobe=4,
+                shortlist=shortlist,
+                exclude_self=True,
+                allowed=sem_allowed,
+            ).select(
+                "query_id",
+                F.col("vec_id").alias("doc_id"),
+                (
+                    F.floor(F.col("l2_dist") * F.lit(1000000.0)).cast("long")
+                    * F.lit(-1)
+                ).alias("score_int"),
+            ).localCheckpoint(eager=True)
+
+        lex, sem = parallel_legs(lex_leg, sem_leg)
         return convex_fuse(
             [(lex, 700), (sem, 300)], k=5
         ).localCheckpoint(eager=True)
@@ -3790,30 +3889,40 @@ def x_hybrid_convex_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     root_p = tempfile.mkdtemp(prefix="hybp_pi_", dir=shm)
     root_a = tempfile.mkdtemp(prefix="hybp_ann_", dir=shm)
     try:
-        pidx = PostingsIndex(spark, root_p, k1=_BM25_K1, b=_BM25_B)
-        pidx.append(docs, seq=0)
-        lex = pidx.prf_topk(
-            _bm25_query_frame(spark),
-            k=20,
-            fb_docs=3,
-            fb_terms=2,
-            prune=True,
-        ).select(
-            "query_id", "doc_id", F.col("score_micro").alias("score_int")
-        )
-        aidx = PersistentAnnIndex.bootstrap(
-            spark, root_a, emb, centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS
-        )
-        sem = aidx.topk_batch(
-            queries, k=20, nprobe=4, shortlist=shortlist, exclude_self=True
-        ).select(
-            "query_id",
-            F.col("vec_id").alias("doc_id"),
-            (
-                F.floor(F.col("l2_dist") * F.lit(1000000.0)).cast("long")
-                * F.lit(-1)
-            ).alias("score_int"),
-        )
+        from iheardai_data_pipeline_spark.session import parallel_legs
+
+        # independent legs, overlapped (guide §2.6) — see x_hybrid_convex
+        def lex_leg():
+            pidx = PostingsIndex(spark, root_p, k1=_BM25_K1, b=_BM25_B)
+            pidx.append(docs, seq=0)
+            return pidx.prf_topk(
+                _bm25_query_frame(spark),
+                k=20,
+                fb_docs=3,
+                fb_terms=2,
+                prune=True,
+            ).select(
+                "query_id", "doc_id", F.col("score_micro").alias("score_int")
+            ).localCheckpoint(eager=True)
+
+        def sem_leg():
+            aidx = PersistentAnnIndex.bootstrap(
+                spark, root_a, emb,
+                centroids=_SERVE_CENTROIDS, books=_SERVE_BOOKS,
+            )
+            return aidx.topk_batch(
+                queries, k=20, nprobe=4, shortlist=shortlist,
+                exclude_self=True,
+            ).select(
+                "query_id",
+                F.col("vec_id").alias("doc_id"),
+                (
+                    F.floor(F.col("l2_dist") * F.lit(1000000.0)).cast("long")
+                    * F.lit(-1)
+                ).alias("score_int"),
+            ).localCheckpoint(eager=True)
+
+        lex, sem = parallel_legs(lex_leg, sem_leg)
         return convex_fuse(
             [(lex, 700), (sem, 300)], k=5
         ).localCheckpoint(eager=True)

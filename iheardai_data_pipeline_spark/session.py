@@ -15,6 +15,28 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def parallel_legs(*thunks):
+    """Run independent driver-sequenced work legs (index builds, shard
+    bootstraps, gate recomputations) on a small thread pool so one
+    leg's jobs back-fill executors the other leg's driver barriers
+    leave idle (guide §2.6: actions are only sequential because the
+    driver calls them sequentially). Returns results in thunk order;
+    the first exception re-raises.
+
+    Use ONLY for legs with no data dependency and disjoint store
+    paths — the scheduler (FIFO) interleaves their jobs on one
+    SparkSession, which is exactly the supported multi-threaded-driver
+    pattern. At 100 TB the same overlap hides each leg's commit/probe
+    barriers behind the other leg's scan compute."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def get_spark(
     app_name: str = "iheardai_data_pipeline_spark",
     master: str | None = None,

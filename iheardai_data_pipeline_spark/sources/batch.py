@@ -118,16 +118,49 @@ def bigint_epoch_to_ts(col: str, unit_to_micros: int) -> F.Column:
     return F.timestamp_micros(F.col(col) * unit_to_micros)
 
 
+# Per-file caches keyed on (realpath, mtime_ns, size): the schema of a
+# testdata parquet (saves the ~100-200ms driver-side footer inference
+# EVERY load_table call otherwise pays — guide §5, keep the driver out
+# of repeated metadata work) and the inferred epoch unit of the rare
+# bigint-timestamp column (saves its one-row stats collect). The stat
+# triple invalidates both if a fixture is ever rewritten in place.
+_TABLE_SCHEMA_CACHE: dict = {}
+_EPOCH_UNIT_CACHE: dict = {}
+
+
+def _table_cache_key(path: str):
+    try:
+        st = os.stat(path)
+        return (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated parquet table from ``sf_dir``."""
     _set_read_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = _table_cache_key(path)
+    cached = _TABLE_SCHEMA_CACHE.get(key) if key is not None else None
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _TABLE_SCHEMA_CACHE[key] = df.schema
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
-            # rare path (fixture-dependent); the one-column max is a
-            # parquet-stats aggregate, nearly free
-            max_val = df.agg(F.max(col)).collect()[0][0]
-            df = df.withColumn(col, bigint_epoch_to_ts(col, infer_epoch_unit(max_val)))
+            unit = (
+                _EPOCH_UNIT_CACHE.get((key, col)) if key is not None else None
+            )
+            if unit is None:
+                # rare path (fixture-dependent); the one-column max is a
+                # parquet-stats aggregate, nearly free
+                max_val = df.agg(F.max(col)).collect()[0][0]
+                unit = infer_epoch_unit(max_val)
+                if key is not None:
+                    _EPOCH_UNIT_CACHE[(key, col)] = unit
+            df = df.withColumn(col, bigint_epoch_to_ts(col, unit))
     # belt-and-braces: any NTZ column that still slipped through (e.g. the
     # conf not honored by an exotic reader path) becomes a plain TIMESTAMP;
     # under the UTC session zone the cast preserves the stored wall-clock.

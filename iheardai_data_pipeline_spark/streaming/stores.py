@@ -67,6 +67,18 @@ def _occ_current_version(commits_dir: str) -> int:
     return max(versions, default=0)
 
 
+def _nullable_schema(schema):
+    """The schema with every field (recursively at the top level)
+    nullable — parquet round-trips Spark frames with all fields
+    optional, so a cached read schema must be nullable to match what
+    footer inference would have produced."""
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [StructField(f.name, f.dataType, True, f.metadata) for f in schema]
+    )
+
+
 def _staged_write_tasks(spark, n_groups: int) -> int:
     """Task count for a staged bucketed write: one task per (rel,
     bucket) group UP TO the cluster's parallelism, beyond which groups
@@ -602,6 +614,13 @@ class BucketedTransactionalStore:
         self.key_cols = key_cols
         self.order_cols = order_cols
         self.max_retries = max_retries
+        # Cached parquet file schema of this store's staged files: every
+        # commit writes the same row schema (the merge/fold contract), so
+        # schema inference — a per-`spark.read.parquet` driver cost of
+        # ~100-200ms (footer read + file listing) — needs to run at most
+        # ONCE per store instance; writes prime it for free from the
+        # staged frame (guide §5: keep the driver out of the data path).
+        self._file_schema = None
         os.makedirs(os.path.join(path, "_snapshots"), exist_ok=True)
         os.makedirs(os.path.join(path, "_commits"), exist_ok=True)
         # n_buckets is part of the on-disk layout: a writer opening an
@@ -655,6 +674,16 @@ class BucketedTransactionalStore:
             payload["epoch"] = epoch
         return _occ_try_claim(self._commits_dir(), version, payload)
 
+    def _read_parquet(self, *paths: str) -> DataFrame:
+        """Parquet read with the store's cached file schema (all commits
+        share one row schema — the merge/fold contract — so inference
+        runs at most once per instance; staged writes prime the cache)."""
+        if self._file_schema is None:
+            df = self.spark.read.parquet(*paths)
+            self._file_schema = _nullable_schema(df.schema)
+            return df
+        return self.spark.read.schema(self._file_schema).parquet(*paths)
+
     # the partition column/dir uses a dunder name so a data column named
     # "bucket" is never clobbered, and the underscore prefix hides the
     # dirs from accidental recursive partition discovery
@@ -686,7 +715,7 @@ class BucketedTransactionalStore:
         if not manifest:
             return None
         paths = [self._bucket_path(s, b) for b, s in manifest.items()]
-        return self.spark.read.parquet(*paths)
+        return self._read_parquet(*paths)
 
     def read_keys(
         self, keys: DataFrame, version: int | None = None
@@ -721,7 +750,7 @@ class BucketedTransactionalStore:
         ]
         if not paths:
             return None
-        return self.spark.read.parquet(*paths).join(kd, self.key_cols, "left_semi")
+        return self._read_parquet(*paths).join(kd, self.key_cols, "left_semi")
 
     def apply_keyed(self, updates: DataFrame, fn, epoch=None) -> None:
         """OCC partial-rewrite read-modify-write:
@@ -756,9 +785,10 @@ class BucketedTransactionalStore:
             cur_paths = [
                 self._bucket_path(s, b) for b, s in base.items() if b in touched
             ]
-            current = self.spark.read.parquet(*cur_paths) if cur_paths else None
+            current = self._read_parquet(*cur_paths) if cur_paths else None
             merged = fn(current, upd_data)
             name = uuid.uuid4().hex
+            self._file_schema = _nullable_schema(merged.schema)
             (
                 merged.withColumn("__bucket", self._bucket_expr())
                 # co-locate each bucket before partitionBy: ONE file per
@@ -810,6 +840,7 @@ class BucketedTransactionalStore:
         for _ in range(self.max_retries):
             base_version = self.current_version()
             name = uuid.uuid4().hex
+            self._file_schema = _nullable_schema(df.schema)
             (
                 df.withColumn("__bucket", self._bucket_expr())
                 # one file per bucket (see apply_keyed)
@@ -925,6 +956,11 @@ class MultiRelationTransactionalStore:
         self.path = path
         self.relations = dict(relations)
         self.max_retries = max_retries
+        # cached UNION file schema (see BucketedTransactionalStore
+        # _read_parquet): every commit stages the same union schema —
+        # a documented constraint of this store — so per-read footer
+        # inference is pure repeated driver cost; writes prime it
+        self._file_schema = None
         os.makedirs(os.path.join(path, "_snapshots"), exist_ok=True)
         os.makedirs(os.path.join(path, "_commits"), exist_ok=True)
         # layout constants pinned by the first creator (see
@@ -1013,6 +1049,27 @@ class MultiRelationTransactionalStore:
             self.path, "_snapshots", snapshot, f"__rel={rel}", f"__bucket={bucket}"
         )
 
+    def _read_parquet(self, *paths: str) -> DataFrame:
+        """Parquet read with the cached union file schema (all staged
+        files carry it — the class's documented schema constraint), so
+        footer inference runs at most once per store instance."""
+        if self._file_schema is None:
+            df = self.spark.read.parquet(*paths)
+            self._file_schema = _nullable_schema(df.schema)
+            return df
+        return self.spark.read.schema(self._file_schema).parquet(*paths)
+
+    def _prime_file_schema(self, all_df: DataFrame) -> None:
+        """Derive the union FILE schema from a staged frame: partitionBy
+        moves __rel/__bucket into directory names, so the files hold
+        exactly the remaining columns."""
+        drop = {"__rel", "__bucket"}
+        from pyspark.sql.types import StructType
+
+        self._file_schema = _nullable_schema(
+            StructType([f for f in all_df.schema if f.name not in drop])
+        )
+
     def _written_buckets(self, snapshot: str, rel: str) -> set[str]:
         d = os.path.join(self.path, "_snapshots", snapshot, f"__rel={rel}")
         if not os.path.isdir(d):
@@ -1048,7 +1105,7 @@ class MultiRelationTransactionalStore:
             for b, names in manifest[rel].items()
             for s in names
         ]
-        return self.spark.read.parquet(*paths)
+        return self._read_parquet(*paths)
 
     def read_keys(
         self,
@@ -1115,7 +1172,7 @@ class MultiRelationTransactionalStore:
             from pyspark.sql import functions as F
 
             kd = F.broadcast(kd)
-        return self.spark.read.parquet(*paths).join(
+        return self._read_parquet(*paths).join(
             kd, self.relations[rel], "left_semi"
         )
 
@@ -1171,7 +1228,7 @@ class MultiRelationTransactionalStore:
                     for s in names
                 ]
                 current = (
-                    self.spark.read.parquet(*cur_paths) if cur_paths else None
+                    self._read_parquet(*cur_paths) if cur_paths else None
                 )
                 merged = fn(rel, current, upd_data[rel])
                 parts.append(
@@ -1183,6 +1240,7 @@ class MultiRelationTransactionalStore:
                 lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
             )
             name = uuid.uuid4().hex
+            self._prime_file_schema(all_df)
             (
                 # one file per (rel, bucket) per commit — see
                 # BucketedTransactionalStore.apply_keyed
@@ -1253,6 +1311,7 @@ class MultiRelationTransactionalStore:
             lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
         )
         name = uuid.uuid4().hex
+        self._prime_file_schema(all_df)
         (
             # one file per (rel, bucket); the staged data is batch-sized,
             # so the group count is parallelism-capped (see
@@ -1360,7 +1419,7 @@ class MultiRelationTransactionalStore:
                     for b, names in rel_base.items()
                     for s in names
                 ]
-                current = self.spark.read.parquet(*cur_paths)
+                current = self._read_parquet(*cur_paths)
                 merged = fn(rel, current, None)
                 parts.append(
                     merged.withColumn("__rel", F.lit(rel)).withColumn(
@@ -1372,6 +1431,7 @@ class MultiRelationTransactionalStore:
             )
             n_touched = sum(len(v) for v in touched.values())
             name = uuid.uuid4().hex
+            self._prime_file_schema(all_df)
             (
                 all_df.repartition(
                     _staged_write_tasks(self.spark, max(n_touched, 1)),
@@ -1417,6 +1477,7 @@ class MultiRelationTransactionalStore:
                 lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
             )
             name = uuid.uuid4().hex
+            self._prime_file_schema(all_df)
             (
                 all_df.repartition(
                     _staged_write_tasks(
