@@ -1866,17 +1866,28 @@ class PostingsIndex:
         )
         df_drift = unsound_watermarks = 0
         if joined is not None:
-            df_drift = joined.filter(
-                F.coalesce(F.col("df"), F.lit(0))
-                != F.coalesce(F.col("df_exact"), F.lit(0))
-            ).count()
-            unsound_watermarks = joined.filter(
-                F.col("max_tf_exact").isNotNull()
-                & (
-                    F.col("max_tf").isNull()
-                    | (F.col("max_tf") < F.col("max_tf_exact"))
-                )
-            ).count()
+            # both drift tallies in ONE pass over the audit frame
+            r = joined.agg(
+                F.sum(
+                    F.when(
+                        F.coalesce(F.col("df"), F.lit(0))
+                        != F.coalesce(F.col("df_exact"), F.lit(0)),
+                        1,
+                    ).otherwise(0)
+                ).alias("df_drift"),
+                F.sum(
+                    F.when(
+                        F.col("max_tf_exact").isNotNull()
+                        & (
+                            F.col("max_tf").isNull()
+                            | (F.col("max_tf") < F.col("max_tf_exact"))
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).alias("unsound"),
+            ).collect()[0]
+            df_drift = int(r["df_drift"] or 0)
+            unsound_watermarks = int(r["unsound"] or 0)
         stats_ok = (n_docs, total_len) == (exact_n, exact_total)
         termstats_ok = df_drift == 0 and unsound_watermarks == 0
         return {

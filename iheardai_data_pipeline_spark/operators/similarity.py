@@ -102,7 +102,13 @@ def embedding_dup_pairs(
     withnorm = embeddings.select(
         F.col(block_col), F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
     )
-    left = withnorm.select(
+    # the PAIR work is quadratic in block size while the probe-side scan
+    # is input-sized: when the right side broadcasts (rig-scale blocks),
+    # a single-split scan would serialize the whole pair space on one
+    # core (measured 2.4s/1 task under x_graph_coreness) — fan the probe
+    # side to cluster parallelism first; at 100 TB the scan carries
+    # thousands of splits and this short-circuits (guide §2.5 input skew)
+    left = ensure_parallelism(withnorm).select(
         F.col(block_col),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),

@@ -5002,9 +5002,11 @@ def x_dedup_indexed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             m=idx.m,
             k=idx.k,
         )
+        # ONE gate job: both exceptAll directions counted together
         diff = (
-            stored_bits.exceptAll(one_shot).count()
-            + one_shot.exceptAll(stored_bits).count()
+            stored_bits.exceptAll(one_shot)
+            .unionAll(one_shot.exceptAll(stored_bits))
+            .count()
         )
         return (
             out.withColumn("bloom_bitexact", F.lit(diff == 0))
@@ -5055,15 +5057,23 @@ def x_dedup_indexed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     root_a = tempfile.mkdtemp(prefix="fpmrg_a_", dir=shm)
     root_b = tempfile.mkdtemp(prefix="fpmrg_b_", dir=shm)
     try:
-        shard_a = FingerprintIndex(spark, root_a, expected_docs=n_docs)
-        shard_a.append(half_a)
-        shard_b = FingerprintIndex(spark, root_b, expected_docs=n_docs)
-        shard_b.append(half_b)
+        from iheardai_data_pipeline_spark.session import parallel_legs
+
+        # independent shard builds on disjoint stores: overlap (§2.6)
+        def build(root, half):
+            s = FingerprintIndex(spark, root, expected_docs=n_docs)
+            s.append(half)
+            return s
+
+        shard_a, shard_b = parallel_legs(
+            lambda: build(root_a, half_a), lambda: build(root_b, half_b)
+        )
         shard_a.merge(shard_b, epoch="merge-b")
         shard_a.merge(shard_b, epoch="merge-b")  # replay: must no-op
         kept = shard_a.ingest(incoming).select("doc_id", "lang", "fingerprint")
         # merged-Bloom gate: merged bit relation == one-shot build over
-        # ALL stored fingerprints (exact by the union algebra)
+        # ALL stored fingerprints (exact by the union algebra);
+        # ONE gate job — both exceptAll directions counted together
         stored_bits = (
             shard_a._store.read("bloom_bits")
             .select("bit")
@@ -5078,8 +5088,9 @@ def x_dedup_indexed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=shard_a.k,
         )
         diff = (
-            stored_bits.exceptAll(one_shot).count()
-            + one_shot.exceptAll(stored_bits).count()
+            stored_bits.exceptAll(one_shot)
+            .unionAll(one_shot.exceptAll(stored_bits))
+            .count()
         )
         return kept.withColumn(
             "bloom_bitexact", F.lit(diff == 0)
