@@ -463,13 +463,23 @@ class PostingsIndex:
         return int(r["n"]), int(r["t"])
 
     def _live_candidates(
-        self, terms: DataFrame, version: int | None = None
+        self,
+        terms: DataFrame,
+        version: int | None = None,
+        with_positions: bool = True,
     ) -> DataFrame | None:
         """The shared serve front half: bucket-pruned postings read for
         the given (bounded, broadcastable) term frame, physical-
         duplicate/stale-version collapse, and the seq-equality liveness
         join — returns (term, doc_id, tf, positions, seq, dl) live
-        candidate postings, or None when nothing matches."""
+        candidate postings, or None when nothing matches.
+
+        ``with_positions=False`` (the BM25 serve) drops the positional
+        payload BEFORE the collapse: BM25 never reads it, it is the
+        ~2x-bytes half of every posting (guide §2.3 — shuffle fewer
+        bytes), and an array column in the max_by struct forces the
+        collapse into a SortAggregate; without it the agg hashes.
+        Only phrase serving passes True."""
         ic = self.id_col
         td = terms.select("term").distinct()
         pl = (
@@ -485,17 +495,29 @@ class PostingsIndex:
         # replayed un-epoched appends duplicate posting rows physically;
         # rows for one (term, doc, seq) agree on payload, so max_by on
         # seq both dedups and keeps only each doc's newest version
-        pl = pl.groupBy("term", ic).agg(
-            F.max_by(
-                F.struct("tf", "positions", "seq"), F.col("seq")
-            ).alias("s")
-        ).select(
-            "term",
-            ic,
-            F.col("s.tf").alias("tf"),
-            F.col("s.positions").alias("positions"),
-            F.col("s.seq").alias("seq"),
-        )
+        if with_positions:
+            pl = pl.groupBy("term", ic).agg(
+                F.max_by(
+                    F.struct("tf", "positions", "seq"), F.col("seq")
+                ).alias("s")
+            ).select(
+                "term",
+                ic,
+                F.col("s.tf").alias("tf"),
+                F.col("s.positions").alias("positions"),
+                F.col("s.seq").alias("seq"),
+            )
+        else:
+            pl = pl.select("term", ic, "tf", "seq").groupBy(
+                "term", ic
+            ).agg(
+                F.max_by(F.struct("tf", "seq"), F.col("seq")).alias("s")
+            ).select(
+                "term",
+                ic,
+                F.col("s.tf").alias("tf"),
+                F.col("s.seq").alias("seq"),
+            )
         # serve-path candidate set = every live doc containing a query
         # term — unbounded for hot terms, so no broadcast hint here
         live = self._current_live_for(
@@ -771,11 +793,21 @@ class PostingsIndex:
         # milli tf/dl back to weighted-token units with the same fixed
         # parenthesization as text.bm25f_topk
         avgdl = (float(total_len) / self._tf_scale) / n_docs_f
-        cand = self._live_candidates(qterms.select("term"), version=version)
+        cand = self._live_candidates(
+            qterms.select("term"), version=version, with_positions=False
+        )
         if cand is None:
             return self.spark.createDataFrame([], out_schema)
-        # df BEFORE the mask: collection statistics are corpus-global
-        dfreq = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        # df BEFORE the mask: collection statistics are corpus-global.
+        # Attached as a count window over the term partitioning instead
+        # of a groupBy + self-join: one pass over the candidate rows,
+        # no second exchange, no sort-merge join (round 14 — the df
+        # values are the identical per-term live-row counts)
+        from pyspark.sql import Window as _W
+
+        cand = cand.withColumn(
+            "df", F.count(F.lit(1)).over(_W.partitionBy("term"))
+        )
         if allowed is not None:
             cand = cand.join(allowed.select(ic).distinct(), ic, "left_semi")
         idf = F.log(
@@ -791,8 +823,7 @@ class PostingsIndex:
         )
         contrib = idf * ((tfd * F.lit(self.k1 + 1.0)) / denom)
         matched = (
-            cand.join(dfreq, "term")
-            .join(F.broadcast(qterms), "term")
+            cand.join(F.broadcast(qterms), "term")
             .select(
                 query_id_col,
                 ic,
@@ -1187,7 +1218,13 @@ class PostingsIndex:
             )
             if allowed_ids is not None:
                 cand = cand.join(allowed_ids, ic, "left_semi")
-            cand = cand.localCheckpoint(eager=True)
+            if self._prune_probes or diag is not None:
+                # the bucket-pruned forward lookup collects over cdocs
+                # (and diag counts cand) — pin once; in the scan-all
+                # regime cand stays lazy inside the scoring job (its
+                # inputs are already checkpointed, so no recompute of
+                # anything upstream — one fewer driver barrier/iter)
+                cand = cand.localCheckpoint(eager=True)
             cdocs = cand.select(ic).distinct()
             sub_pairs = [
                 (qid, t) for qid in sorted(unfinished) for t in q_terms[qid]
@@ -1769,28 +1806,69 @@ class PostingsIndex:
 
         return fold
 
-    def _stats_audit(self):
+    def _stats_audit(
+        self, exact_cache: dict | None = None, capture_exact: bool = False
+    ):
         """Shared audit core behind :meth:`verify_stats` and
         :meth:`repair_stats`: maintained vs exact corpus stats plus
         the FULL-joined per-term frame (term, df, max_tf, df_exact,
         max_tf_exact — either side's columns null where the term is
         missing from it), localCheckpointed, or None when neither side
         has term rows. Every read pinned to one store version.
-        Returns (n_docs, total_len, exact_n, exact_total, joined)."""
+        Returns (n_docs, total_len, exact_n, exact_total, joined,
+        exact_state).
+
+        ``capture_exact`` checkpoints the per-term EXACT recompute and
+        returns it in ``exact_state`` so a caller whose next commit
+        touches ONLY the delta relations (repair_stats — it appends
+        stats/termstats deltas, never postings/doclens rows) can pass
+        it back as ``exact_cache`` and re-audit without re-running the
+        O(store) exact recompute (round 14 — the post-repair verify
+        was a full second audit)."""
         ic = self.id_col
         v = self._store.current_version()
         n_docs, total_len = self.stats(version=v)
-        doclens = self._store.read("doclens", version=v)
-        if doclens is None:
-            exact_n, exact_total = 0, 0
+        if exact_cache is not None:
+            exact_n = exact_cache["exact_n"]
+            exact_total = exact_cache["exact_total"]
+            exact = exact_cache["exact"]
         else:
-            r = self._live_doclens(doclens).agg(
-                F.coalesce(F.count(F.lit(1)), F.lit(0)),
-                F.coalesce(F.sum("dl"), F.lit(0)),
-            ).collect()[0]
-            exact_n, exact_total = int(r[0]), int(r[1])
+            doclens = self._store.read("doclens", version=v)
+            if doclens is None:
+                exact_n, exact_total = 0, 0
+            else:
+                r = self._live_doclens(doclens).agg(
+                    F.coalesce(F.count(F.lit(1)), F.lit(0)),
+                    F.coalesce(F.sum("dl"), F.lit(0)),
+                ).collect()[0]
+                exact_n, exact_total = int(r[0]), int(r[1])
+            pl = self._store.read("postings", version=v)
+            exact = None
+            if pl is not None and doclens is not None:
+                live_keys = self._live_doclens(doclens).select(ic, "seq")
+                live_pl = (
+                    pl.select("term", ic, "tf", "seq")
+                    .groupBy("term", ic)
+                    .agg(
+                        F.max_by(
+                            F.struct("tf", "seq"), F.col("seq")
+                        ).alias("s")
+                    )
+                    .select(
+                        "term", ic,
+                        F.col("s.tf").alias("tf"),
+                        F.col("s.seq").alias("seq"),
+                    )
+                    .join(live_keys.withColumnRenamed("seq", "live_seq"), ic)
+                    .filter(F.col("seq") == F.col("live_seq"))
+                )
+                exact = live_pl.groupBy("term").agg(
+                    F.count(F.lit(1)).alias("df_exact"),
+                    F.max("tf").alias("max_tf_exact"),
+                )
+                if capture_exact:
+                    exact = exact.localCheckpoint(eager=True)
         ts = self._store.read("termstats", version=v)
-        pl = self._store.read("postings", version=v)
         maintained = (
             ts.groupBy("term")
             .agg(
@@ -1801,25 +1879,6 @@ class PostingsIndex:
             if ts is not None
             else None
         )
-        exact = None
-        if pl is not None and doclens is not None:
-            live_keys = self._live_doclens(doclens).select(ic, "seq")
-            live_pl = (
-                pl.select("term", ic, "tf", "seq")
-                .groupBy("term", ic)
-                .agg(F.max_by(F.struct("tf", "seq"), F.col("seq")).alias("s"))
-                .select(
-                    "term", ic,
-                    F.col("s.tf").alias("tf"),
-                    F.col("s.seq").alias("seq"),
-                )
-                .join(live_keys.withColumnRenamed("seq", "live_seq"), ic)
-                .filter(F.col("seq") == F.col("live_seq"))
-            )
-            exact = live_pl.groupBy("term").agg(
-                F.count(F.lit(1)).alias("df_exact"),
-                F.max("tf").alias("max_tf_exact"),
-            )
         joined = None
         if maintained is not None or exact is not None:
             m = (
@@ -1837,9 +1896,14 @@ class PostingsIndex:
                 )
             )
             joined = m.join(e, "term", "full").localCheckpoint(eager=True)
-        return n_docs, total_len, exact_n, exact_total, joined
+        exact_state = {
+            "exact_n": exact_n,
+            "exact_total": exact_total,
+            "exact": exact,
+        }
+        return n_docs, total_len, exact_n, exact_total, joined, exact_state
 
-    def verify_stats(self) -> dict:
+    def verify_stats(self, _exact_cache: dict | None = None) -> dict:
         """Audit the MAINTAINED aggregates against a full recompute
         over the live postings/doclens — the fsck for the module
         header's delta caveat: an un-epoched replayed mutation
@@ -1860,9 +1924,13 @@ class PostingsIndex:
         (round 14) heals BOTH drift classes with corrective deltas —
         no rebuild needed (:meth:`compact` alone re-bases per-term df
         but its corpus-stats fold is SUM-preserving, so (N, total_len)
-        corruption would survive it)."""
-        n_docs, total_len, exact_n, exact_total, joined = (
-            self._stats_audit()
+        corruption would survive it).
+
+        ``_exact_cache``: repair_stats' internal reuse — its commit
+        touches only the delta relations, so the pre-commit audit's
+        exact recompute (checkpointed) is still the live truth."""
+        n_docs, total_len, exact_n, exact_total, joined, _ = (
+            self._stats_audit(exact_cache=_exact_cache)
         )
         df_drift = unsound_watermarks = 0
         if joined is not None:
@@ -1926,8 +1994,8 @@ class PostingsIndex:
         i.e. the pre-repair audit found real drift (callers wanting
         both facts need one audit fewer than verify-then-repair);
         single-writer during repair is assumed (the family contract)."""
-        n_docs, total_len, exact_n, exact_total, joined = (
-            self._stats_audit()
+        n_docs, total_len, exact_n, exact_total, joined, exact_state = (
+            self._stats_audit(capture_exact=True)
         )
         d_docs = exact_n - n_docs
         d_len = exact_total - total_len
@@ -1963,7 +2031,9 @@ class PostingsIndex:
             if n_fix:
                 ts_fix = fixes.select("term", "d_df", "max_tf")
         if d_docs == 0 and d_len == 0 and n_fix == 0:
-            out = self.verify_stats()  # clean — nothing to commit
+            # clean — nothing to commit; the audit just ran, so answer
+            # from its own numbers instead of re-running it
+            out = self.verify_stats(_exact_cache=exact_state)
             out["repaired"] = False
             return out
         self._store.append_keyed(
@@ -1980,7 +2050,10 @@ class PostingsIndex:
             },
             epoch=epoch,
         )
-        out = self.verify_stats()
+        # post-repair audit: the corrective commit touched ONLY the
+        # delta relations, so the checkpointed exact recompute is still
+        # the live truth — only the maintained side re-reads
+        out = self.verify_stats(_exact_cache=exact_state)
         out["repaired"] = True
         return out
 
