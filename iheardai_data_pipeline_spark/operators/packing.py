@@ -169,7 +169,13 @@ def bfd_pack(
                 )
             )
         ).alias("__items")
-    )
+        # spread the folds one-group-per-task: the O(items x bins) fold
+        # is COMPUTE-heavy on byte-light collected arrays, so AQE's
+        # size-based coalescing would serialize several groups onto one
+        # core (measured: the whole pack ran as 2 tasks). An explicit
+        # group-keyed repartition is never coalesced; its shuffle moves
+        # only the already-collected arrays once.
+    ).repartition(group_col)
     packed = grouped.select(
         group_col, F.expr(fold).alias("__res")
     ).select(

@@ -210,7 +210,12 @@ def pq_train(
     dsub = dim // m
     seeds = [
         [float(x) for x in r[vec_col]]
-        for r in emb.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        # fan the seed scan out first: orderBy().limit() runs as a
+        # per-partition top-k + driver merge, so a single-split input
+        # would rank the whole corpus on one core (the sort keys are
+        # total, so partitioning cannot change which rows win)
+        for r in ensure_parallelism(emb)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(k)
         .select(vec_col)
         .collect()
