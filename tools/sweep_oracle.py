@@ -33,6 +33,12 @@ def main() -> None:
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
+        # the sweep drives 216 entries through ONE long-lived JVM; on
+        # the 1g default heap the round-14 in-gauntlet run died of GC
+        # thrash at entry 128 (OOM -> stopped SparkContext -> 89
+        # cascade FAILs). Correctness harness only — bench.py keeps its
+        # own session config.
+        .config("spark.driver.memory", "12g")
         .getOrCreate()
     )
     _ensure_loaded()
