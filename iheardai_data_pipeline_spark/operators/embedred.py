@@ -487,9 +487,13 @@ def knn_graph_multiprobe(
     pairs = (
         a.join(b, "cell")
         .filter(F.col("__src") != F.col("__nbr"))
-        # a pair sharing BOTH probed cells must be scored once
-        .select("__src", "__nbr", "__va", "__vb", "__ia", "__ib")
-        .dropDuplicates(["__src", "__nbr"])
+        # a pair sharing BOTH probed cells must be reported once — but
+        # the duplicate rows carry the SAME two vectors, so their sims
+        # are bit-identical: score row-locally FIRST and dedup the
+        # narrow (src, nbr, sim) rows. The old shape dropDuplicates'd
+        # with both vector payloads aboard, shuffling ~40x the bytes
+        # (guide §2.3 — shuffle keys and metadata, not payloads; this
+        # exchange OOM-killed the 1g sweep JVM at sf0.1)
         .select(
             "__src",
             "__nbr",
@@ -500,6 +504,7 @@ def knn_graph_multiprobe(
                 6,
             ).alias("sim"),
         )
+        .dropDuplicates(["__src", "__nbr"])
     )
     w = Window.partitionBy("__src").orderBy(F.desc("sim"), F.asc("__nbr"))
     return (
