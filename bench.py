@@ -63,18 +63,28 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "mode": "min_of_2_runs_plus_third_if_over_2s",
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "catalog_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "mode": "min_of_2_runs_plus_third_if_over_2s",
+        }
     )
+    print(line)
+    # Persist the full JSON next to the repo as well (round 15): the
+    # harness that invokes bench.py keeps only a tail of stdout, which
+    # truncated the r13 line and broke that round-over-round comparison.
+    # Pure artifact write AFTER all timing — methodology unchanged.
+    try:
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json")
+        with open(out, "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

@@ -9,14 +9,20 @@ the postings are a maintained index: five relations of ONE
 :class:`~iheardai_data_pipeline_spark.streaming.stores.MultiRelationTransactionalStore`
 commit log —
 
-- ``postings`` (term-keyed): (term, doc_id, tf, positions, seq) — the
-  probe side. A query's serve reads ONLY the buckets its terms hash
-  to, and each term's TRUE document frequency is computable from that
-  one bucket (every posting for a term lives there), so idf needs no
-  corpus scan. The POSITIONAL payload (sorted in-document token
+- ``postings`` (term-keyed): (term, doc_id, tf, positions, dl, seq) —
+  the probe side. A query's serve reads ONLY the buckets its terms
+  hash to, and each term's TRUE document frequency is computable from
+  that one bucket (every posting for a term lives there), so idf needs
+  no corpus scan. The POSITIONAL payload (sorted in-document token
   offsets — the standard positional-index trade: roughly doubles
   postings bytes) serves exact phrase queries (:meth:`phrase_topk`)
-  from the same buckets.
+  from the same buckets. ``dl`` (round 15) denormalizes the doc's
+  length INTO each posting (+8 bytes/row): a posting is only ever
+  served when it belongs to the doc's live version (the seq-equality
+  rule), and that version's dl is fixed at append time, so carrying it
+  in-row lets BM25 serving skip the corpus-sized doclens liveness
+  join entirely (the forward relation's in-row dl idea, applied to
+  the probe side — guide §2.4/§6).
 - ``doclens`` (doc-keyed): (doc_id, dl, seq, live) — the LIVENESS
   AUTHORITY. Every mutation writes the doc's doclen row and its
   postings with the SAME seq; a candidate posting is live iff its seq
@@ -102,7 +108,12 @@ from iheardai_data_pipeline_spark.streaming.stores import (
 # 2 = the round-13 layout: + forward (doc -> term list) and termstats
 # (additive per-term df/max-tf deltas) relations. A format-1 index has
 # neither and cannot serve the maintained-stats pruned path — rebuild.
-FORMAT_VERSION = 2
+# 3 = the round-15 layout: postings rows additionally carry the doc's
+# ``dl`` (exact under the seq-equality rule — a posting only serves
+# with its own version, whose dl is fixed at append), which is what
+# lets the unpruned serve drop its corpus-sized doclens liveness join.
+# A format-2 index's postings lack the column — rebuild.
+FORMAT_VERSION = 3
 
 
 class PostingsIndex:
@@ -190,10 +201,12 @@ class PostingsIndex:
                 raise ValueError(
                     f"postings index at {path} has on-disk format "
                     f"{persisted.get('format')}; this build reads format "
-                    f"{FORMAT_VERSION} — a format-1 index lacks the "
-                    "forward/termstats relations (maintained df, pruned "
-                    "serve, self-contained PRF) and must be REBUILT from "
-                    "the source corpus"
+                    f"{FORMAT_VERSION} — older layouts lack columns/"
+                    "relations this serve depends on (format 1: the "
+                    "forward/termstats relations; format 2: the in-row "
+                    "postings dl) and no open-time shim can backfill "
+                    "them — the index must be REBUILT from the source "
+                    "corpus"
                 )
             if persisted != meta:
                 raise ValueError(
@@ -245,22 +258,30 @@ class PostingsIndex:
         )
 
     def _batch_relations(self, docs: DataFrame, seq: int) -> tuple:
-        """tf + sorted positions + doclen + forward rows for one batch,
-        stamped with the LWW seq. All derive from ONE (doc, term)
-        shuffle (the tf groupBy); dl and the forward term list are its
-        per-doc rollup (one more keyed agg, which also feeds the
-        stats/termstats deltas). Only the EXPENSIVE frame (tf — the
-        tokenize + first shuffle) is eagerly checkpointed; the per-doc
-        rollup stays lazy (round 14): its consumers share one staged
-        write job, where the identical agg subtrees collapse into one
-        exchange (ReusedExchange), so materializing it bought nothing
-        but an extra driver barrier per mutation."""
+        """tf + sorted positions + in-row dl + doclen + forward rows
+        for one batch, stamped with the LWW seq. All derive from ONE
+        doc-keyed shuffle: the token stream repartitions by doc id,
+        which the (doc, term) tf aggregate, the per-doc dl window (the
+        round-15 in-row postings dl), and the downstream per-doc
+        rollup all satisfy without another exchange (guide §2.4 —
+        operations keyed the same way share one exchange). Only the
+        EXPENSIVE frame (tf — the tokenize + shuffle) is eagerly
+        checkpointed; the per-doc rollup stays lazy (round 14): its
+        consumers share one staged write job, where the identical agg
+        subtrees collapse into one exchange (ReusedExchange), so
+        materializing it bought nothing but an extra driver barrier
+        per mutation."""
+        from pyspark.sql import Window
+
         ic = self.id_col
         s = F.lit(int(seq)).cast("long").alias("seq")
+        wdoc = Window.partitionBy(ic)
         if self._w_milli is not None:
             # fielded (BM25F): tf = exact BIGINT milli fold of the
             # fields' token streams (each stream carries its weight as
-            # a literal); no positional payload — see __init__
+            # a literal); no positional payload — see __init__. The
+            # hash repartition on the doc id doubles as the small-scan
+            # fan-out ensure_parallelism used to provide.
             from functools import reduce
 
             streams = [
@@ -274,24 +295,26 @@ class PostingsIndex:
                 for fcol, wm in sorted(self._w_milli.items())
             ]
             tf = (
-                ensure_parallelism(
-                    reduce(lambda a, b: a.unionByName(b), streams)
-                )
+                reduce(lambda a, b: a.unionByName(b), streams)
+                .repartition(F.col(ic))
                 .groupBy(ic, "term")
                 .agg(F.sum("w").alias("tf"))
                 .withColumn(
                     "positions", F.lit(None).cast("array<int>")
                 )
+                .withColumn("dl", F.sum("tf").over(wdoc))
                 .localCheckpoint(eager=True)
             )
         else:
             tf = (
                 self._tokens(docs)
+                .repartition(F.col(ic))
                 .groupBy(ic, "term")
                 .agg(
                     F.count(F.lit(1)).alias("tf"),
                     F.sort_array(F.collect_list("pos")).alias("positions"),
                 )
+                .withColumn("dl", F.sum("tf").over(wdoc))
                 .localCheckpoint(eager=True)
             )
         perdoc = tf.groupBy(ic).agg(
@@ -301,23 +324,40 @@ class PostingsIndex:
             ).alias("terms"),
         )
         return (
-            tf.select("term", ic, "tf", "positions", s),
+            tf.select("term", ic, "tf", "positions", "dl", s),
             perdoc.select(ic, "dl", s, F.lit(True).alias("live")),
             perdoc.select(ic, "terms", s),
         )
 
+    @staticmethod
+    def _lww_okey() -> F.Column:
+        """The doclens LWW order (seq ascending, tombstone wins ties)
+        linearized into ONE BIGINT: ``2*seq + (0 if live else 1)`` —
+        max picks the greatest seq, and between a live row and a
+        tombstone at the SAME seq the tombstone's +1 wins (the
+        delete-biased tie rule). Linearizing matters for plan shape
+        (round 15): a struct ordering key gives max_by a struct
+        aggregation buffer, which HashAggregate cannot hold, forcing
+        every doclens collapse into a Sort + SortAggregate pair; with
+        primitive value/ordering columns the collapse hash-aggregates.
+        Sound for 0 <= seq < 2^62 (the family's seq contract)."""
+        return F.col("seq") * 2 + F.when(
+            F.col("live"), F.lit(0)
+        ).otherwise(F.lit(1))
+
     def _live_doclens(self, rows: DataFrame) -> DataFrame:
         """LWW collapse per doc: greatest seq wins, tombstone wins ties
-        (delete-biased); returns live (doc_id, dl, seq)."""
+        (delete-biased); returns live (doc_id, dl, seq). Runs as a
+        HashAggregate over the linearized order key (see
+        :meth:`_lww_okey`); live winners have an even key, and their
+        seq is ``okey div 2`` exactly."""
         ic = self.id_col
-        order = F.struct(
-            F.col("seq"), F.when(F.col("live"), F.lit(0)).otherwise(F.lit(1))
-        )
         latest = rows.groupBy(ic).agg(
-            F.max_by(F.struct("dl", "seq", "live"), order).alias("s")
+            F.max_by(F.col("dl"), self._lww_okey()).alias("dl"),
+            F.max(self._lww_okey()).alias("__okey"),
         )
-        return latest.filter(F.col("s.live")).select(
-            ic, F.col("s.dl").alias("dl"), F.col("s.seq").alias("seq")
+        return latest.filter(F.col("__okey") % 2 == 0).select(
+            ic, "dl", F.expr("__okey DIV 2").alias("seq")
         )
 
     def _current_live_for(
@@ -359,7 +399,7 @@ class PostingsIndex:
     def _empty(self, rel: str) -> DataFrame:
         schemas = {
             "postings": f"term string, {self.id_col} long, tf long, "
-            "positions array<int>, seq long",
+            "positions array<int>, dl long, seq long",
             "doclens": f"{self.id_col} long, dl long, seq long, live boolean",
             "stats": "stat string, d_docs long, d_len long",
             "forward": f"{self.id_col} long, "
@@ -467,19 +507,32 @@ class PostingsIndex:
         terms: DataFrame,
         version: int | None = None,
         with_positions: bool = True,
+        m: DataFrame | None = None,
     ) -> DataFrame | None:
         """The shared serve front half: bucket-pruned postings read for
-        the given (bounded, broadcastable) term frame, physical-
-        duplicate/stale-version collapse, and the seq-equality liveness
-        join — returns (term, doc_id, tf, positions, seq, dl) live
-        candidate postings, or None when nothing matches.
+        the given (bounded, broadcastable) term frame, delta-liveness
+        resolution, and physical-duplicate collapse — returns live
+        (term, doc_id, tf, dl [, positions]) candidate postings, or
+        None when nothing matches.
 
-        ``with_positions=False`` (the BM25 serve) drops the positional
-        payload BEFORE the collapse: BM25 never reads it, it is the
-        ~2x-bytes half of every posting (guide §2.3 — shuffle fewer
-        bytes), and an array column in the max_by struct forces the
-        collapse into a SortAggregate; without it the agg hashes.
-        Only phrase serving passes True."""
+        Round 15: liveness resolves against the :meth:`_mutation_delta`
+        frame (the pruned serve's rule — pass ``m`` to reuse one
+        already checkpointed this serve) and dl rides IN the posting
+        row, so the old corpus-sized doclens read + LWW collapse +
+        per-pass eager checkpoint are gone outright (guide §2.4; at
+        100 TB that job re-read doclens once per serve PASS). The
+        delta filter runs BEFORE the collapse: it kills stale upsert
+        versions by seq equality, so what remains per (term, doc) are
+        replayed-append replicas that agree on every payload byte —
+        plain MAX both dedups and keeps the value, and the collapse
+        stays a HashAggregate (no max_by struct buffer).
+
+        ``with_positions=False`` (the BM25 serve) also drops the
+        positional payload at the scan — BM25 never reads it and it is
+        the ~2x-bytes half of every posting (guide §2.3) — and hash-
+        repartitions on ``term`` so the collapse AND the downstream
+        per-term df window share ONE exchange (guide §2.4). Phrase
+        serving passes True and keeps the array-carrying collapse."""
         ic = self.id_col
         td = terms.select("term").distinct()
         pl = (
@@ -491,43 +544,41 @@ class PostingsIndex:
         )
         if pl is None:
             return None
-        pl = pl.join(F.broadcast(td), "term")
-        # replayed un-epoched appends duplicate posting rows physically;
-        # rows for one (term, doc, seq) agree on payload, so max_by on
-        # seq both dedups and keeps only each doc's newest version
+        if m is None:
+            m = self._mutation_delta(version=version)
+        if m is None:
+            return None
+        cols = ["term", ic, "tf", "dl", "seq"] + (
+            ["positions"] if with_positions else []
+        )
+        live = (
+            pl.select(*cols)
+            .join(F.broadcast(td), "term")
+            .join(self._delta_join_side(m), ic, "left")
+            .filter(self._delta_alive())
+        )
         if with_positions:
-            pl = pl.groupBy("term", ic).agg(
-                F.max_by(
-                    F.struct("tf", "positions", "seq"), F.col("seq")
-                ).alias("s")
-            ).select(
-                "term",
-                ic,
-                F.col("s.tf").alias("tf"),
-                F.col("s.positions").alias("positions"),
-                F.col("s.seq").alias("seq"),
+            return (
+                live.groupBy("term", ic)
+                .agg(
+                    F.max_by(
+                        F.struct("tf", "positions", "dl"), F.col("seq")
+                    ).alias("s")
+                )
+                .select(
+                    "term",
+                    ic,
+                    F.col("s.tf").alias("tf"),
+                    F.col("s.positions").alias("positions"),
+                    F.col("s.dl").alias("dl"),
+                )
             )
-        else:
-            pl = pl.select("term", ic, "tf", "seq").groupBy(
-                "term", ic
-            ).agg(
-                F.max_by(F.struct("tf", "seq"), F.col("seq")).alias("s")
-            ).select(
-                "term",
-                ic,
-                F.col("s.tf").alias("tf"),
-                F.col("s.seq").alias("seq"),
-            )
-        # serve-path candidate set = every live doc containing a query
-        # term — unbounded for hot terms, so no broadcast hint here
-        live = self._current_live_for(
-            pl.select(ic), broadcast_keys=False, version=version
-        ).localCheckpoint(eager=True)
-        # seq equality = liveness: the posting belongs to the doc's
-        # current version (kills deleted docs AND stale upsert rows)
-        return pl.join(
-            live.withColumnRenamed("seq", "live_seq"), ic
-        ).filter(F.col("seq") == F.col("live_seq"))
+        return (
+            live.select("term", ic, "tf", "dl")
+            .repartition(F.col("term"))
+            .groupBy("term", ic)
+            .agg(F.max("tf").alias("tf"), F.max("dl").alias("dl"))
+        )
 
     # -- public API -------------------------------------------------------------
 
@@ -698,8 +749,8 @@ class PostingsIndex:
         diag: dict | None = None,
     ) -> DataFrame:
         """Okapi BM25 top-k per query, served FROM THE INDEX: reads
-        only the query terms' postings buckets (+ the candidates'
-        doclens buckets + the commit-count-sized stats relation), never
+        only the query terms' postings buckets (+ the mutation-sized
+        doclens delta + the commit-count-sized stats relation), never
         the corpus. Output schema == bm25_topk's, and the arithmetic is
         its fixed-parenthesization micro-unit discipline, so the brute
         operator's oracle replays this serve exactly.
@@ -763,6 +814,7 @@ class PostingsIndex:
         allowed: DataFrame | None = None,
         version: int | None = None,
         stats_pair: tuple[int, int] | None = None,
+        m: DataFrame | None = None,
     ) -> DataFrame:
         """The serve body behind :meth:`topk`, taking an already-
         tokenized (query_id, term) frame — also the pass-2 entry point
@@ -772,7 +824,8 @@ class PostingsIndex:
         None falls back to per-read latest. ``stats_pair`` lets a
         multi-pass caller (PRF) hand in the (n_docs, total_len) it
         already collected at the pinned version instead of re-running
-        the stats job per pass."""
+        the stats job per pass; ``m`` likewise an already-checkpointed
+        mutation delta (round 15 — both passes share one)."""
         from pyspark.sql import Window
 
         ic = self.id_col
@@ -794,7 +847,7 @@ class PostingsIndex:
         # parenthesization as text.bm25f_topk
         avgdl = (float(total_len) / self._tf_scale) / n_docs_f
         cand = self._live_candidates(
-            qterms.select("term"), version=version, with_positions=False
+            qterms.select("term"), version=version, with_positions=False, m=m
         )
         if cand is None:
             return self.spark.createDataFrame([], out_schema)
@@ -802,7 +855,10 @@ class PostingsIndex:
         # Attached as a count window over the term partitioning instead
         # of a groupBy + self-join: one pass over the candidate rows,
         # no second exchange, no sort-merge join (round 14 — the df
-        # values are the identical per-term live-row counts)
+        # values are the identical per-term live-row counts). The
+        # candidate frame arrives already hash-partitioned on term
+        # (round 15: _live_candidates' repartition serves its collapse
+        # AND this window from one exchange).
         from pyspark.sql import Window as _W
 
         cand = cand.withColumn(
@@ -869,27 +925,48 @@ class PostingsIndex:
           a row is live iff its seq == 0.
 
         Returns None when the store has no doclens at all. Computed
-        ONCE per pruned serve and reused by every iteration's probe
-        and forward fetch (hoisting it out of the loop is the round-13
-        driver-job diet)."""
+        ONCE per serve (round 15: the UNPRUNED serve and phrase serving
+        resolve liveness against it too — no serve path reads
+        corpus-sized doclens anymore) and reused by every pass/
+        iteration (hoisting it out of the loop is the round-13
+        driver-job diet). The checkpointed frame is stamped with its
+        row count so join sites can hint a broadcast when the delta is
+        small (see :meth:`_delta_join_side`)."""
         ic = self.id_col
         doclens = self._store.read("doclens", version=version)
         if doclens is None:
             return None
-        order = F.struct(
-            F.col("seq"), F.when(F.col("live"), F.lit(0)).otherwise(F.lit(1))
-        )
-        return (
+        m = (
             doclens.filter((F.col("seq") > 0) | (~F.col("live")))
             .groupBy(ic)
-            .agg(F.max_by(F.struct("seq", "live"), order).alias("s"))
+            # linearized LWW key (see _lww_okey): one BIGINT max keeps
+            # the collapse a HashAggregate; m_seq/m_live unpack exactly
+            .agg(F.max(self._lww_okey()).alias("__okey"))
             .select(
                 ic,
-                F.col("s.seq").alias("m_seq"),
-                F.col("s.live").alias("m_live"),
+                F.expr("__okey DIV 2").alias("m_seq"),
+                (F.col("__okey") % 2 == 0).alias("m_live"),
             )
             .localCheckpoint(eager=True)  # delta-sized
         )
+        # count over already-checkpointed partitions: one cheap local
+        # job that licenses the broadcast decision at every join site
+        m._graft_rows = m.count()
+        return m
+
+    @staticmethod
+    def _delta_join_side(m: DataFrame) -> DataFrame:
+        """The mutation delta as a join input: broadcast-hinted while
+        it is small (the normal regime — compact folds mutations away;
+        without the hint the checkpointed frame's unknown size stats
+        make the initial plan a sort-merge join, and even AQE's runtime
+        conversion has already paid the delta's exchange). Bounded by
+        SPARK_GRAFT_BCAST_DELTA_ROWS (default 4M rows ≈ ~100 MB built);
+        a larger backlog falls back to the optimizer's choice — the
+        scale-safe posture, env-tunable per deployment."""
+        n = getattr(m, "_graft_rows", None)
+        cap = int(os.environ.get("SPARK_GRAFT_BCAST_DELTA_ROWS", "4000000"))
+        return F.broadcast(m) if n is not None and n <= cap else m
 
     @staticmethod
     def _delta_alive() -> F.Column:
@@ -943,7 +1020,7 @@ class PostingsIndex:
             )
         )
         return (
-            pl.join(m, ic, "left")
+            pl.join(self._delta_join_side(m), ic, "left")
             .filter(self._delta_alive())
             .select("term", ic, "tf")
         )
@@ -1262,7 +1339,7 @@ class PostingsIndex:
                         F.col("s.terms").alias("terms"),
                         F.col("s.seq").alias("seq"),
                     )
-                    .join(m, ic, "left")
+                    .join(self._delta_join_side(m), ic, "left")
                     .filter(self._delta_alive())
                     .select(
                         ic,
@@ -1428,7 +1505,9 @@ class PostingsIndex:
         # the one serve version, so pass 2 reuses pass 1's state
         # bit-identically instead of re-running its driver jobs
         stats_pair = self.stats(version=version)
-        shared_m = self._mutation_delta(version=version) if prune else None
+        # both serve modes resolve liveness against the mutation delta
+        # (round 15): checkpoint it once and share it across the passes
+        shared_m = self._mutation_delta(version=version)
         ts_cache: dict = {}
         probe_cache: dict = {}
 
@@ -1453,6 +1532,7 @@ class PostingsIndex:
                 allowed,
                 version=version,
                 stats_pair=stats_pair,
+                m=shared_m,
             )
 
         # ``allowed`` applies to BOTH passes: restricted serving should
@@ -1515,7 +1595,7 @@ class PostingsIndex:
     ) -> DataFrame:
         """Exact-phrase top-k per query, served FROM THE INDEX's
         positional payload: reads only the phrase terms' postings
-        buckets (+ the candidates' doclens buckets for liveness),
+        buckets (+ the mutation-sized doclens delta for liveness),
         never the corpus. Semantics and output schema are
         :func:`~iheardai_data_pipeline_spark.operators.text.phrase_topk`'s
         exactly (overlapping matches count; duplicate-term phrases via
@@ -1702,22 +1782,13 @@ class PostingsIndex:
                 live = live.localCheckpoint(eager=True)
                 pl = self._store.read("postings", version=v)
                 if pl is not None:
+                    # liveness first, then full-row replica dedup — all
+                    # hash-aggregable (see _compact_fold's rationale)
                     live_pl = (
                         pl.select("term", ic, "tf", "seq")
-                        .groupBy("term", ic)
-                        .agg(
-                            F.max_by(
-                                F.struct("tf", "seq"), F.col("seq")
-                            ).alias("s")
-                        )
-                        .select(
-                            "term",
-                            ic,
-                            F.col("s.tf").alias("tf"),
-                            F.col("s.seq").alias("seq"),
-                        )
                         .join(live.withColumnRenamed("seq", "live_seq"), ic)
                         .filter(F.col("seq") == F.col("live_seq"))
+                        .dropDuplicates(["term", ic, "tf", "seq"])
                     )
                     exact_ts = (
                         live_pl.groupBy("term")
@@ -1752,41 +1823,39 @@ class PostingsIndex:
                 return lw.select(
                     ic, "dl", "seq", F.lit(True).alias("live")
                 )
+            # round 15 (both row relations): resolve LIVENESS FIRST —
+            # the seq-equality join kills stale upsert versions and
+            # deleted docs without any aggregation — then fold the
+            # surviving replayed replicas (bit-identical rows by the
+            # replay contract) with a full-row dropDuplicates, which
+            # plans as a HashAggregate with no agg functions. The old
+            # shape max_by'd an ARRAY-carrying struct per (term, doc)
+            # first, forcing a Sort + SortAggregate pair that moved the
+            # positional payload through two sorts (guide §2.3/§1.2).
+            # Winner identity is unchanged: the max-seq row IS the
+            # live-seq row whenever it survives at all (postings never
+            # outlive their doclens commit).
             if rel == "postings":
                 if live is None:
                     return current.limit(0)
-                dedup = current.groupBy("term", ic).agg(
-                    F.max_by(
-                        F.struct("tf", "positions", "seq"), F.col("seq")
-                    ).alias("s")
-                ).select(
-                    "term",
-                    ic,
-                    F.col("s.tf").alias("tf"),
-                    F.col("s.positions").alias("positions"),
-                    F.col("s.seq").alias("seq"),
-                )
-                return dedup.join(
-                    live.withColumnRenamed("seq", "live_seq"), ic
-                ).filter(F.col("seq") == F.col("live_seq")).select(
-                    "term", ic, "tf", "positions", "seq"
+                return (
+                    current.join(
+                        live.withColumnRenamed("seq", "live_seq"), ic
+                    )
+                    .filter(F.col("seq") == F.col("live_seq"))
+                    .select("term", ic, "tf", "positions", "dl", "seq")
+                    .dropDuplicates()
                 )
             if rel == "forward":
                 if live is None:
                     return current.limit(0)
-                dedup = current.groupBy(ic).agg(
-                    F.max_by(
-                        F.struct("terms", "seq"), F.col("seq")
-                    ).alias("s")
-                ).select(
-                    ic,
-                    F.col("s.terms").alias("terms"),
-                    F.col("s.seq").alias("seq"),
-                )
-                return dedup.join(
-                    live.withColumnRenamed("seq", "live_seq"), ic
-                ).filter(F.col("seq") == F.col("live_seq")).select(
-                    ic, "terms", "seq"
+                return (
+                    current.join(
+                        live.withColumnRenamed("seq", "live_seq"), ic
+                    )
+                    .filter(F.col("seq") == F.col("live_seq"))
+                    .select(ic, "terms", "seq")
+                    .dropDuplicates()
                 )
             if rel == "termstats":
                 if exact_ts is None:
@@ -1846,21 +1915,13 @@ class PostingsIndex:
             exact = None
             if pl is not None and doclens is not None:
                 live_keys = self._live_doclens(doclens).select(ic, "seq")
+                # liveness first, then full-row replica dedup — all
+                # hash-aggregable (see _compact_fold's rationale)
                 live_pl = (
                     pl.select("term", ic, "tf", "seq")
-                    .groupBy("term", ic)
-                    .agg(
-                        F.max_by(
-                            F.struct("tf", "seq"), F.col("seq")
-                        ).alias("s")
-                    )
-                    .select(
-                        "term", ic,
-                        F.col("s.tf").alias("tf"),
-                        F.col("s.seq").alias("seq"),
-                    )
                     .join(live_keys.withColumnRenamed("seq", "live_seq"), ic)
                     .filter(F.col("seq") == F.col("live_seq"))
+                    .dropDuplicates(["term", ic, "tf", "seq"])
                 )
                 exact = live_pl.groupBy("term").agg(
                     F.count(F.lit(1)).alias("df_exact"),

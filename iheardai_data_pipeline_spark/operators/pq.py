@@ -114,12 +114,60 @@ def quantization_error(codebooks, vec_col: str = "embedding"):
 
 
 def _spark_code_cols(codebooks, vec_col: str) -> dict:
+    """LITERAL-tree code columns — the reference implementation the
+    broadcast path below must match bit for bit (kept for that property
+    test and for one-off tooling; query paths use :func:`with_pq_codes`,
+    whose plans stay constant-size in the codebook)."""
     return {
         f"__c{s}": F.expr(
             subspace_code_sql(f"`{vec_col}`", s, cb, "spark")
         ).cast("int")
         for s, cb in enumerate(codebooks)
     }
+
+
+def _subspace_code_ref_sql(vec_ref: str, s: int, dsub: int) -> str:
+    """The :func:`subspace_code_sql` fold with the subspace codebook
+    read from the broadcast ``__books`` COLUMN (one data row) instead
+    of an inlined literal tree. Arithmetic is token-identical — same
+    left fold from 0.0, same argmin tie-break — so the codes are
+    bit-identical to the literal path (pinned by test); only where the
+    k x dsub doubles COME FROM changes (guide §3.1/§5: ship constants
+    as broadcast data, keep the plan small — re-analyzing ~2k-literal
+    expression trees per encode was pure driver planning cost)."""
+    a = s * dsub + 1
+    cb = f"element_at(`__books`, {s + 1})"
+    dists = f"""transform({cb}, c -> aggregate(
+            zip_with(slice({vec_ref}, {a}, {dsub}), c,
+                     (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"""
+    return f"(array_position({dists}, array_min({dists})) - 1)"
+
+
+def with_pq_codes(df: DataFrame, codebooks, vec_col: str) -> DataFrame:
+    """``df`` + ``__c0..__c{m-1}`` per-subspace argmin code columns,
+    with the codebooks attached as ONE broadcast data row (the
+    ann_index topk_batch artifact-row pattern) rather than inlined
+    literals: expression/codegen size stays constant in the codebook
+    size, so per-call analysis cost vanishes. Row-local compute, no
+    shuffle of ``df``; codes are bit-identical to the literal
+    :func:`_spark_code_cols` path (property-tested)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    books = [[[float(x) for x in c] for c in book] for book in codebooks]
+    const = df.sparkSession.createDataFrame(
+        [(books,)], "__books array<array<array<double>>>"
+    )
+    out = eval_once(
+        df.crossJoin(F.broadcast(const)),
+        **{
+            f"__c{s}": F.expr(
+                _subspace_code_ref_sql(f"`{vec_col}`", s, dsub)
+            ).cast("int")
+            for s in range(m)
+        },
+    )
+    return out.drop("__books")
 
 
 def pq_encode(
@@ -131,13 +179,15 @@ def pq_encode(
 ) -> DataFrame:
     """(id, codes array<int>, *extra_cols): each vector's per-subspace
     argmin codes. One narrow projection — no shuffle, no UDF; the
-    expression is the generated fold above, shared with the oracle.
-    ``extra_cols`` pass through unchanged (e.g. the IVF list id, so a
-    per-list ADC can read it without re-joining)."""
+    expression is the generated fold above, shared with the oracle
+    (the codebook riding as a broadcast data row — same argmin values,
+    bit for bit). ``extra_cols`` pass through unchanged (e.g. the IVF
+    list id, so a per-list ADC can read it without re-joining)."""
     m = len(codebooks)
-    out = eval_once(
+    out = with_pq_codes(
         ensure_parallelism(embeddings.where(F.col(vec_col).isNotNull())),
-        **_spark_code_cols(codebooks, vec_col),
+        codebooks,
+        vec_col,
     )
     return out.select(
         F.col(id_col),
@@ -229,9 +279,8 @@ def pq_train(
         for s in range(m)
     ]
     for _ in range(iters):
-        coded = eval_once(
-            ensure_parallelism(emb.select(vec_col)),
-            **_spark_code_cols(books, vec_col),
+        coded = with_pq_codes(
+            ensure_parallelism(emb.select(vec_col)), books, vec_col
         )
         comps = coded.select(
             F.explode(

@@ -852,19 +852,16 @@ FROM embeddings WHERE embedding IS NOT NULL
     "One narrow projection, no shuffle, no UDF.",
 )
 def x_sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from iheardai_data_pipeline_spark.operators.pq import _spark_code_cols
+    from iheardai_data_pipeline_spark.operators.pq import with_pq_codes
     from iheardai_data_pipeline_spark.plans.pq_artifact import PQ_CODEBOOKS
-    from iheardai_data_pipeline_spark.sources.batch import (
-        ensure_parallelism,
-        eval_once,
-    )
+    from iheardai_data_pipeline_spark.sources.batch import ensure_parallelism
 
     emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
     )
-    out = eval_once(
-        ensure_parallelism(emb), **_spark_code_cols(PQ_CODEBOOKS, "embedding")
-    )
+    # codebooks ride as one broadcast data row (round 15): same argmin
+    # fold bit for bit, constant-size plan instead of a literal tree
+    out = with_pq_codes(ensure_parallelism(emb), PQ_CODEBOOKS, "embedding")
     return out.select(
         "vec_id",
         *[F.col(f"__c{s}").alias(f"c{s}") for s in range(len(PQ_CODEBOOKS))],

@@ -26,8 +26,14 @@ def parallel_legs(*thunks):
     Use ONLY for legs with no data dependency and disjoint store
     paths — the scheduler (FIFO) interleaves their jobs on one
     SparkSession, which is exactly the supported multi-threaded-driver
-    pattern. At 100 TB the same overlap hides each leg's commit/probe
-    barriers behind the other leg's scan compute."""
+    pattern. Legs must also NOT mutate shared session state
+    (``spark.conf.set`` / ``setLocalProperty`` / anything with a
+    save-restore pattern, e.g. streaming ingest via sinks.py's
+    shuffle-partitions override): the pool shares one SparkSession, so
+    a concurrent save/restore races and can corrupt the restored value
+    for the whole session (ADVICE r14). At 100 TB the same overlap
+    hides each leg's commit/probe barriers behind the other leg's scan
+    compute."""
     from concurrent.futures import ThreadPoolExecutor
 
     if len(thunks) == 1:

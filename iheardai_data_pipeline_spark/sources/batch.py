@@ -137,7 +137,12 @@ def _table_cache_key(path: str):
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver-generated parquet table from ``sf_dir``."""
+    """Load one driver-generated parquet table from ``sf_dir``.
+
+    Schema inference runs under :func:`_set_read_confs` (applied just
+    above), so the cached schema assumes every session reads with the
+    same parquet confs — true for this repo, where all sessions funnel
+    through the same setup."""
     _set_read_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     key = _table_cache_key(path)
@@ -147,6 +152,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.parquet(path)
         if key is not None:
+            # evict superseded entries for the same realpath (a fixture
+            # rewritten in place mints a new (mtime, size) key; the old
+            # one can never hit again — ADVICE r14 unbounded-cache nit)
+            for stale in [
+                k for k in _TABLE_SCHEMA_CACHE if k[0] == key[0]
+            ]:
+                del _TABLE_SCHEMA_CACHE[stale]
+                for ek in [
+                    e for e in _EPOCH_UNIT_CACHE if e[0] == stale
+                ]:
+                    del _EPOCH_UNIT_CACHE[ek]
             _TABLE_SCHEMA_CACHE[key] = df.schema
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":

@@ -68,15 +68,30 @@ def _occ_current_version(commits_dir: str) -> int:
 
 
 def _nullable_schema(schema):
-    """The schema with every field (recursively at the top level)
-    nullable — parquet round-trips Spark frames with all fields
-    optional, so a cached read schema must be nullable to match what
-    footer inference would have produced."""
-    from pyspark.sql.types import StructField, StructType
+    """The schema with every field FULLY recursively nullable (struct
+    members, array elements, map values included) — parquet round-trips
+    Spark frames with all fields optional, so a cached read schema must
+    be at least as permissive as footer inference would have produced;
+    a write-primed cache that kept a staged frame's non-null NESTED
+    flag could otherwise silently misread another commit's nulls
+    (ADVICE r14)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
 
-    return StructType(
-        [StructField(f.name, f.dataType, True, f.metadata) for f in schema]
-    )
+    def relax(dt):
+        if isinstance(dt, StructType):
+            return StructType(
+                [
+                    StructField(f.name, relax(f.dataType), True, f.metadata)
+                    for f in dt
+                ]
+            )
+        if isinstance(dt, ArrayType):
+            return ArrayType(relax(dt.elementType), True)
+        if isinstance(dt, MapType):
+            return MapType(relax(dt.keyType), relax(dt.valueType), True)
+        return dt
+
+    return relax(schema)
 
 
 def _staged_write_tasks(spark, n_groups: int) -> int:
@@ -1062,7 +1077,11 @@ class MultiRelationTransactionalStore:
     def _prime_file_schema(self, all_df: DataFrame) -> None:
         """Derive the union FILE schema from a staged frame: partitionBy
         moves __rel/__bucket into directory names, so the files hold
-        exactly the remaining columns."""
+        exactly the remaining columns. Primed BEFORE the commit claim:
+        sound only because every commit stages the same union schema
+        (the class's documented constraint), so a schema from a write
+        that later fails or loses its claim still describes every
+        committed file (ADVICE r14)."""
         drop = {"__rel", "__bucket"}
         from pyspark.sql.types import StructType
 

@@ -63,6 +63,29 @@ def test_encode_matches_duckdb_bit_exactly(spark):
     assert sp == dd
 
 
+def test_broadcast_codes_match_literal_path_bit_exactly(spark):
+    """The round-15 broadcast-DATA codebook path must produce the same
+    argmin codes, bit for bit, as the literal expression tree it
+    replaced (same left fold from 0.0, same tie-break — only where the
+    doubles come from changes)."""
+    from iheardai_data_pipeline_spark.sources.batch import eval_once
+
+    emb = _emb(spark, n=80)
+    books = pq.pq_train(emb, m=4, k=8, iters=1)
+    m = len(books)
+    lit = {
+        r["vec_id"]: [r[f"__c{s}"] for s in range(m)]
+        for r in eval_once(
+            emb, **pq._spark_code_cols(books, "embedding")
+        ).collect()
+    }
+    bc = {
+        r["vec_id"]: [r[f"__c{s}"] for s in range(m)]
+        for r in pq.with_pq_codes(emb, books, "embedding").collect()
+    }
+    assert lit == bc
+
+
 def test_adc_orders_by_lookup_distance(spark):
     emb = _emb(spark)
     books = pq.pq_train(emb, m=4, k=8, iters=1)

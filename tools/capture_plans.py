@@ -1,8 +1,8 @@
-"""Capture .explain("formatted") for catalog entries into plans/r14/.
+"""Capture .explain("formatted") for catalog entries into plans/r<N>/.
 
 Usage:
     python tools/capture_plans.py before|after <entry> [<entry> ...]
-        [--sf-dir DIR] [--serve-plans]
+        [--sf-dir DIR] [--serve-plans] [--round N] [--out-repo DIR]
 
 For eager (scenario) entries the returned frame is a checkpoint tail;
 --serve-plans additionally captures the MEANINGFUL inner serve plan for
@@ -32,6 +32,13 @@ def main() -> None:
     ap.add_argument("entries", nargs="*")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--serve-plans", action="store_true")
+    ap.add_argument("--round", type=int, default=15)
+    ap.add_argument(
+        "--out-repo",
+        default=REPO,
+        help="repo root to write plans/ under (so a BEFORE-tree worktree "
+        "can emit into the main repo's plans dir)",
+    )
     args = ap.parse_args()
 
     from iheardai_data_pipeline_spark.plans.catalog import (
@@ -42,7 +49,7 @@ def main() -> None:
 
     _ensure_loaded()
     spark = get_spark(app_name="capture-plans")
-    out_dir = os.path.join(REPO, "plans", "r14")
+    out_dir = os.path.join(args.out_repo, "plans", f"r{args.round}")
     os.makedirs(out_dir, exist_ok=True)
 
     for name in args.entries:
@@ -77,8 +84,18 @@ def main() -> None:
             idx.append(upsert, seq=1, epoch="up")
             idx.delete(dele, seq=2, epoch="del")
             q = _bm25_query_frame(spark)
+            # the compact postings fold, explained over the live store
+            # (the plan x_text_bm25_compact's maintenance half executes)
+            live = idx._live_doclens(idx._store.read("doclens")).select(
+                idx.id_col, "seq"
+            ).localCheckpoint(eager=True)
+            fold = idx._compact_fold(live, None)
+            compact_fold = fold(
+                "postings", idx._store.read("postings"), None
+            )
             for label, frame in (
                 ("bm25_serve_unpruned", idx.topk(q, k=5)),
+                ("bm25_compact_postings_fold", compact_fold),
             ):
                 path = os.path.join(out_dir, f"{label}_{args.tag}.txt")
                 with open(path, "w") as fh:
